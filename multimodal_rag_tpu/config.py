@@ -1,0 +1,190 @@
+"""Application settings.
+
+Environment-variable compatible with the reference's ``config.py``
+(reference ``config.py:18-132``): every knob the reference reads keeps its
+name and default so existing ``.env`` deployments port over unchanged
+(SURVEY.md §5.6). TPU-specific knobs (mesh, dtype, bucketing, vector-store
+layout) are additive.
+
+No external deps: ``.env`` loading and type coercion are implemented with
+the stdlib (the reference used pydantic-settings + python-dotenv).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import Optional
+
+BASE_DIR = Path(os.environ.get("MMRAG_BASE_DIR", os.getcwd()))
+
+
+def _load_dotenv(path: Path) -> dict:
+    """Minimal .env parser: KEY=VALUE lines, '#' comments, optional quotes."""
+    env: dict = {}
+    try:
+        text = path.read_text()
+    except OSError:
+        return env
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key, value = key.strip(), value.strip()
+        if value[:1] in "\"'" and value[-1:] == value[:1] and len(value) >= 2:
+            value = value[1:-1]
+        env.setdefault(key, value)
+    return env
+
+
+def _to_bool(raw: str) -> bool:
+    return raw.strip().lower() == "true"
+
+
+@dataclass
+class Settings:
+    """All runtime configuration, resolved once at construction.
+
+    Field names / defaults mirror reference ``config.py:24-122``.
+    """
+
+    # --- LLM configuration (reference config.py:24-33) ---
+    USE_LOCAL_LLM: bool = True
+    OLLAMA_MODEL: str = "gemma2:4b"
+    OLLAMA_BASE_URL: str = "http://localhost:11434"
+    OPENAI_API_KEY: Optional[str] = None
+    OPENAI_MODEL: str = "gpt-4o"
+    OPENAI_EMBEDDING_MODEL: str = "text-embedding-3-small"
+
+    # --- Server (reference config.py:45-46; no-auth localhost posture) ---
+    API_HOST: str = "127.0.0.1"
+    API_PORT: int = 8000
+
+    # --- Raw-content KV store (reference config.py:52-55 used Redis; we
+    # default to the built-in native store and optionally speak to Redis) ---
+    REDIS_HOST: str = "localhost"
+    REDIS_PORT: int = 6379
+    REDIS_DB: int = 0
+    REDIS_PASSWORD: Optional[str] = None
+    KV_BACKEND: str = "native"  # native | memory | redis
+    KV_PERSIST_DIR: str = "./kv_store"
+
+    # --- Vector store (reference config.py:58-59 pointed at ChromaDB; the
+    # names are kept so deployments keep working, pointing at our store) ---
+    CHROMA_PERSIST_DIR: str = "./chroma_db"
+    CHROMA_COLLECTION_NAME: str = "multimodal_rag"
+    VECTOR_PERSIST_DIR: str = "./vector_store"
+    VECTOR_SHARD_CAPACITY: int = 1 << 17  # rows per device shard segment
+
+    # --- Document processing (reference config.py:64-66) ---
+    CHUNK_SIZE: int = 1000
+    CHUNK_OVERLAP: int = 200
+    TOP_K_RESULTS: int = 5
+
+    # --- Parser (reference config.py:71-74) ---
+    EXTRACT_PDF_EMBEDDED_IMAGES: bool = True
+    CONVERT_PDF_PAGES_TO_IMAGES: bool = True
+    MAX_PDF_PAGES_AS_IMAGES: int = 50
+    ENABLE_OCR: bool = True
+
+    # --- Embedder (reference config.py:79-81) ---
+    EMBEDDER_BATCH_SIZE: int = 32
+    EMBEDDER_CACHE_SIZE: int = 1000
+    EMBEDDER_ENABLE_CACHE: bool = True
+
+    # --- Retriever (reference config.py:86-89) ---
+    RETRIEVER_ENABLE_COMPRESSION: bool = True
+    RETRIEVER_ENABLE_CACHE: bool = True
+    RETRIEVER_CACHE_SIZE: int = 100
+    RETRIEVER_CONNECTION_POOL_SIZE: int = 10
+
+    # --- Summarizer (reference config.py:94-97) ---
+    SUMMARIZER_ENABLE_CACHE: bool = True
+    SUMMARIZER_CACHE_SIZE: int = 500
+    SUMMARIZER_MAX_CONCURRENT: int = 5
+    SUMMARIZER_MAX_RETRIES: int = 3
+
+    # --- Models (reference config.py:102-106; CLIP_MODEL is real here) ---
+    SENTENCE_TRANSFORMER_MODEL: str = "all-MiniLM-L6-v2"
+    CLIP_MODEL: str = "ViT-B/32"
+
+    # --- Storage (reference config.py:111-112) ---
+    DATA_DIR: Path = field(default_factory=lambda: BASE_DIR / "data")
+    FIGURES_DIR: Path = field(default_factory=lambda: BASE_DIR / "figures")
+
+    # --- Misc (reference config.py:117-119) ---
+    LOG_LEVEL: str = "INFO"
+    ENABLE_CORS: bool = True
+    MAX_UPLOAD_SIZE: int = 50  # MB
+
+    # --- TPU-specific (new) ---
+    MESH_SHAPE: str = ""  # e.g. "data:4,model:2"; empty = 1-D over all devices
+    COMPUTE_DTYPE: str = "bfloat16"
+    SEQ_BUCKETS: str = "32,64,128,256"  # token-length buckets for XLA shapes
+    BATCH_BUCKETS: str = "8,32,128,512"  # batch-size buckets
+    IVF_THRESHOLD: int = 1_000_000  # rows above which the planner picks IVF
+    IVF_NLIST: int = 0  # 0 = auto (~sqrt(N))
+    IVF_NPROBE: int = 32
+
+    def __post_init__(self) -> None:
+        dotenv = _load_dotenv(BASE_DIR / ".env")
+
+        def raw(name: str) -> Optional[str]:
+            if name in os.environ:
+                return os.environ[name]
+            return dotenv.get(name)
+
+        for f in fields(self):
+            value = raw(f.name)
+            if value is None:
+                continue
+            current = getattr(self, f.name)
+            if isinstance(current, bool):
+                setattr(self, f.name, _to_bool(value))
+            elif isinstance(current, int):
+                setattr(self, f.name, int(value))
+            elif isinstance(current, Path):
+                setattr(self, f.name, BASE_DIR / value)
+            else:
+                setattr(self, f.name, value)
+
+        # Side effect kept from reference config.py:124-128.
+        self.DATA_DIR.mkdir(parents=True, exist_ok=True)
+        self.FIGURES_DIR.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def seq_buckets(self) -> tuple:
+        return tuple(int(x) for x in self.SEQ_BUCKETS.split(",") if x)
+
+    @property
+    def batch_buckets(self) -> tuple:
+        return tuple(int(x) for x in self.BATCH_BUCKETS.split(",") if x)
+
+    @property
+    def max_upload_bytes(self) -> int:
+        return self.MAX_UPLOAD_SIZE * 1024 * 1024
+
+
+def validate_settings(s: Settings) -> bool:
+    """Same checks as reference ``config.py:143-169``."""
+    errors = []
+    if not s.USE_LOCAL_LLM and not s.OPENAI_API_KEY:
+        errors.append("OPENAI_API_KEY is required when USE_LOCAL_LLM=false")
+    if s.CHUNK_OVERLAP >= s.CHUNK_SIZE:
+        errors.append("CHUNK_OVERLAP must be less than CHUNK_SIZE")
+    if s.API_HOST not in ("127.0.0.1", "localhost"):
+        print("\n" + "!" * 70)
+        print(f"!! WARNING: API_HOST is set to {s.API_HOST}")
+        print("!! NO AUTHENTICATION ENABLED — only safe for localhost use!")
+        print("!" * 70 + "\n")
+    if errors:
+        raise ValueError(
+            "Configuration errors:\n" + "\n".join(f"  - {e}" for e in errors)
+        )
+    return True
+
+
+settings = Settings()
+validate_settings(settings)
