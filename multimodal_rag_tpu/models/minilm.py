@@ -1,0 +1,315 @@
+"""MiniLM-class text encoder, TPU-first.
+
+Replaces the reference's sentence-transformers/torch embedding stage
+(``app/utils/embedder.py:17-18, 245-248, 385-403``) with a pure-JAX
+BERT-family encoder designed for the MXU:
+
+* All parameters are stored as a pytree; per-layer weights are **stacked on a
+  leading layer axis** and the encoder body is a single ``lax.scan`` — one
+  traced layer regardless of depth, fast compiles, and clean ``pjit``
+  sharding of the stacked weights.
+* Matmuls run in ``bfloat16`` with ``preferred_element_type=float32``
+  accumulation; layernorm / softmax statistics stay in float32.
+* Static shapes only: inputs are padded to (batch, seq) buckets chosen by
+  ``bucket_for`` so XLA compiles a handful of shapes once each.
+* Mean pooling + L2 normalization exactly mirror the reference contract
+  (``embedder.py:397-403``): cosine similarity == dot product downstream.
+
+Real all-MiniLM-L6-v2 weights load from a local safetensors checkpoint via
+``load_hf_bert_params`` (HF BERT naming); with no checkpoint available the
+encoder runs with seeded deterministic initialization — identical compute
+graph, shapes, and FLOPs, which is what the perf path needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 30522
+    hidden_dim: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    ff_dim: int = 1536
+    max_position: int = 512
+    type_vocab: int = 2
+    ln_eps: float = 1e-12
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+
+MINILM_L6 = EncoderConfig()
+
+
+def bucket_for(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n, else the largest bucket."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: EncoderConfig = MINILM_L6) -> Dict:
+    """Deterministic truncated-normal init (std 0.02, BERT convention).
+
+    Per-layer tensors carry a leading ``num_layers`` axis for lax.scan.
+    """
+    keys = jax.random.split(rng, 16)
+    h, f, L = cfg.hidden_dim, cfg.ff_dim, cfg.num_layers
+
+    def tn(key, shape, std=0.02):
+        return (jax.random.truncated_normal(key, -2.0, 2.0, shape) * std).astype(
+            jnp.float32
+        )
+
+    return {
+        "embed": {
+            "word": tn(keys[0], (cfg.vocab_size, h)),
+            "position": tn(keys[1], (cfg.max_position, h)),
+            "type": tn(keys[2], (cfg.type_vocab, h)),
+            "ln_scale": jnp.ones((h,), jnp.float32),
+            "ln_bias": jnp.zeros((h,), jnp.float32),
+        },
+        "layers": {
+            "wq": tn(keys[3], (L, h, h)),
+            "bq": jnp.zeros((L, h), jnp.float32),
+            "wk": tn(keys[4], (L, h, h)),
+            "bk": jnp.zeros((L, h), jnp.float32),
+            "wv": tn(keys[5], (L, h, h)),
+            "bv": jnp.zeros((L, h), jnp.float32),
+            "wo": tn(keys[6], (L, h, h)),
+            "bo": jnp.zeros((L, h), jnp.float32),
+            "ln1_scale": jnp.ones((L, h), jnp.float32),
+            "ln1_bias": jnp.zeros((L, h), jnp.float32),
+            "w1": tn(keys[7], (L, h, f)),
+            "b1": jnp.zeros((L, f), jnp.float32),
+            "w2": tn(keys[8], (L, f, h)),
+            "b2": jnp.zeros((L, h), jnp.float32),
+            "ln2_scale": jnp.ones((L, h), jnp.float32),
+            "ln2_bias": jnp.zeros((L, h), jnp.float32),
+        },
+    }
+
+
+def load_hf_bert_params(path: str, cfg: EncoderConfig = MINILM_L6) -> Dict:
+    """Load a HF BERT-family safetensors checkpoint (e.g. the file inside a
+    sentence-transformers/all-MiniLM-L6-v2 snapshot) into the stacked pytree.
+
+    Accepts either a .safetensors file or a directory containing one.
+    """
+    import os
+
+    from safetensors import safe_open
+
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.endswith(".safetensors"):
+                path = os.path.join(path, name)
+                break
+
+    tensors: Dict[str, np.ndarray] = {}
+    with safe_open(path, framework="np") as f:
+        for key in f.keys():
+            tensors[key.removeprefix("bert.")] = f.get_tensor(key)
+
+    def t(name):
+        return jnp.asarray(tensors[name], jnp.float32)
+
+    def stacked(fmt, transpose=False):
+        mats = [np.asarray(tensors[fmt.format(i)]) for i in range(cfg.num_layers)]
+        arr = np.stack([m.T if transpose else m for m in mats])
+        return jnp.asarray(arr, jnp.float32)
+
+    # HF Linear stores (out, in); our matmuls use (in, out) → transpose.
+    p = "encoder.layer.{}."
+    return {
+        "embed": {
+            "word": t("embeddings.word_embeddings.weight"),
+            "position": t("embeddings.position_embeddings.weight"),
+            "type": t("embeddings.token_type_embeddings.weight"),
+            "ln_scale": t("embeddings.LayerNorm.weight"),
+            "ln_bias": t("embeddings.LayerNorm.bias"),
+        },
+        "layers": {
+            "wq": stacked(p + "attention.self.query.weight", True),
+            "bq": stacked(p + "attention.self.query.bias"),
+            "wk": stacked(p + "attention.self.key.weight", True),
+            "bk": stacked(p + "attention.self.key.bias"),
+            "wv": stacked(p + "attention.self.value.weight", True),
+            "bv": stacked(p + "attention.self.value.bias"),
+            "wo": stacked(p + "attention.output.dense.weight", True),
+            "bo": stacked(p + "attention.output.dense.bias"),
+            "ln1_scale": stacked(p + "attention.output.LayerNorm.weight"),
+            "ln1_bias": stacked(p + "attention.output.LayerNorm.bias"),
+            "w1": stacked(p + "intermediate.dense.weight", True),
+            "b1": stacked(p + "intermediate.dense.bias"),
+            "w2": stacked(p + "output.dense.weight", True),
+            "b2": stacked(p + "output.dense.bias"),
+            "ln2_scale": stacked(p + "output.LayerNorm.weight"),
+            "ln2_bias": stacked(p + "output.LayerNorm.bias"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def _layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale + bias
+
+
+def _layer(x, mask_bias, lp, cfg: EncoderConfig):
+    """One post-LN transformer block. x: (B,S,H) compute-dtype."""
+    cd = cfg.compute_dtype
+    B, S, H = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    def proj(w, b):
+        y = jnp.dot(x, w.astype(cd), preferred_element_type=jnp.float32)
+        return (y + b).astype(cd)
+
+    q = proj(lp["wq"], lp["bq"]).reshape(B, S, nh, hd)
+    k = proj(lp["wk"], lp["bk"]).reshape(B, S, nh, hd)
+    v = proj(lp["wv"], lp["bv"]).reshape(B, S, nh, hd)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / np.sqrt(hd)) + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(cd)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    ctx = ctx.astype(cd).reshape(B, S, H)
+
+    attn_out = (
+        jnp.dot(ctx, lp["wo"].astype(cd), preferred_element_type=jnp.float32)
+        + lp["bo"]
+    )
+    x = _layernorm(
+        x.astype(jnp.float32) + attn_out, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps
+    ).astype(cd)
+
+    h1 = jnp.dot(x, lp["w1"].astype(cd), preferred_element_type=jnp.float32) + lp["b1"]
+    h1 = jax.nn.gelu(h1, approximate=False).astype(cd)
+    h2 = jnp.dot(h1, lp["w2"].astype(cd), preferred_element_type=jnp.float32) + lp["b2"]
+    x = _layernorm(
+        x.astype(jnp.float32) + h2, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps
+    ).astype(cd)
+    return x
+
+
+def encoder_forward(
+    params: Dict, ids: jax.Array, mask: jax.Array, cfg: EncoderConfig = MINILM_L6
+) -> jax.Array:
+    """Token ids (B,S) + mask (B,S) → hidden states (B,S,H) float32."""
+    B, S = ids.shape
+    emb = params["embed"]
+    x = (
+        emb["word"][ids]
+        + emb["position"][:S][None, :, :]
+        + emb["type"][0][None, None, :]
+    )
+    x = _layernorm(x, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps)
+    x = x.astype(cfg.compute_dtype)
+
+    # Additive attention bias: 0 for real tokens, -inf-ish for padding.
+    mask_bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+    def body(carry, lp):
+        return _layer(carry, mask_bias, lp, cfg), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x.astype(jnp.float32)
+
+
+def embed(
+    params: Dict, ids: jax.Array, mask: jax.Array, cfg: EncoderConfig = MINILM_L6
+) -> jax.Array:
+    """Sentence embeddings: masked mean pool + L2 normalize (reference
+    ``embedder.py:397-403`` contract: unit-norm vectors, cosine == dot)."""
+    hidden = encoder_forward(params, ids, mask, cfg)
+    m = mask.astype(jnp.float32)[:, :, None]
+    pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Convenience host-facing encoder with shape bucketing
+# ---------------------------------------------------------------------------
+
+
+class TextEncoder:
+    """Tokenize → bucket-pad → jitted TPU forward → np.ndarray embeddings.
+
+    One compiled executable per (batch_bucket, seq_bucket) pair; real rows
+    are sliced back out after the fixed-shape forward.
+    """
+
+    def __init__(
+        self,
+        params: Dict | None = None,
+        tokenizer=None,
+        cfg: EncoderConfig = MINILM_L6,
+        seq_buckets: Sequence[int] = (32, 64, 128, 256),
+        batch_buckets: Sequence[int] = (8, 32, 128, 512),
+        seed: int = 0,
+    ) -> None:
+        from multimodal_rag_tpu.models.tokenizer import get_tokenizer
+
+        self.cfg = cfg
+        self.params = (
+            params if params is not None else init_params(jax.random.key(seed), cfg)
+        )
+        self.tokenizer = tokenizer or get_tokenizer()
+        self.seq_buckets = tuple(seq_buckets)
+        self.batch_buckets = tuple(batch_buckets)
+        self._jit_embed = jax.jit(partial(embed, cfg=cfg))
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden_dim
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        """Texts → (len(texts), hidden_dim) float32 unit-norm embeddings."""
+        if not texts:
+            return np.zeros((0, self.cfg.hidden_dim), np.float32)
+        out = np.empty((len(texts), self.cfg.hidden_dim), np.float32)
+        max_bb = self.batch_buckets[-1]
+        for start in range(0, len(texts), max_bb):
+            block = list(texts[start : start + max_bb])
+            out[start : start + len(block)] = self._encode_block(block)
+        return out
+
+    def _encode_block(self, texts: Sequence[str]) -> np.ndarray:
+        # Tokenize at the largest seq bucket, then shrink to the bucket that
+        # covers the longest real sequence.
+        ids, mask = self.tokenizer.encode_batch(texts, self.seq_buckets[-1])
+        longest = int(mask.sum(axis=1).max())
+        sb = bucket_for(longest, self.seq_buckets)
+        bb = bucket_for(len(texts), self.batch_buckets)
+        ids_p = np.zeros((bb, sb), np.uint32)
+        mask_p = np.zeros((bb, sb), np.int32)
+        ids_p[: len(texts)] = ids[:, :sb]
+        mask_p[: len(texts)] = mask[:, :sb]
+        vecs = self._jit_embed(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
+        return np.asarray(vecs)[: len(texts)]

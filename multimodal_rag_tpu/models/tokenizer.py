@@ -1,0 +1,198 @@
+"""Host-side tokenization for the text encoders.
+
+The reference delegates tokenization to sentence-transformers/HF
+(``app/utils/embedder.py:245-248``). Here tokenization is an explicit host
+stage feeding fixed-shape ``(ids, mask)`` batches to the TPU encoder.
+
+Two backends:
+
+* ``HFTokenizer`` — wraps a ``tokenizers``-library tokenizer.json (exact
+  WordPiece parity with all-MiniLM-L6-v2) when a local tokenizer file is
+  available (``MMRAG_TOKENIZER_PATH`` env or an HF cache hit). No network.
+* ``HashingTokenizer`` — fully deterministic offline fallback: BERT-style
+  basic tokenization (lowercase, accent strip, punctuation split, CJK
+  isolation) followed by FNV-1a hashing of whole words and word-suffix
+  pieces into the WordPiece id space. Same special-token conventions as
+  BERT/MiniLM (PAD=0, UNK=100, CLS=101, SEP=102, vocab 30522) so tensor
+  shapes, masking, and downstream kernels behave identically to the real
+  vocabulary.
+
+Both produce ``uint32`` ids and ``int32`` masks padded to a caller-chosen
+length, ready for bucketing (see ``models.minilm.bucket_for``).
+"""
+
+from __future__ import annotations
+
+import os
+import unicodedata
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+VOCAB_SIZE = 30522
+PAD_ID = 0
+UNK_ID = 100
+CLS_ID = 101
+SEP_ID = 102
+# Hashed ids live above the special/reserved band of the BERT vocab.
+_HASH_LO = 999
+_HASH_SPAN = VOCAB_SIZE - _HASH_LO
+
+
+def _fnv1a(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (
+        (33 <= cp <= 47)
+        or (58 <= cp <= 64)
+        or (91 <= cp <= 96)
+        or (123 <= cp <= 126)
+    ):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x20000 <= cp <= 0x2A6DF
+    )
+
+
+def basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
+    """BERT-style basic tokenizer: NFD accent stripping, lowercasing,
+    punctuation splitting, CJK character isolation."""
+    if lowercase:
+        text = text.lower()
+    text = unicodedata.normalize("NFD", text)
+    out: List[str] = []
+    word: List[str] = []
+
+    def flush() -> None:
+        if word:
+            out.append("".join(word))
+            word.clear()
+
+    for ch in text:
+        if unicodedata.category(ch) == "Mn":
+            continue  # strip combining accents
+        if ch.isspace():
+            flush()
+        elif _is_punct(ch) or _is_cjk(ch):
+            flush()
+            out.append(ch)
+        else:
+            word.append(ch)
+    flush()
+    return out
+
+
+class HashingTokenizer:
+    """Deterministic WordPiece-shaped hashing tokenizer (offline fallback).
+
+    Each basic token maps to 1-3 ids: a whole-word hash, plus hashes of a
+    leading 4-char piece and trailing suffix for words longer than 6 chars —
+    a crude sub-word signal that keeps sequence-length statistics close to
+    real WordPiece output.
+    """
+
+    name = "hashing-wordpiece"
+
+    def __init__(self, vocab_size: int = VOCAB_SIZE, lowercase: bool = True):
+        self.vocab_size = vocab_size
+        self.lowercase = lowercase
+        self._span = vocab_size - _HASH_LO
+
+    def _hash(self, piece: str) -> int:
+        return _HASH_LO + _fnv1a(piece.encode("utf-8")) % self._span
+
+    def tokenize_ids(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for word in basic_tokenize(text, self.lowercase):
+            if len(word) > 6:
+                ids.append(self._hash(word[:4]))
+                ids.append(self._hash("##" + word[4:]))
+            else:
+                ids.append(self._hash(word))
+        return ids
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (ids[B, max_len] uint32, mask[B, max_len] int32), CLS…SEP framed."""
+        batch = len(texts)
+        ids = np.full((batch, max_len), PAD_ID, dtype=np.uint32)
+        mask = np.zeros((batch, max_len), dtype=np.int32)
+        for i, text in enumerate(texts):
+            body = self.tokenize_ids(text)[: max_len - 2]
+            row = [CLS_ID] + body + [SEP_ID]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return ids, mask
+
+
+class HFTokenizer:
+    """Exact-vocabulary tokenizer via the ``tokenizers`` library.
+
+    Used when a local ``tokenizer.json`` exists (no network fetch);
+    produces the same (ids, mask) contract as ``HashingTokenizer``.
+    """
+
+    name = "hf-wordpiece"
+
+    def __init__(self, tokenizer_file: str):
+        from tokenizers import Tokenizer  # local import: optional path
+
+        self._tok = Tokenizer.from_file(tokenizer_file)
+        self.vocab_size = self._tok.get_vocab_size()
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        batch = len(texts)
+        ids = np.full((batch, max_len), PAD_ID, dtype=np.uint32)
+        mask = np.zeros((batch, max_len), dtype=np.int32)
+        encodings = self._tok.encode_batch(list(texts))
+        for i, enc in enumerate(encodings):
+            row = enc.ids[: max_len - 1]
+            if not row or row[0] != CLS_ID:
+                row = [CLS_ID] + row[: max_len - 2]
+            if row[-1] != SEP_ID:
+                row = row[: max_len - 1] + [SEP_ID]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return ids, mask
+
+
+def find_local_tokenizer() -> Optional[str]:
+    """Look for a tokenizer.json without touching the network."""
+    cand = os.environ.get("MMRAG_TOKENIZER_PATH")
+    if cand and os.path.exists(cand):
+        return cand
+    hub = os.path.expanduser("~/.cache/huggingface/hub")
+    if os.path.isdir(hub):
+        for root, _dirs, files in os.walk(hub):
+            if "tokenizer.json" in files and "MiniLM" in root:
+                return os.path.join(root, "tokenizer.json")
+    return None
+
+
+def get_tokenizer():
+    """Best available tokenizer: exact vocab if local, hashing otherwise."""
+    path = find_local_tokenizer()
+    if path:
+        try:
+            return HFTokenizer(path)
+        except Exception:  # fall through to the deterministic backend
+            pass
+    return HashingTokenizer()

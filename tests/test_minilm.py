@@ -1,0 +1,141 @@
+"""Encoder tests: shapes, determinism, normalization, masking invariance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_rag_tpu.models.minilm import (
+    MINILM_L6,
+    EncoderConfig,
+    TextEncoder,
+    bucket_for,
+    embed,
+    init_params,
+)
+from multimodal_rag_tpu.models.tokenizer import (
+    CLS_ID,
+    PAD_ID,
+    SEP_ID,
+    HashingTokenizer,
+    basic_tokenize,
+)
+
+TINY = EncoderConfig(
+    vocab_size=1000, hidden_dim=64, num_layers=2, num_heads=4, ff_dim=128,
+    max_position=64, compute_dtype=jnp.float32,
+)
+
+
+class TestTokenizer:
+    def test_basic_tokenize(self):
+        assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+
+    def test_accent_strip(self):
+        assert basic_tokenize("Câu hỏi") == ["cau", "hoi"]
+
+    def test_deterministic(self):
+        t = HashingTokenizer()
+        a, _ = t.encode_batch(["mô hình học máy"], 32)
+        b, _ = t.encode_batch(["mô hình học máy"], 32)
+        np.testing.assert_array_equal(a, b)
+
+    def test_framing_and_padding(self):
+        t = HashingTokenizer()
+        ids, mask = t.encode_batch(["one two"], 8)
+        assert ids[0, 0] == CLS_ID
+        n = int(mask[0].sum())
+        assert ids[0, n - 1] == SEP_ID
+        assert (ids[0, n:] == PAD_ID).all()
+
+    def test_truncation(self):
+        t = HashingTokenizer()
+        ids, mask = t.encode_batch(["word " * 100], 16)
+        assert mask[0].sum() == 16
+        assert ids[0, -1] == SEP_ID
+
+    def test_ids_in_vocab(self):
+        t = HashingTokenizer()
+        ids, _ = t.encode_batch(["x " * 30, "diverse texts 123 !@#"], 64)
+        assert ids.max() < t.vocab_size
+
+
+class TestEncoder:
+    def test_embed_shape_and_norm(self):
+        params = init_params(jax.random.key(0), TINY)
+        ids = jnp.ones((4, 16), jnp.uint32)
+        mask = jnp.ones((4, 16), jnp.int32)
+        vecs = embed(params, ids, mask, TINY)
+        assert vecs.shape == (4, 64)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(vecs), axis=-1), 1.0, rtol=1e-5
+        )
+
+    def test_padding_invariance(self):
+        """Extending padding must not change the embedding (mask correctness)."""
+        params = init_params(jax.random.key(0), TINY)
+        ids = jnp.asarray(np.random.default_rng(0).integers(1, 1000, (2, 10)),
+                          jnp.uint32)
+        mask = jnp.ones((2, 10), jnp.int32)
+        short = embed(params, ids, mask, TINY)
+        ids_pad = jnp.pad(ids, ((0, 0), (0, 22)))
+        mask_pad = jnp.pad(mask, ((0, 0), (0, 22)))
+        long = embed(params, ids_pad, mask_pad, TINY)
+        np.testing.assert_allclose(np.asarray(short), np.asarray(long),
+                                   atol=1e-5)
+
+    def test_batch_row_independence(self):
+        params = init_params(jax.random.key(0), TINY)
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(1, 1000, (3, 12)), jnp.uint32)
+        mask = jnp.ones((3, 12), jnp.int32)
+        full = np.asarray(embed(params, ids, mask, TINY))
+        solo = np.asarray(embed(params, ids[1:2], mask[1:2], TINY))
+        np.testing.assert_allclose(full[1], solo[0], atol=1e-5)
+
+    def test_deterministic_init(self):
+        a = init_params(jax.random.key(7), TINY)
+        b = init_params(jax.random.key(7), TINY)
+        np.testing.assert_array_equal(
+            np.asarray(a["layers"]["wq"]), np.asarray(b["layers"]["wq"])
+        )
+
+
+class TestTextEncoder:
+    @pytest.fixture(scope="class")
+    def encoder(self):
+        return TextEncoder(
+            params=init_params(jax.random.key(0), TINY),
+            cfg=TINY,
+            seq_buckets=(16, 32),
+            batch_buckets=(4, 8),
+        )
+
+    def test_bucket_for(self):
+        assert bucket_for(3, (8, 32)) == 8
+        assert bucket_for(9, (8, 32)) == 32
+        assert bucket_for(99, (8, 32)) == 32
+
+    def test_encode_shapes(self, encoder):
+        vecs = encoder.encode(["hello", "world", "a longer sentence here"])
+        assert vecs.shape == (3, 64)
+        assert vecs.dtype == np.float32
+
+    def test_encode_empty(self, encoder):
+        assert encoder.encode([]).shape == (0, 64)
+
+    def test_bucketing_does_not_change_results(self, encoder):
+        """Same text in different batch compositions → same embedding."""
+        a = encoder.encode(["the quick brown fox"])[0]
+        b = encoder.encode(["the quick brown fox", "pad " * 20, "x"])[0]
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_unit_norm(self, encoder):
+        vecs = encoder.encode(["alpha beta", "gamma"])
+        np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
+
+    def test_default_config_is_minilm(self):
+        assert MINILM_L6.hidden_dim == 384
+        assert MINILM_L6.num_layers == 6
+        assert MINILM_L6.vocab_size == 30522
