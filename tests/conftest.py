@@ -14,3 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("MMRAG_BASE_DIR", "/tmp/mmrag_tests")
+
+# The hosting environment may pre-register a TPU plugin that overrides
+# JAX_PLATFORMS from the environment; force the CPU backend explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
