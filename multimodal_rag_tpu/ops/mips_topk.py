@@ -42,6 +42,11 @@ LANES = 128
 NEG_INF = -1e30
 
 
+def default_use_pallas() -> bool:
+    """Pallas kernels compile only on TPU; elsewhere use the XLA path."""
+    return jax.default_backend() == "tpu"
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

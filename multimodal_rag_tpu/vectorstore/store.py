@@ -1,0 +1,409 @@
+"""HBM-resident vector store with a ChromaDB-collection-shaped API.
+
+Replaces the reference's embedded ChromaDB collection (created at
+``app/utils/embedder.py:165-183``, queried at ``:595-609``, mutated at
+``:619-688``) with device-resident shards searched by the fused Pallas MIPS
+top-k kernel. The public methods mirror the Chroma collection surface the
+reference uses — ``add / query / get / delete / count`` — so the embedding
+manager maps 1:1.
+
+TPU-first design decisions:
+
+* **Fixed-shape device arrays.** Vectors live in a ``(capacity, D)`` bf16
+  array; capacity grows by doubling in ``row_block``-aligned steps so XLA
+  sees a handful of shapes, each compiled once. A ``(1, capacity)`` float32
+  additive mask (0 = live, -1e30 = dead/empty) makes deletes *O(1)
+  tombstone flips* instead of array reshapes — queries need no recompile
+  after any mutation (SURVEY.md §7 hard part 4).
+* **Host mirror.** ids / documents / metadatas stay host-side (they are
+  Python objects); embeddings keep a host float32 mirror so capacity
+  growth, persistence, and compaction never read back from device.
+* **Single- or multi-chip.** With a mesh of >1 devices the vector array is
+  row-sharded over HBM and queries run through the collectives-based
+  merge (``parallel.distributed_search``); single-chip uses the kernel
+  directly. Capacity is always aligned to ``devices × tile_n``.
+* **Compaction.** Tombstones accumulate until ``compact()`` (auto-invoked
+  when dead fraction exceeds ``compact_threshold``) rewrites the arrays
+  densely.
+
+Persistence: ``save()`` writes vectors+mask (npz) and ids/docs/metadata
+(json) to a directory; ``load()`` restores — covering the reference's
+Chroma persist-dir restart semantics (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_rag_tpu.ops.mips_topk import (
+    NEG_INF,
+    default_use_pallas,
+    mips_topk,
+    mips_topk_xla,
+)
+from multimodal_rag_tpu.parallel.sharding import (
+    col_sharding,
+    get_mesh,
+    row_sharding,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class VectorStore:
+    """A named collection of (id, embedding, document, metadata) records."""
+
+    def __init__(
+        self,
+        dim: int = 384,
+        name: str = "multimodal_rag",
+        mesh=None,
+        tile_n: int = 1024,
+        dtype=jnp.bfloat16,
+        initial_capacity: int = 1 << 14,
+        compact_threshold: float = 0.5,
+        use_pallas: Optional[bool] = None,
+    ) -> None:
+        self.dim = dim
+        self.name = name
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.n_devices = self.mesh.size
+        self.tile_n = tile_n
+        self.dtype = dtype
+        self.compact_threshold = compact_threshold
+        self.use_pallas = (
+            use_pallas if use_pallas is not None else default_use_pallas()
+        )
+        self._align = self.n_devices * tile_n
+        self._lock = threading.RLock()
+
+        self._capacity = _round_up(initial_capacity, self._align)
+        self._size = 0  # rows ever written (dense prefix, incl. tombstones)
+        self._dead = 0
+
+        # Host mirrors.
+        self._vecs = np.zeros((self._capacity, dim), np.float32)
+        self._mask = np.full((1, self._capacity), NEG_INF, np.float32)
+        self._ids: List[str] = []
+        self._docs: List[Optional[str]] = []
+        self._metas: List[Optional[dict]] = []
+        self._id_to_row: Dict[str, int] = {}
+
+        # Device arrays (lazily refreshed).
+        self._dev_vecs = None
+        self._dev_mask = None
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # Device sync
+    # ------------------------------------------------------------------
+
+    def _sync(self) -> None:
+        if not self._dirty:
+            return
+        vecs = jnp.asarray(self._vecs, self.dtype)
+        mask = jnp.asarray(self._mask)
+        if self.n_devices > 1:
+            vecs = jax.device_put(vecs, row_sharding(self.mesh))
+            mask = jax.device_put(mask, col_sharding(self.mesh))
+        self._dev_vecs = vecs
+        self._dev_mask = mask
+        self._dirty = False
+
+    def _grow(self, need_rows: int) -> None:
+        new_cap = self._capacity
+        while new_cap - self._size < need_rows:
+            new_cap *= 2
+        if new_cap != self._capacity:
+            vecs = np.zeros((new_cap, self.dim), np.float32)
+            vecs[: self._capacity] = self._vecs
+            mask = np.full((1, new_cap), NEG_INF, np.float32)
+            mask[:, : self._capacity] = self._mask
+            self._vecs, self._mask, self._capacity = vecs, mask, new_cap
+            self._dirty = True
+
+    # ------------------------------------------------------------------
+    # Mutations (Chroma collection parity: embedder.py:467-479, 619-688)
+    # ------------------------------------------------------------------
+
+    def add(
+        self,
+        ids: Sequence[str],
+        embeddings: Sequence[Sequence[float]],
+        documents: Optional[Sequence[str]] = None,
+        metadatas: Optional[Sequence[dict]] = None,
+    ) -> None:
+        if len(ids) == 0:
+            return
+        emb = np.asarray(embeddings, np.float32)
+        assert emb.shape == (len(ids), self.dim), emb.shape
+        documents = documents if documents is not None else [None] * len(ids)
+        metadatas = metadatas if metadatas is not None else [None] * len(ids)
+        with self._lock:
+            # Upsert semantics: re-adding an existing id tombstones the old row.
+            for id_ in ids:
+                row = self._id_to_row.get(id_)
+                if row is not None:
+                    self._tombstone(row)
+            self._grow(len(ids))
+            start = self._size
+            self._vecs[start : start + len(ids)] = emb
+            self._mask[0, start : start + len(ids)] = 0.0
+            for offset, (id_, doc, meta) in enumerate(
+                zip(ids, documents, metadatas)
+            ):
+                row = start + offset
+                self._ids.append(id_)
+                self._docs.append(doc)
+                self._metas.append(meta)
+                self._id_to_row[id_] = row
+            self._size += len(ids)
+            self._dirty = True
+
+    def _tombstone(self, row: int) -> None:
+        if self._mask[0, row] == 0.0:
+            self._mask[0, row] = NEG_INF
+            self._dead += 1
+        self._id_to_row.pop(self._ids[row], None)
+        self._dirty = True
+
+    def delete(
+        self, ids: Optional[Sequence[str]] = None, where: Optional[dict] = None
+    ) -> int:
+        """Delete by explicit ids and/or metadata filter. Returns count."""
+        with self._lock:
+            rows = set()
+            if ids:
+                for id_ in ids:
+                    row = self._id_to_row.get(id_)
+                    if row is not None:
+                        rows.add(row)
+            if where:
+                for row in self._live_rows():
+                    if self._matches(self._metas[row], where):
+                        rows.add(row)
+            for row in rows:
+                self._tombstone(row)
+            if rows:
+                self._maybe_compact()
+            return len(rows)
+
+    def delete_all(self) -> None:
+        """Drop-and-recreate semantics (reference embedder.py:658-688)."""
+        with self._lock:
+            self.__init__(
+                dim=self.dim,
+                name=self.name,
+                mesh=self.mesh,
+                tile_n=self.tile_n,
+                dtype=self.dtype,
+                compact_threshold=self.compact_threshold,
+                use_pallas=self.use_pallas,
+            )
+
+    def _maybe_compact(self) -> None:
+        if self._size and self._dead / self._size > self.compact_threshold:
+            self.compact()
+
+    def compact(self) -> None:
+        """Rewrite arrays densely, dropping tombstoned rows."""
+        with self._lock:
+            live = self._live_rows()
+            vecs = np.zeros_like(self._vecs)
+            vecs[: len(live)] = self._vecs[live]
+            mask = np.full_like(self._mask, NEG_INF)
+            mask[0, : len(live)] = 0.0
+            self._ids = [self._ids[r] for r in live]
+            self._docs = [self._docs[r] for r in live]
+            self._metas = [self._metas[r] for r in live]
+            self._id_to_row = {id_: i for i, id_ in enumerate(self._ids)}
+            self._vecs, self._mask = vecs, mask
+            self._size, self._dead = len(live), 0
+            self._dirty = True
+
+    # ------------------------------------------------------------------
+    # Reads
+    # ------------------------------------------------------------------
+
+    def _live_rows(self) -> List[int]:
+        return [r for r in range(self._size) if self._mask[0, r] == 0.0]
+
+    @staticmethod
+    def _matches(meta: Optional[dict], where: dict) -> bool:
+        if meta is None:
+            return False
+        return all(meta.get(k) == v for k, v in where.items())
+
+    def count(self) -> int:
+        return self._size - self._dead
+
+    def get(
+        self,
+        ids: Optional[Sequence[str]] = None,
+        where: Optional[dict] = None,
+        include: Sequence[str] = ("metadatas",),
+    ) -> Dict[str, list]:
+        """Chroma-style get: filter by ids and/or metadata equality."""
+        with self._lock:
+            if ids is not None:
+                rows = [
+                    self._id_to_row[i] for i in ids if i in self._id_to_row
+                ]
+            else:
+                rows = self._live_rows()
+            if where:
+                rows = [r for r in rows if self._matches(self._metas[r], where)]
+            out: Dict[str, list] = {"ids": [self._ids[r] for r in rows]}
+            if "documents" in include:
+                out["documents"] = [self._docs[r] for r in rows]
+            if "metadatas" in include:
+                out["metadatas"] = [self._metas[r] for r in rows]
+            if "embeddings" in include:
+                out["embeddings"] = [self._vecs[r].tolist() for r in rows]
+            return out
+
+    def query(
+        self,
+        query_embeddings: Sequence[Sequence[float]],
+        n_results: int = 5,
+        include: Sequence[str] = ("metadatas", "documents", "distances"),
+        where: Optional[dict] = None,
+    ) -> Dict[str, list]:
+        """Top-k search. Returns Chroma-shaped lists-of-lists with cosine
+        distances (= 1 - score for unit-norm embeddings), matching the
+        relevance math at reference ``api.py:390``."""
+        q = np.asarray(query_embeddings, np.float32)
+        assert q.ndim == 2 and q.shape[1] == self.dim, q.shape
+        with self._lock:
+            live = self.count()
+            if live == 0:
+                empty = [[] for _ in range(q.shape[0])]
+                out = {"ids": empty}
+                for key in ("documents", "metadatas", "distances"):
+                    if key in include:
+                        out[key] = [[] for _ in range(q.shape[0])]
+                return out
+            k = min(n_results, live)
+            mask = self._mask
+            if where:
+                # Metadata pre-filter: restrict search to matching rows.
+                mask = np.full_like(self._mask, NEG_INF)
+                for r in self._live_rows():
+                    if self._matches(self._metas[r], where):
+                        mask[0, r] = 0.0
+                vals, idx = self._search_masked(q, jnp.asarray(mask), k)
+            else:
+                vals, idx = self._search_masked(q, None, k)
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
+
+        out = {"ids": []}
+        docs, metas, dists = [], [], []
+        for row_vals, row_idx in zip(vals, idx):
+            keep = [
+                (v, r) for v, r in zip(row_vals, row_idx) if v > NEG_INF / 2
+            ]
+            out["ids"].append([self._ids[r] for _, r in keep])
+            docs.append([self._docs[r] for _, r in keep])
+            metas.append([self._metas[r] for _, r in keep])
+            dists.append([float(1.0 - v) for v, _ in keep])
+        if "documents" in include:
+            out["documents"] = docs
+        if "metadatas" in include:
+            out["metadatas"] = metas
+        if "distances" in include:
+            out["distances"] = dists
+        return out
+
+    def _search_masked(self, q: np.ndarray, mask, k: int):
+        """mask None → the store's live/tombstone mask; else an ad-hoc
+        (1, capacity) additive mask (metadata pre-filter)."""
+        self._sync()
+        qd = jnp.asarray(q)
+        if self.n_devices > 1:
+            from multimodal_rag_tpu.parallel.distributed_search import (
+                sharded_mips_topk,
+            )
+
+            if mask is None:
+                mask = self._dev_mask
+            else:
+                mask = jax.device_put(mask, col_sharding(self.mesh))
+            return sharded_mips_topk(
+                qd, self._dev_vecs, mask, mesh=self.mesh, k=k,
+                tile_n=self.tile_n, use_pallas=self.use_pallas,
+            )
+        if mask is None:
+            mask = self._dev_mask
+        if self.use_pallas:
+            return mips_topk(qd, self._dev_vecs, mask, k=k, tile_n=self.tile_n)
+        valid = mask[0] > NEG_INF / 2
+        return mips_topk_xla(qd, self._dev_vecs, k, valid=valid)
+
+    # ------------------------------------------------------------------
+    # Persistence (reference Chroma persist-dir semantics, SURVEY.md §5.4)
+    # ------------------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        with self._lock:
+            os.makedirs(directory, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(directory, f"{self.name}.npz"),
+                vecs=self._vecs[: self._size],
+                mask=self._mask[:, : self._size],
+            )
+            meta = {
+                "name": self.name,
+                "dim": self.dim,
+                "size": self._size,
+                "ids": self._ids,
+                "docs": self._docs,
+                "metas": self._metas,
+            }
+            with open(
+                os.path.join(directory, f"{self.name}.json"), "w"
+            ) as f:
+                json.dump(meta, f)
+
+    @classmethod
+    def load(cls, directory: str, name: str = "multimodal_rag", **kwargs):
+        with open(os.path.join(directory, f"{name}.json")) as f:
+            meta = json.load(f)
+        store = cls(dim=meta["dim"], name=name, **kwargs)
+        data = np.load(os.path.join(directory, f"{name}.npz"))
+        size = meta["size"]
+        store._grow(size)
+        store._vecs[:size] = data["vecs"]
+        store._mask[:, :size] = data["mask"]
+        store._ids = list(meta["ids"])
+        store._docs = list(meta["docs"])
+        store._metas = list(meta["metas"])
+        store._size = size
+        store._dead = int((store._mask[0, :size] != 0.0).sum())
+        store._id_to_row = {
+            id_: r
+            for r, id_ in enumerate(store._ids)
+            if store._mask[0, r] == 0.0
+        }
+        store._dirty = True
+        return store
+
+    def get_stats(self) -> Dict[str, Any]:
+        return {
+            "name": self.name,
+            "count": self.count(),
+            "capacity": self._capacity,
+            "dead": self._dead,
+            "devices": self.n_devices,
+            "dim": self.dim,
+            "dtype": str(self.dtype.__name__ if hasattr(self.dtype, "__name__") else self.dtype),
+        }

@@ -1,0 +1,189 @@
+"""VectorStore tests: Chroma-API parity, tombstones, compaction, persistence,
+multi-device sharded search on the 8-CPU mesh."""
+
+import numpy as np
+import pytest
+
+from multimodal_rag_tpu.ops.oracle import mips_topk_oracle
+from multimodal_rag_tpu.parallel.sharding import get_mesh
+from multimodal_rag_tpu.vectorstore import VectorStore
+
+DIM = 64
+
+
+def unit(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def make_store(n=50, seed=0, **kwargs):
+    kwargs.setdefault("mesh", get_mesh(1))
+    kwargs.setdefault("tile_n", 256)
+    kwargs.setdefault("initial_capacity", 512)
+    store = VectorStore(dim=DIM, **kwargs)
+    rng = np.random.default_rng(seed)
+    emb = unit(rng.standard_normal((n, DIM)).astype(np.float32))
+    ids = [f"doc_{i // 10}_item_{i}" for i in range(n)]
+    docs = [f"summary {i}" for i in range(n)]
+    metas = [{"doc_id": f"doc_{i // 10}", "item_id": f"item_{i}", "type": "text"}
+             for i in range(n)]
+    store.add(ids, emb, docs, metas)
+    return store, emb, ids
+
+
+class TestBasics:
+    def test_add_count(self):
+        store, _, _ = make_store(50)
+        assert store.count() == 50
+
+    def test_query_matches_oracle(self):
+        store, emb, ids = make_store(50)
+        rng = np.random.default_rng(9)
+        q = unit(rng.standard_normal((2, DIM)).astype(np.float32))
+        res = store.query(q, n_results=5)
+        _, oidx = mips_topk_oracle(q, emb, 5)
+        for row in range(2):
+            assert res["ids"][row] == [ids[i] for i in oidx[row]]
+        # distances = 1 - score, ascending
+        for d in res["distances"]:
+            assert d == sorted(d)
+
+    def test_query_includes(self):
+        store, _, _ = make_store(10)
+        res = store.query(np.eye(DIM, dtype=np.float32)[:1], n_results=3)
+        assert len(res["documents"][0]) == 3
+        assert res["metadatas"][0][0]["type"] == "text"
+
+    def test_query_empty_store(self):
+        store = VectorStore(dim=DIM, mesh=get_mesh(1), tile_n=256,
+                            initial_capacity=512)
+        res = store.query(np.zeros((1, DIM), np.float32), n_results=5)
+        assert res["ids"] == [[]]
+
+    def test_k_clamped_to_live(self):
+        store, _, _ = make_store(3)
+        res = store.query(np.eye(DIM, dtype=np.float32)[:1], n_results=10)
+        assert len(res["ids"][0]) == 3
+
+    def test_get_by_where(self):
+        store, _, _ = make_store(30)
+        res = store.get(where={"doc_id": "doc_1"})
+        assert len(res["ids"]) == 10
+        assert all(m["doc_id"] == "doc_1" for m in res["metadatas"])
+
+    def test_get_by_ids(self):
+        store, _, ids = make_store(10)
+        res = store.get(ids=[ids[3], "missing", ids[7]])
+        assert res["ids"] == [ids[3], ids[7]]
+
+
+class TestMutations:
+    def test_delete_by_where(self):
+        store, emb, ids = make_store(30)
+        n = store.delete(where={"doc_id": "doc_0"})
+        assert n == 10
+        assert store.count() == 20
+        res = store.query(emb[:1], n_results=20)
+        assert not any(i.startswith("doc_0_") for i in res["ids"][0])
+
+    def test_delete_by_ids(self):
+        store, _, ids = make_store(10)
+        assert store.delete(ids=[ids[0], ids[1]]) == 2
+        assert store.count() == 8
+
+    def test_deleted_rows_never_returned(self):
+        store, emb, ids = make_store(20)
+        # Delete the exact nearest neighbour of query 0.
+        res = store.query(emb[:1], n_results=1)
+        top = res["ids"][0][0]
+        store.delete(ids=[top])
+        res2 = store.query(emb[:1], n_results=5)
+        assert top not in res2["ids"][0]
+
+    def test_upsert_replaces(self):
+        store, emb, ids = make_store(10)
+        new_vec = unit(np.ones((1, DIM), np.float32))
+        store.add([ids[0]], new_vec, ["updated"], [{"doc_id": "docX"}])
+        assert store.count() == 10
+        res = store.query(new_vec, n_results=1)
+        assert res["ids"][0][0] == ids[0]
+        assert res["documents"][0][0] == "updated"
+
+    def test_delete_all(self):
+        store, _, _ = make_store(10)
+        store.delete_all()
+        assert store.count() == 0
+        store.add(["a"], unit(np.ones((1, DIM), np.float32)))
+        assert store.count() == 1
+
+    def test_compaction_preserves_results(self):
+        store, emb, ids = make_store(40)
+        store.delete(ids=ids[:25])  # force > 50% dead → auto compact
+        assert store._dead == 0  # compacted
+        assert store.count() == 15
+        res = store.query(emb[30:31], n_results=3)
+        _, oidx = mips_topk_oracle(emb[30:31], emb[25:], 3)
+        assert res["ids"][0] == [ids[25 + i] for i in oidx[0]]
+
+    def test_capacity_growth(self):
+        store, _, _ = make_store(10, initial_capacity=256)
+        rng = np.random.default_rng(5)
+        big = unit(rng.standard_normal((600, DIM)).astype(np.float32))
+        store.add([f"x_{i}" for i in range(600)], big)
+        assert store.count() == 610
+        res = store.query(big[:1], n_results=1)
+        assert res["ids"][0][0] == "x_0"
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        store, emb, ids = make_store(25)
+        store.delete(ids=ids[:3])
+        store.save(str(tmp_path))
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        assert loaded.count() == 22
+        q = emb[10:11]
+        a = store.query(q, n_results=5)
+        b = loaded.query(q, n_results=5)
+        assert a["ids"] == b["ids"]
+        np.testing.assert_allclose(
+            a["distances"][0], b["distances"][0], atol=1e-5
+        )
+
+
+class TestSharded:
+    def test_multi_device_matches_single(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        s1, emb, ids = make_store(200, seed=2)
+        s8 = VectorStore(dim=DIM, mesh=get_mesh(8), tile_n=256,
+                         initial_capacity=8 * 256)
+        metas = [{"doc_id": f"doc_{i // 10}"} for i in range(200)]
+        s8.add(ids, emb, [f"summary {i}" for i in range(200)], metas)
+        rng = np.random.default_rng(11)
+        q = unit(rng.standard_normal((3, DIM)).astype(np.float32))
+        r1 = s1.query(q, n_results=7)
+        r8 = s8.query(q, n_results=7)
+        assert r1["ids"] == r8["ids"]
+        np.testing.assert_allclose(
+            np.array(r1["distances"]), np.array(r8["distances"]), atol=1e-4
+        )
+
+    def test_multi_device_delete(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        s8 = VectorStore(dim=DIM, mesh=get_mesh(8), tile_n=256,
+                         initial_capacity=8 * 256)
+        rng = np.random.default_rng(3)
+        emb = unit(rng.standard_normal((100, DIM)).astype(np.float32))
+        s8.add([f"i{i}" for i in range(100)], emb,
+               metadatas=[{"doc_id": f"d{i % 4}"} for i in range(100)])
+        s8.delete(where={"doc_id": "d0"})
+        res = s8.query(emb[:1], n_results=10)
+        assert not any(int(i[1:]) % 4 == 0 for i in res["ids"][0])
