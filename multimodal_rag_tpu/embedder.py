@@ -1,0 +1,344 @@
+"""Embedding manager: batched TPU text encoding + vector-store operations.
+
+Behavioral counterpart of the reference's ``EmbeddingManager``
+(``app/utils/embedder.py:83-931``) with the torch/sentence-transformers +
+ChromaDB internals replaced by the JAX encoder (``models.minilm``) and the
+HBM-resident ``VectorStore``. Kept contracts:
+
+* ``embed_and_store(summaries, doc_id)`` → counts ``{"text": n, "table": n,
+  "image": n}``; record ids ``{doc_id}_{item_id}``; metadata ``{doc_id,
+  item_id, type}``; document = summary text (reference ``:428-500``).
+* ``query(text, n_results, filter_dict)`` → flattened ``{ids, distances,
+  metadatas, documents}`` (reference ``:539-617``); distances are cosine
+  distances over L2-normalized embeddings.
+* LRU embedding cache keyed by text hash (reference ``:266-347``), batch
+  encoding, retry-with-backoff on store ops, stats counters with the same
+  key names (reference ``:137-143, 690-728``).
+
+TPU difference: batching is shape-bucketed (``models.minilm.TextEncoder``)
+instead of the reference's fixed 32-item sub-batches, and "device" reports
+the JAX backend.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from multimodal_rag_tpu.caching import LRUCache
+from multimodal_rag_tpu.config import settings
+from multimodal_rag_tpu.models.minilm import TextEncoder
+from multimodal_rag_tpu.vectorstore import VectorStore
+
+logger = logging.getLogger(__name__)
+
+
+class EmbeddingManager:
+    def __init__(
+        self,
+        encoder: Optional[TextEncoder] = None,
+        store: Optional[VectorStore] = None,
+        batch_size: int = None,
+        enable_cache: bool = None,
+        cache_size: int = None,
+        max_retries: int = 3,
+        persist_dir: Optional[str] = None,
+    ) -> None:
+        self.batch_size = batch_size or settings.EMBEDDER_BATCH_SIZE
+        enable_cache = (
+            settings.EMBEDDER_ENABLE_CACHE if enable_cache is None else enable_cache
+        )
+        self.cache = (
+            LRUCache(cache_size or settings.EMBEDDER_CACHE_SIZE)
+            if enable_cache
+            else None
+        )
+        self.max_retries = max_retries
+        self.persist_dir = persist_dir
+        self._encoder = encoder
+        self._store = store
+        self.is_initialized = False
+        self.stats = {
+            "total_embeddings_created": 0,
+            "total_items_stored": 0,
+            "total_queries": 0,
+        }
+
+    # ------------------------------------------------------------------
+    # Lifecycle (reference embedder.py:152-264)
+    # ------------------------------------------------------------------
+
+    async def initialize(self) -> None:
+        if self.is_initialized:
+            return
+        if self._encoder is None:
+            self._encoder = await asyncio.to_thread(TextEncoder)
+        if self._store is None:
+            loaded = None
+            if self.persist_dir:
+                try:
+                    loaded = await asyncio.to_thread(
+                        VectorStore.load,
+                        self.persist_dir,
+                        settings.CHROMA_COLLECTION_NAME,
+                    )
+                    logger.info(
+                        "Restored vector store (%d records)", loaded.count()
+                    )
+                except FileNotFoundError:
+                    loaded = None
+            self._store = loaded or VectorStore(
+                dim=self._encoder.dim, name=settings.CHROMA_COLLECTION_NAME
+            )
+        self.is_initialized = True
+        logger.info(
+            "EmbeddingManager ready (dim=%d, devices=%d)",
+            self._encoder.dim,
+            self._store.n_devices,
+        )
+
+    async def cleanup(self) -> None:
+        if self.persist_dir and self._store is not None:
+            await asyncio.to_thread(self._store.save, self.persist_dir)
+        self.is_initialized = False
+
+    @property
+    def store(self) -> VectorStore:
+        return self._store
+
+    @property
+    def encoder(self) -> TextEncoder:
+        return self._encoder
+
+    # ------------------------------------------------------------------
+    # Embedding (reference embedder.py:266-426)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _key(text: str) -> str:
+        return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+    async def embed_texts_batch(
+        self, texts: Sequence[str], show_progress: bool = False
+    ) -> np.ndarray:
+        """Texts → (N, dim) float32 unit-norm embeddings, LRU-cached."""
+        if not self.is_initialized:
+            await self.initialize()
+        if len(texts) == 0:
+            return np.zeros((0, self._encoder.dim), np.float32)
+
+        out = np.empty((len(texts), self._encoder.dim), np.float32)
+        todo_idx: List[int] = []
+        todo_texts: List[str] = []
+        if self.cache is not None:
+            for i, text in enumerate(texts):
+                hit = self.cache.get(self._key(text))
+                if hit is not None:
+                    out[i] = hit
+                else:
+                    todo_idx.append(i)
+                    todo_texts.append(text)
+        else:
+            todo_idx = list(range(len(texts)))
+            todo_texts = list(texts)
+
+        if todo_texts:
+            fresh = await asyncio.to_thread(self._encoder.encode, todo_texts)
+            for slot, row in zip(todo_idx, fresh):
+                out[slot] = row
+                if self.cache is not None:
+                    self.cache.put(self._key(texts[slot]), row)
+            self.stats["total_embeddings_created"] += len(todo_texts)
+        return out
+
+    # ------------------------------------------------------------------
+    # Store + query (reference embedder.py:428-660)
+    # ------------------------------------------------------------------
+
+    async def embed_and_store(
+        self, summaries: List[Dict[str, Any]], doc_id: str
+    ) -> Dict[str, int]:
+        """Embed summaries and insert into the vector store; returns counts
+        keyed text/table/image (reference ``embedder.py:465-479``)."""
+        if not self.is_initialized:
+            await self.initialize()
+        counts = {"text": 0, "table": 0, "image": 0}
+        if not summaries:
+            return counts
+        start = time.time()
+        texts = [item["summary"] for item in summaries]
+        embeddings = await self.embed_texts_batch(texts, show_progress=True)
+
+        ids, documents, metadatas = [], [], []
+        for item in summaries:
+            ids.append(f"{doc_id}_{item['id']}")
+            documents.append(item["summary"])
+            metadatas.append(
+                {"doc_id": doc_id, "item_id": item["id"], "type": item["type"]}
+            )
+            if item["type"] in counts:
+                counts[item["type"]] += 1
+
+        await self._with_retry(
+            self._store.add, ids, embeddings, documents, metadatas
+        )
+        self.stats["total_items_stored"] += len(summaries)
+        logger.info(
+            "Stored %d embeddings for %s in %.2fs",
+            len(ids), doc_id, time.time() - start,
+        )
+        return counts
+
+    async def query(
+        self,
+        query_text: str,
+        n_results: int = 5,
+        filter_dict: Optional[Dict] = None,
+    ) -> Dict[str, Any]:
+        """Single query → flattened result dict (reference ``:539-617``)."""
+        if not self.is_initialized:
+            await self.initialize()
+        if not query_text or not query_text.strip():
+            raise ValueError("Query text cannot be empty")
+        emb = await self.embed_texts_batch([query_text])
+        res = await self._with_retry(
+            self._store.query, emb, n_results,
+            ("metadatas", "documents", "distances"), filter_dict,
+        )
+        self.stats["total_queries"] += 1
+        return {
+            "ids": res["ids"][0],
+            "distances": res["distances"][0],
+            "metadatas": res["metadatas"][0],
+            "documents": res["documents"][0],
+        }
+
+    async def batch_query(
+        self,
+        query_texts: Sequence[str],
+        n_results: int = 5,
+        filter_dict: Optional[Dict] = None,
+    ) -> List[Dict[str, Any]]:
+        """Batched queries in one device pass (the reference fanned out
+        per-query asyncio tasks, ``embedder.py:784-832``; on TPU a single
+        batched MIPS call is strictly better)."""
+        if not self.is_initialized:
+            await self.initialize()
+        if len(query_texts) == 0:
+            return []
+        emb = await self.embed_texts_batch(list(query_texts))
+        res = await self._with_retry(
+            self._store.query, emb, n_results,
+            ("metadatas", "documents", "distances"), filter_dict,
+        )
+        self.stats["total_queries"] += len(query_texts)
+        return [
+            {
+                "ids": res["ids"][i],
+                "distances": res["distances"][i],
+                "metadatas": res["metadatas"][i],
+                "documents": res["documents"][i],
+            }
+            for i in range(len(query_texts))
+        ]
+
+    async def get_similar_documents(
+        self, doc_id: str, item_id: str, n_results: int = 5
+    ) -> Dict[str, Any]:
+        """More-like-this by stored record id (reference ``:861-931``)."""
+        if not self.is_initialized:
+            await self.initialize()
+        rec = self._store.get(
+            ids=[f"{doc_id}_{item_id}"], include=("embeddings",)
+        )
+        if not rec["ids"]:
+            return {"ids": [], "distances": [], "metadatas": [], "documents": []}
+        emb = np.asarray(rec["embeddings"], np.float32)
+        res = self._store.query(
+            emb, n_results + 1, ("metadatas", "documents", "distances")
+        )
+        out = {
+            "ids": res["ids"][0],
+            "distances": res["distances"][0],
+            "metadatas": res["metadatas"][0],
+            "documents": res["documents"][0],
+        }
+        # Drop the record itself from its own neighbours.
+        if out["ids"] and out["ids"][0] == f"{doc_id}_{item_id}":
+            for key in out:
+                out[key] = out[key][1:]
+        else:
+            for key in out:
+                out[key] = out[key][:n_results]
+        return out
+
+    async def delete_document(self, doc_id: str) -> int:
+        if not self.is_initialized:
+            await self.initialize()
+        n = await self._with_retry(self._store.delete, None, {"doc_id": doc_id})
+        logger.info("Deleted %d vectors for doc %s", n, doc_id)
+        return n
+
+    async def delete_all(self) -> None:
+        if not self.is_initialized:
+            await self.initialize()
+        await asyncio.to_thread(self._store.delete_all)
+
+    # ------------------------------------------------------------------
+    # Ops / stats (reference embedder.py:690-760, 969-1004)
+    # ------------------------------------------------------------------
+
+    async def _with_retry(self, fn, *args):
+        for attempt in range(self.max_retries):
+            try:
+                return await asyncio.to_thread(fn, *args)
+            except Exception as e:  # noqa: BLE001 — parity with reference
+                if attempt == self.max_retries - 1:
+                    raise
+                wait = 2**attempt
+                logger.warning(
+                    "%s attempt %d failed: %s; retrying in %ds",
+                    fn.__name__, attempt + 1, e, wait,
+                )
+                await asyncio.sleep(wait)
+
+    async def get_collection_stats(self) -> Dict[str, Any]:
+        if not self.is_initialized:
+            await self.initialize()
+        import jax
+
+        stats = {
+            "name": settings.CHROMA_COLLECTION_NAME,
+            "count": self._store.count(),
+            "model": settings.SENTENCE_TRANSFORMER_MODEL,
+            "device": jax.default_backend(),
+            "embedding_dim": self._encoder.dim,
+            "batch_size": self.batch_size,
+            "stats": dict(self.stats),
+        }
+        if self.cache is not None:
+            stats["cache"] = self.cache.get_stats()
+        return stats
+
+    async def health_check(self) -> Dict[str, Any]:
+        try:
+            if not self.is_initialized:
+                await self.initialize()
+            return {
+                "status": "healthy",
+                "count": self._store.count(),
+                "devices": self._store.n_devices,
+            }
+        except Exception as e:  # noqa: BLE001
+            return {"status": "unhealthy", "error": str(e)}
+
+    def get_stats(self) -> Dict[str, Any]:
+        out = dict(self.stats)
+        if self.cache is not None:
+            out["cache"] = self.cache.get_stats()
+        return out
