@@ -25,8 +25,10 @@ def manager():
         params=init_params(jax.random.key(0), TINY), cfg=TINY,
         seq_buckets=(16, 32), batch_buckets=(4, 8),
     )
+    # f32 store: the random-init tiny encoder produces tightly clustered
+    # embeddings, and bf16 rounding (~4e-3) could flip near-tied rankings.
     store = VectorStore(dim=64, mesh=get_mesh(1), tile_n=256,
-                        initial_capacity=512)
+                        initial_capacity=512, dtype=jnp.float32)
     return EmbeddingManager(encoder=encoder, store=store)
 
 
