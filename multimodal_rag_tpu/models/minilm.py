@@ -280,7 +280,11 @@ class TextEncoder:
         self.params = (
             params if params is not None else init_params(jax.random.key(seed), cfg)
         )
-        self.tokenizer = tokenizer or get_tokenizer()
+        self.tokenizer = tokenizer or get_tokenizer(vocab_size=cfg.vocab_size)
+        # Out-of-range ids would silently clamp in the embedding gather.
+        assert self.tokenizer.vocab_size <= cfg.vocab_size, (
+            self.tokenizer.vocab_size, cfg.vocab_size,
+        )
         self.seq_buckets = tuple(seq_buckets)
         self.batch_buckets = tuple(batch_buckets)
         self._jit_embed = jax.jit(partial(embed, cfg=cfg))

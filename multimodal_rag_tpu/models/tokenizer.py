@@ -111,10 +111,12 @@ class HashingTokenizer:
     def __init__(self, vocab_size: int = VOCAB_SIZE, lowercase: bool = True):
         self.vocab_size = vocab_size
         self.lowercase = lowercase
-        self._span = vocab_size - _HASH_LO
+        lo = _HASH_LO if vocab_size > 2 * _HASH_LO else SEP_ID + 1
+        self._lo = lo
+        self._span = vocab_size - lo
 
     def _hash(self, piece: str) -> int:
-        return _HASH_LO + _fnv1a(piece.encode("utf-8")) % self._span
+        return self._lo + _fnv1a(piece.encode("utf-8")) % self._span
 
     def tokenize_ids(self, text: str) -> List[int]:
         ids: List[int] = []
@@ -187,12 +189,17 @@ def find_local_tokenizer() -> Optional[str]:
     return None
 
 
-def get_tokenizer():
-    """Best available tokenizer: exact vocab if local, hashing otherwise."""
-    path = find_local_tokenizer()
-    if path:
-        try:
-            return HFTokenizer(path)
-        except Exception:  # fall through to the deterministic backend
-            pass
-    return HashingTokenizer()
+def get_tokenizer(vocab_size: int = VOCAB_SIZE):
+    """Best available tokenizer: exact vocab if local, hashing otherwise.
+
+    ``vocab_size`` must match the encoder's embedding table — hashed ids are
+    generated in-range so gathers never clamp.
+    """
+    if vocab_size == VOCAB_SIZE:
+        path = find_local_tokenizer()
+        if path:
+            try:
+                return HFTokenizer(path)
+            except Exception:  # fall through to the deterministic backend
+                pass
+    return HashingTokenizer(vocab_size=vocab_size)
