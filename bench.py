@@ -1,0 +1,100 @@
+"""Headline benchmark: embedding throughput + retrieval latency on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Baseline (BASELINE.md §3): >= 20,000 embed chunks/sec/chip on TPU v5e and
+top-5 retrieval over HBM-resident vectors. Timing uses a jitted dependency-
+chained fori_loop so per-call cost is measured on-device, independent of the
+host-relay round-trip latency of tunneled dev chips.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+EMBED_BASELINE = 20_000.0  # chunks/sec/chip
+SEQ = 128  # tokens per chunk (≈600-char chunks after wordpiece)
+BATCH = 256
+
+
+def _timed_loop(fn, reps_lo=2, reps_hi=12):
+    np.asarray(jax.tree.leaves(fn(reps_lo))[0])  # warm / compile
+    t0 = time.perf_counter()
+    np.asarray(jax.tree.leaves(fn(reps_lo))[0])
+    lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(jax.tree.leaves(fn(reps_hi))[0])
+    hi = time.perf_counter() - t0
+    return (hi - lo) / (reps_hi - reps_lo)
+
+
+def bench_embed():
+    from multimodal_rag_tpu.models.minilm import MINILM_L6, embed, init_params
+
+    params = init_params(jax.random.key(0), MINILM_L6)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(999, 30522, (BATCH, SEQ)), jnp.uint32)
+    mask = jnp.ones((BATCH, SEQ), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def loop(params, ids, mask, reps):
+        def body(i, carry):
+            out = embed(params, ids + carry, mask, MINILM_L6)
+            return (out[0, 0] * 0 + 1).astype(jnp.uint32) * 0
+        return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+    dt = _timed_loop(lambda r: loop(params, ids, mask, r))
+    return BATCH / dt  # chunks per second
+
+
+def bench_retrieval(n_vectors=1 << 20, k=5, n_queries=8):
+    from multimodal_rag_tpu.ops.mips_topk import mips_topk
+
+    D = 384
+    V = jax.random.normal(jax.random.key(1), (n_vectors, D), jnp.bfloat16)
+    Q = jax.random.normal(jax.random.key(2), (n_queries, D), jnp.float32)
+    M = jnp.zeros((1, n_vectors), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def loop(Q, V, M, reps):
+        def body(i, q):
+            vals, idx = mips_topk(q, V, M, k=k)
+            return Q + 1e-9 * vals[0:1, 0:1]
+        return jax.lax.fori_loop(0, reps, body, Q)
+
+    dt = _timed_loop(lambda r: loop(Q, V, M, r))
+    return dt * 1e3  # ms per query batch
+
+
+def main():
+    backend = jax.default_backend()
+    t_start = time.time()
+    embed_cps = bench_embed()
+    retr_ms = bench_retrieval()
+    result = {
+        "metric": "embed_chunks_per_sec_per_chip",
+        "value": round(embed_cps, 1),
+        "unit": "chunks/s",
+        "vs_baseline": round(embed_cps / EMBED_BASELINE, 4),
+        "extra": {
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+            "seq_len": SEQ,
+            "batch": BATCH,
+            "retrieval_ms_per_8q_1M_top5": round(retr_ms, 3),
+            "bench_wall_s": round(time.time() - t_start, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
