@@ -289,6 +289,9 @@ class EmbeddingManager:
             await self.initialize()
         await asyncio.to_thread(self._store.delete_all)
 
+    # Alias used by the reference API layer (api.py:453).
+    delete_all_documents = delete_all
+
     # ------------------------------------------------------------------
     # Ops / stats (reference embedder.py:690-760, 969-1004)
     # ------------------------------------------------------------------

@@ -63,6 +63,12 @@ class ContentSummarizer:
             else None
         )
         self.semaphore = asyncio.Semaphore(self.max_concurrent)
+        # Circuit breaker: after this many consecutive adapter failures,
+        # skip retries/backoff and go straight to fallback summaries (reset
+        # on any success). Avoids minutes of 2^n sleeps per upload when the
+        # LLM backend is down.
+        self.breaker_threshold = 3
+        self._consecutive_failures = 0
         self.stats = {
             "total_summaries": 0,
             "total_fallbacks": 0,
@@ -124,7 +130,9 @@ class ContentSummarizer:
     async def _summarize_with_retry(
         self, content: str, content_type: str, max_length: int
     ) -> str:
-        for attempt in range(self.max_retries):
+        tripped = self._consecutive_failures >= self.breaker_threshold
+        attempts = 1 if tripped else self.max_retries
+        for attempt in range(attempts):
             try:
                 async with self.semaphore:
                     summary = await self.mllm.summarize(
@@ -132,10 +140,12 @@ class ContentSummarizer:
                         content_type=content_type,
                         max_length=max_length,
                     )
-                    return summary.strip()
+                self._consecutive_failures = 0
+                return summary.strip()
             except Exception as e:  # noqa: BLE001
                 self.stats["total_retries"] += 1
-                if attempt == self.max_retries - 1:
+                self._consecutive_failures += 1
+                if attempt == attempts - 1:
                     logger.error(
                         "Summarization failed after %d attempts: %s",
                         self.max_retries, e,
@@ -165,7 +175,9 @@ class ContentSummarizer:
                 return cached
             self.stats["cache_misses"] += 1
 
-        for attempt in range(self.max_retries):
+        tripped = self._consecutive_failures >= self.breaker_threshold
+        attempts = 1 if tripped else self.max_retries
+        for attempt in range(attempts):
             try:
                 async with self.semaphore:
                     desc = await self.mllm.summarize(
@@ -174,6 +186,7 @@ class ContentSummarizer:
                         max_length=max_length,
                         image_base64=image_base64,
                     )
+                self._consecutive_failures = 0
                 desc = desc.strip()
                 if desc and self._is_valid_summary(desc):
                     if self.cache is not None:
@@ -183,7 +196,8 @@ class ContentSummarizer:
                 return "Image content (description unavailable)"
             except Exception as e:  # noqa: BLE001
                 self.stats["total_retries"] += 1
-                if attempt == self.max_retries - 1:
+                self._consecutive_failures += 1
+                if attempt == attempts - 1:
                     logger.error("Image summarization failed: %s", e)
                     self.stats["total_failures"] += 1
                     return "Image content (description unavailable)"

@@ -1,0 +1,482 @@
+"""HTTP API — bit-compatible with the reference's FastAPI surface.
+
+Routes (reference ``app/server/api.py:186-508``): ``GET /``, ``GET /admin``,
+``GET /health``, ``POST /upload``, ``POST /query``, ``GET /documents``,
+``DELETE /documents/{doc_id}``, ``DELETE /documents``, ``GET /stats``,
+``/static`` mount, plus ``GET /docs`` + ``GET /openapi.json``. The singular
+``DELETE /document/{doc_id}`` is also served — the reference's admin UI
+called that route and 404'd (SURVEY.md §2.3.4); serving both fixes it while
+staying compatible.
+
+FastAPI/uvicorn are not in this environment; aiohttp.web provides the
+server. Request validation uses the same pydantic models and returns
+422-style errors; response JSON shapes match the reference exactly
+(no-auth localhost posture preserved, ``api.py:66-69``).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from aiohttp import web
+from pydantic import ValidationError
+
+from multimodal_rag_tpu.config import settings
+from multimodal_rag_tpu.server.schemas import QueryRequest
+
+logger = logging.getLogger(__name__)
+
+ROOT = Path(__file__).resolve().parent.parent.parent
+STATIC_DIR = ROOT / "static"
+TEMPLATES_DIR = ROOT / "templates"
+
+NOT_FOUND_ANSWER = (
+    "Không tìm thấy tài liệu liên quan. "
+    "Vui lòng upload tài liệu hoặc thử câu hỏi khác."
+)
+
+
+class Components:
+    """The six pipeline singletons (reference lifespan, api.py:65-128)."""
+
+    def __init__(
+        self,
+        parser=None,
+        llm_adapter=None,
+        mllm_adapter=None,
+        summarizer=None,
+        embedder=None,
+        retriever=None,
+    ):
+        self.parser = parser
+        self.llm_adapter = llm_adapter
+        self.mllm_adapter = mllm_adapter
+        self.summarizer = summarizer
+        self.embedder = embedder
+        self.retriever = retriever
+
+    @classmethod
+    def build_default(cls) -> "Components":
+        from multimodal_rag_tpu.embedder import EmbeddingManager
+        from multimodal_rag_tpu.ingest.parser import DocumentParser
+        from multimodal_rag_tpu.ingest.summarizer import ContentSummarizer
+        from multimodal_rag_tpu.models.adapters import LLMAdapter, MLLMAdapter
+        from multimodal_rag_tpu.storage.retriever import MultiVectorRetriever
+
+        llm = LLMAdapter()
+        mllm = MLLMAdapter()
+        return cls(
+            parser=DocumentParser(llm_adapter=llm, mllm_adapter=mllm),
+            llm_adapter=llm,
+            mllm_adapter=mllm,
+            summarizer=ContentSummarizer(mllm),
+            embedder=EmbeddingManager(persist_dir=settings.VECTOR_PERSIST_DIR),
+            retriever=MultiVectorRetriever(),
+        )
+
+    async def initialize(self) -> None:
+        for component in (
+            self.llm_adapter, self.mllm_adapter, self.embedder, self.retriever
+        ):
+            if component is not None:
+                try:
+                    await component.initialize()
+                except Exception as e:  # adapters may be offline; degrade
+                    logger.warning(
+                        "init of %s failed: %s", type(component).__name__, e
+                    )
+
+    async def cleanup(self) -> None:
+        for component in (
+            self.llm_adapter, self.mllm_adapter, self.embedder, self.retriever
+        ):
+            if component is not None:
+                try:
+                    await component.cleanup()
+                except Exception:  # noqa: BLE001
+                    pass
+
+
+def json_error(status: int, detail: str) -> web.Response:
+    return web.json_response({"detail": detail}, status=status)
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        resp = await handler(request)
+    if settings.ENABLE_CORS:
+        resp.headers["Access-Control-Allow-Origin"] = "*"
+        resp.headers["Access-Control-Allow-Methods"] = (
+            "GET, POST, DELETE, OPTIONS"
+        )
+        resp.headers["Access-Control-Allow-Headers"] = (
+            "Content-Type, Authorization"
+        )
+    return resp
+
+
+def create_app(components: Optional[Components] = None) -> web.Application:
+    app = web.Application(
+        middlewares=[cors_middleware],
+        client_max_size=settings.max_upload_bytes + (1 << 20),
+    )
+    comps = components or Components.build_default()
+    app["components"] = comps
+    app["start_time"] = time.time()
+
+    async def on_startup(app):
+        await comps.initialize()
+        logger.info("Multimodal RAG (TPU) ready — auth disabled, localhost only")
+
+    async def on_cleanup(app):
+        await comps.cleanup()
+
+    if components is None:
+        app.on_startup.append(on_startup)
+        app.on_cleanup.append(on_cleanup)
+
+    # --- HTML pages -----------------------------------------------------
+    async def home(request):
+        return _template_response("index.html")
+
+    async def admin(request):
+        return _template_response("admin.html")
+
+    def _template_response(name: str) -> web.Response:
+        path = TEMPLATES_DIR / name
+        if not path.exists():
+            return web.Response(
+                text=f"<html><body><h1>multimodal_rag_tpu</h1>"
+                f"<p>template {name} not installed</p></body></html>",
+                content_type="text/html",
+            )
+        return web.Response(
+            text=path.read_text(), content_type="text/html"
+        )
+
+    # --- Health (reference api.py:202-241) ------------------------------
+    async def health(request):
+        components_health: Dict[str, Any] = {}
+        try:
+            if comps.llm_adapter:
+                components_health["llm_adapter"] = (
+                    await comps.llm_adapter.health_check()
+                )
+            if comps.mllm_adapter:
+                components_health["mllm_adapter"] = (
+                    await comps.mllm_adapter.health_check()
+                )
+            if comps.embedder:
+                stats = await comps.embedder.get_collection_stats()
+                components_health["embedder"] = {
+                    "status": "healthy",
+                    "documents": stats.get("count", 0),
+                }
+            if comps.retriever:
+                components_health["retriever"] = (
+                    await comps.retriever.health_check()
+                )
+            all_healthy = all(
+                c.get("status") == "healthy" or c.get("healthy") is True
+                for c in components_health.values()
+            )
+            return web.json_response(
+                {
+                    "status": "healthy" if all_healthy else "degraded",
+                    "components": components_health,
+                    "timestamp": datetime.now(timezone.utc).isoformat(),
+                    "auth": "disabled",
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"status": "unhealthy", "error": str(e)})
+
+    # --- Upload (reference api.py:244-322) -------------------------------
+    async def upload(request):
+        start = time.time()
+        reader = await request.multipart()
+        field = None
+        async for part in reader:
+            if part.name == "file":
+                field = part
+                break
+        if field is None or not field.filename:
+            return json_error(400, "Filename is required")
+        filename = field.filename
+        content = await field.read(decode=False)
+        if len(content) / (1024 * 1024) > settings.MAX_UPLOAD_SIZE:
+            return json_error(
+                413, f"File too large. Max: {settings.MAX_UPLOAD_SIZE}MB"
+            )
+        try:
+            doc_id = f"doc_{uuid.uuid4().hex[:12]}"
+            parsed = await comps.parser.parse_document(
+                content,
+                filename,
+                field.headers.get("Content-Type"),
+                doc_id=doc_id,
+            )
+            doc_type = parsed.get("doc_type", "unknown")
+            summaries = await comps.summarizer.summarize_parsed_document(
+                parsed, max_length=300, show_progress=True
+            )
+            if not summaries:
+                return json_error(400, "No content extracted")
+            counts = await comps.embedder.embed_and_store(summaries, doc_id)
+            await comps.retriever.store_raw_documents(
+                doc_id, summaries, filename
+            )
+            total = time.time() - start
+            return web.json_response(
+                {
+                    "doc_id": doc_id,
+                    "filename": filename,
+                    "doc_type": doc_type,
+                    "chunks_processed": counts,
+                    "message": f"Processed in {total:.2f}s",
+                    "processing_time": total,
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("Upload failed")
+            return json_error(500, str(e))
+
+    # --- Query (reference api.py:325-412) --------------------------------
+    async def query(request):
+        start = time.time()
+        try:
+            body = await request.json()
+            req = QueryRequest(**body)
+        except (ValidationError, ValueError) as e:
+            return json_error(422, str(e))
+        try:
+            results = await comps.embedder.query(
+                req.query, n_results=req.top_k
+            )
+            if not results["ids"]:
+                return web.json_response(
+                    {
+                        "answer": NOT_FOUND_ANSWER,
+                        "sources": [],
+                        "processing_time": time.time() - start,
+                    }
+                )
+            raw = await comps.retriever.retrieve_raw_documents(results["ids"])
+            text_context = "\n\n".join(raw["text_chunks"])
+            tables = raw["table_chunks"]
+            images = raw["image_chunks"]
+
+            try:
+                if req.use_multimodal and (images or tables):
+                    answer = await comps.mllm_adapter.generate_multimodal(
+                        text=text_context,
+                        tables=tables,
+                        images=images,
+                        max_tokens=1000,
+                        temperature=0.7,
+                    )
+                else:
+                    full_context = text_context
+                    if tables:
+                        full_context += "\n\nBảng:\n" + "\n\n".join(tables)
+                    prompt = (
+                        f"Context:\n{full_context}\n\n"
+                        f"Câu hỏi: {req.query}\n\nTrả lời:"
+                    )
+                    answer = await comps.llm_adapter.generate_text(
+                        prompt, max_tokens=1000, temperature=0.7
+                    )
+            except Exception as gen_err:  # noqa: BLE001
+                # Degraded mode: retrieval succeeded but the LLM backend is
+                # unreachable — return the retrieved context instead of 500
+                # so search keeps working without a generation backend.
+                logger.warning("answer generation failed: %s", gen_err)
+                snippet = text_context[:1500]
+                if tables:
+                    snippet += "\n\n" + "\n\n".join(tables)[:500]
+                answer = (
+                    "(LLM backend unavailable — showing retrieved context)\n\n"
+                    + snippet
+                )
+
+            sources = []
+            for i, (rid, dist, meta) in enumerate(
+                zip(results["ids"], results["distances"], results["metadatas"])
+            ):
+                sources.append(
+                    {
+                        "rank": i + 1,
+                        "doc_id": rid,
+                        "relevance_score": round(
+                            float(1.0 - min(dist, 1.0)), 3
+                        ),
+                        "type": (meta or {}).get("type", "unknown"),
+                    }
+                )
+            return web.json_response(
+                {
+                    "answer": answer,
+                    "sources": sources,
+                    "processing_time": time.time() - start,
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("Query failed")
+            return json_error(500, str(e))
+
+    # --- Documents (reference api.py:416-465) ----------------------------
+    async def list_documents(request):
+        try:
+            docs = await comps.retriever.list_all_documents()
+            return web.json_response({"total": len(docs), "documents": docs})
+        except Exception as e:  # noqa: BLE001
+            return json_error(500, str(e))
+
+    async def delete_document(request):
+        doc_id = request.match_info["doc_id"]
+        try:
+            await comps.embedder.delete_document(doc_id)
+            await comps.retriever.delete_document(doc_id)
+            return web.json_response({"message": f"Document {doc_id} deleted"})
+        except Exception as e:  # noqa: BLE001
+            return json_error(500, str(e))
+
+    async def delete_all(request):
+        try:
+            docs = await comps.retriever.list_all_documents()
+            count = len(docs)
+            await comps.embedder.delete_all()
+            await comps.retriever.delete_all()
+            return web.json_response(
+                {"message": f"Deleted {count} documents", "count": count}
+            )
+        except Exception as e:  # noqa: BLE001
+            return json_error(500, str(e))
+
+    # --- Stats (reference api.py:468-508) --------------------------------
+    async def stats(request):
+        try:
+            embedder_stats = await comps.embedder.get_collection_stats()
+            retriever_stats = await comps.retriever.get_stats()
+            summarizer_stats = await comps.summarizer.get_stats()
+            docs = await comps.retriever.list_all_documents()
+            by_type = {
+                kind: sum(
+                    d.get("chunks", {}).get(kind, 0) for d in docs
+                )
+                for kind in ("text", "table", "image")
+            }
+            return web.json_response(
+                {
+                    "documents": {
+                        "total": len(docs),
+                        "total_chunks": embedder_stats.get("count", 0),
+                        "by_type": by_type,
+                    },
+                    "embedder": {
+                        "cache_hit_rate": embedder_stats.get("cache", {}).get(
+                            "hit_rate", 0
+                        ),
+                    },
+                    "retriever": {
+                        "compression_enabled": retriever_stats.get(
+                            "features", {}
+                        ).get("compression", False),
+                        "compression_savings": retriever_stats.get(
+                            "compression", {}
+                        ).get("savings_percent", 0),
+                    },
+                    "summarizer": {
+                        "total_summaries": summarizer_stats.get(
+                            "total_summaries", 0
+                        ),
+                        "cache_hit_rate": summarizer_stats.get(
+                            "cache", {}
+                        ).get("hit_rate", 0),
+                    },
+                    "auth": "disabled",
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            return json_error(500, str(e))
+
+    # --- Docs (FastAPI auto-docs counterpart) ----------------------------
+    async def openapi(request):
+        return web.json_response(_openapi_spec())
+
+    async def docs(request):
+        routes_html = "".join(
+            f"<li><code>{m} {p}</code> — {d}</li>"
+            for m, p, d in _route_docs()
+        )
+        return web.Response(
+            text=f"<html><body><h1>multimodal_rag_tpu API</h1>"
+            f"<ul>{routes_html}</ul></body></html>",
+            content_type="text/html",
+        )
+
+    app.router.add_get("/", home)
+    app.router.add_get("/admin", admin)
+    app.router.add_get("/health", health)
+    app.router.add_post("/upload", upload)
+    app.router.add_post("/query", query)
+    app.router.add_get("/documents", list_documents)
+    app.router.add_delete("/documents/{doc_id}", delete_document)
+    app.router.add_delete("/documents", delete_all)
+    # Fix for the reference admin UI's singular route (SURVEY.md §2.3.4).
+    app.router.add_delete("/document/{doc_id}", delete_document)
+    app.router.add_get("/stats", stats)
+    app.router.add_get("/docs", docs)
+    app.router.add_get("/openapi.json", openapi)
+    if STATIC_DIR.is_dir():
+        app.router.add_static("/static", STATIC_DIR)
+    return app
+
+
+def _route_docs():
+    return [
+        ("GET", "/", "chat UI"),
+        ("GET", "/admin", "admin UI"),
+        ("GET", "/health", "component health"),
+        ("POST", "/upload", "multipart file upload → parse/summarize/embed"),
+        ("POST", "/query", "RAG query {query, top_k, use_multimodal}"),
+        ("GET", "/documents", "list stored documents"),
+        ("DELETE", "/documents/{doc_id}", "delete one document"),
+        ("DELETE", "/document/{doc_id}", "delete one document (alias)"),
+        ("DELETE", "/documents", "delete all documents"),
+        ("GET", "/stats", "system statistics"),
+    ]
+
+
+def _openapi_spec() -> Dict[str, Any]:
+    paths: Dict[str, Any] = {}
+    for method, path, desc in _route_docs():
+        spec_path = path.replace("{doc_id}", "{doc_id}")
+        paths.setdefault(spec_path, {})[method.lower()] = {
+            "summary": desc,
+            "responses": {"200": {"description": "OK"}},
+        }
+    return {
+        "openapi": "3.0.0",
+        "info": {"title": "multimodal_rag_tpu", "version": "0.1.0"},
+        "paths": paths,
+    }
+
+
+def run():
+    logging.basicConfig(level=getattr(logging, settings.LOG_LEVEL, 20))
+    app = create_app()
+    web.run_app(app, host=settings.API_HOST, port=settings.API_PORT)
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,28 @@
+"""Request/response models (reference ``app/server/api.py:161-179``)."""
+
+from __future__ import annotations
+
+from typing import List
+
+from pydantic import BaseModel, Field
+
+
+class QueryRequest(BaseModel):
+    query: str = Field(..., min_length=1, max_length=2000)
+    top_k: int = Field(5, ge=1, le=20)
+    use_multimodal: bool = Field(False)
+
+
+class QueryResponse(BaseModel):
+    answer: str
+    sources: List[dict]
+    processing_time: float
+
+
+class UploadResponse(BaseModel):
+    doc_id: str
+    filename: str
+    doc_type: str
+    chunks_processed: dict
+    message: str
+    processing_time: float

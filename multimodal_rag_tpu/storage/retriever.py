@@ -320,6 +320,9 @@ class MultiVectorRetriever:
             self.cache.clear()
         return n
 
+    # Alias used by the reference API layer (api.py:454).
+    delete_all_documents = delete_all
+
     # ------------------------------------------------------------------
     # Listing / stats / health (reference retriever.py:832-1004)
     # ------------------------------------------------------------------

@@ -1,0 +1,257 @@
+"""HTTP contract tests for the 9 routes (reference api.py:186-508 schemas),
+using fake/in-memory components end-to-end."""
+
+import asyncio
+import io
+import json
+
+import aiohttp
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_rag_tpu.embedder import EmbeddingManager
+from multimodal_rag_tpu.ingest.parser import DocumentParser
+from multimodal_rag_tpu.ingest.summarizer import ContentSummarizer
+from multimodal_rag_tpu.models.adapters import FakeLLMAdapter
+from multimodal_rag_tpu.models.minilm import (
+    EncoderConfig,
+    TextEncoder,
+    init_params,
+)
+from multimodal_rag_tpu.parallel.sharding import get_mesh
+from multimodal_rag_tpu.server.api import Components, create_app
+from multimodal_rag_tpu.storage.kv import MemoryKV
+from multimodal_rag_tpu.storage.retriever import MultiVectorRetriever
+from multimodal_rag_tpu.vectorstore import VectorStore
+
+TINY = EncoderConfig(
+    vocab_size=1000, hidden_dim=64, num_layers=2, num_heads=4, ff_dim=128,
+    max_position=64, compute_dtype=jnp.float32,
+)
+
+
+def make_components(tmp_path):
+    encoder = TextEncoder(
+        params=init_params(jax.random.key(0), TINY), cfg=TINY,
+        seq_buckets=(16, 32), batch_buckets=(4, 8),
+    )
+    store = VectorStore(dim=64, mesh=get_mesh(1), tile_n=256,
+                        initial_capacity=512, dtype=jnp.float32)
+    llm = FakeLLMAdapter()
+    mllm = FakeLLMAdapter()
+    return Components(
+        parser=DocumentParser(figures_dir=tmp_path / "figures",
+                              enable_ocr=False),
+        llm_adapter=llm,
+        mllm_adapter=mllm,
+        summarizer=ContentSummarizer(mllm, max_concurrent=5, max_retries=2),
+        embedder=EmbeddingManager(encoder=encoder, store=store),
+        retriever=MultiVectorRetriever(kv=MemoryKV(str(tmp_path / "kv"))),
+    )
+
+
+@pytest.fixture()
+def client(tmp_path):
+    loop = asyncio.new_event_loop()
+    comps = make_components(tmp_path)
+    loop.run_until_complete(comps.initialize())
+    app = create_app(components=comps)
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+def upload_file(client, loop, name="note.txt",
+                content=b"Machine learning basics. Neural nets learn."):
+    form = aiohttp.FormData()
+    form.add_field("file", io.BytesIO(content), filename=name,
+                   content_type="text/plain")
+
+    async def do():
+        resp = await client.post("/upload", data=form)
+        return resp.status, await resp.json()
+
+    return loop.run_until_complete(do())
+
+
+class TestUpload:
+    def test_upload_response_schema(self, client):
+        c, loop = client
+        status, body = upload_file(c, loop)
+        assert status == 200
+        for key in ("doc_id", "filename", "doc_type", "chunks_processed",
+                    "message", "processing_time"):
+            assert key in body
+        assert body["doc_type"] == "text"
+        assert body["doc_id"].startswith("doc_")
+        assert body["chunks_processed"]["text"] >= 1
+
+    def test_upload_missing_file(self, client):
+        c, loop = client
+
+        async def do():
+            form = aiohttp.FormData()
+            form.add_field("other", b"x", filename="")
+            resp = await c.post("/upload", data=form)
+            return resp.status
+
+        # empty multipart → 400
+        assert loop.run_until_complete(do()) == 400
+
+
+class TestQuery:
+    def test_query_flow(self, client):
+        c, loop = client
+        upload_file(c, loop)
+
+        async def do():
+            resp = await c.post("/query", json={"query": "machine learning"})
+            return resp.status, await resp.json()
+
+        status, body = loop.run_until_complete(do())
+        assert status == 200
+        assert body["answer"].startswith("Answer to:")
+        assert body["sources"]
+        src = body["sources"][0]
+        assert src["rank"] == 1
+        assert 0.0 <= src["relevance_score"] <= 1.0
+        assert src["type"] == "text"
+
+    def test_query_empty_store_vietnamese_fallback(self, client):
+        c, loop = client
+
+        async def do():
+            resp = await c.post("/query", json={"query": "anything"})
+            return await resp.json()
+
+        body = loop.run_until_complete(do())
+        assert body["sources"] == []
+        assert "Không tìm thấy" in body["answer"]
+
+    def test_query_validation(self, client):
+        c, loop = client
+
+        async def do(payload):
+            resp = await c.post("/query", json=payload)
+            return resp.status
+
+        assert loop.run_until_complete(do({"query": ""})) == 422
+        assert loop.run_until_complete(do({"query": "x", "top_k": 50})) == 422
+        assert loop.run_until_complete(do({"query": "x" * 3000})) == 422
+
+    def test_query_multimodal_routes_to_mllm(self, client, tmp_path):
+        c, loop = client
+        md = b"Intro text.\n\n| a | b |\n|---|---|\n| 1 | 2 |\n"
+        upload_file(c, loop, "t.md", md)
+
+        async def do():
+            resp = await c.post(
+                "/query",
+                json={"query": "table info", "use_multimodal": True,
+                      "top_k": 5},
+            )
+            return await resp.json()
+
+        body = loop.run_until_complete(do())
+        assert body["answer"].startswith("Multimodal answer")
+
+
+class TestDocuments:
+    def test_list_and_delete(self, client):
+        c, loop = client
+        _, up = upload_file(c, loop)
+        doc_id = up["doc_id"]
+
+        async def do():
+            resp = await c.get("/documents")
+            listing = await resp.json()
+            resp2 = await c.delete(f"/documents/{doc_id}")
+            deleted = await resp2.json()
+            resp3 = await c.get("/documents")
+            after = await resp3.json()
+            return listing, deleted, after
+
+        listing, deleted, after = loop.run_until_complete(do())
+        assert listing["total"] == 1
+        assert listing["documents"][0]["doc_id"] == doc_id
+        assert "deleted" in deleted["message"]
+        assert after["total"] == 0
+
+    def test_singular_delete_route_alias(self, client):
+        c, loop = client
+        _, up = upload_file(c, loop)
+
+        async def do():
+            resp = await c.delete(f"/document/{up['doc_id']}")
+            return resp.status
+
+        assert loop.run_until_complete(do()) == 200
+
+    def test_delete_all(self, client):
+        c, loop = client
+        upload_file(c, loop, "a.txt")
+        upload_file(c, loop, "b.txt")
+
+        async def do():
+            resp = await c.delete("/documents")
+            return await resp.json()
+
+        body = loop.run_until_complete(do())
+        assert body["count"] == 2
+
+
+class TestOps:
+    def test_health_shape(self, client):
+        c, loop = client
+
+        async def do():
+            resp = await c.get("/health")
+            return await resp.json()
+
+        body = loop.run_until_complete(do())
+        assert body["status"] in ("healthy", "degraded")
+        assert body["auth"] == "disabled"
+        assert "llm_adapter" in body["components"]
+        assert "retriever" in body["components"]
+
+    def test_stats_shape(self, client):
+        c, loop = client
+        upload_file(c, loop)
+
+        async def do():
+            resp = await c.get("/stats")
+            return await resp.json()
+
+        body = loop.run_until_complete(do())
+        assert body["documents"]["total"] == 1
+        assert body["documents"]["by_type"]["text"] >= 1
+        assert body["auth"] == "disabled"
+        assert "compression_enabled" in body["retriever"]
+
+    def test_docs_pages(self, client):
+        c, loop = client
+
+        async def do():
+            r1 = await c.get("/docs")
+            r2 = await c.get("/openapi.json")
+            return r1.status, await r2.json()
+
+        status, spec = loop.run_until_complete(do())
+        assert status == 200
+        assert "/upload" in spec["paths"]
+
+    def test_home_page(self, client):
+        c, loop = client
+
+        async def do():
+            resp = await c.get("/")
+            return resp.status, resp.content_type
+
+        status, ctype = loop.run_until_complete(do())
+        assert status == 200
+        assert ctype == "text/html"
