@@ -72,6 +72,8 @@ class VectorStore:
         initial_capacity: int = 1 << 14,
         compact_threshold: float = 0.5,
         use_pallas: Optional[bool] = None,
+        ivf_threshold: Optional[int] = None,
+        ivf_nprobe: Optional[int] = None,
     ) -> None:
         self.dim = dim
         self.name = name
@@ -102,6 +104,21 @@ class VectorStore:
         self._dev_vecs = None
         self._dev_mask = None
         self._dirty = True
+
+        # IVF planner state (single-device path; SURVEY.md §7 layer 4).
+        from multimodal_rag_tpu.config import settings as _settings
+
+        self.ivf_threshold = (
+            ivf_threshold
+            if ivf_threshold is not None
+            else _settings.IVF_THRESHOLD
+        )
+        self.ivf_nprobe = (
+            ivf_nprobe if ivf_nprobe is not None else _settings.IVF_NPROBE
+        )
+        self._ivf_layout = None
+        self._ivf_rows = None  # layout row → store row
+        self._ivf_built_count = 0
 
     # ------------------------------------------------------------------
     # Device sync
@@ -229,6 +246,7 @@ class VectorStore:
             self._vecs, self._mask = vecs, mask
             self._size, self._dead = len(live), 0
             self._dirty = True
+            self._ivf_layout = None  # store rows were remapped
 
     # ------------------------------------------------------------------
     # Reads
@@ -324,9 +342,88 @@ class VectorStore:
             out["distances"] = dists
         return out
 
+    # ------------------------------------------------------------------
+    # Query planner: exact below ivf_threshold, IVF above (SURVEY.md §7)
+    # ------------------------------------------------------------------
+
+    def _ivf_stale(self) -> bool:
+        if self._ivf_layout is None:
+            return True
+        built = self._ivf_built_count
+        # Rebuild when the corpus grew >20% or any delete happened after
+        # the build beyond a 10% budget (deletes are post-filtered until).
+        grown = self.count() > built * 1.2
+        shrunk = self.count() < built * 0.9
+        return grown or shrunk
+
+    def _build_ivf(self) -> None:
+        from multimodal_rag_tpu.ops.ivf import build_clustered_layout
+
+        live = np.asarray(self._live_rows(), dtype=np.int64)
+        vecs = self._vecs[live]
+        layout = build_clustered_layout(
+            vecs, block_rows=min(self.tile_n, 256), dtype=self.dtype
+        )
+        # layout.row_to_original indexes into `live`; compose to store rows.
+        store_rows = np.full_like(layout.row_to_original, -1)
+        ok = layout.row_to_original >= 0
+        store_rows[ok] = live[layout.row_to_original[ok]]
+        self._ivf_layout = layout
+        self._ivf_rows = store_rows
+        self._ivf_built_count = len(live)
+
+    def _ivf_search(self, q: np.ndarray, k: int):
+        """IVF path with dead-row post-filtering; falls back to exact when
+        too few live candidates survive."""
+        import jax.numpy as jnp
+
+        from multimodal_rag_tpu.ops.ivf import ivf_search, ivf_search_xla
+
+        if self._ivf_stale():
+            self._build_ivf()
+        layout = self._ivf_layout
+        fetch_k = min(
+            k * 4 + 16,
+            layout.block_centroids.shape[0] * layout.block_rows,
+        )
+        if self.use_pallas:
+            vals, rows = ivf_search(
+                jnp.asarray(q), layout, k=fetch_k, nprobe=self.ivf_nprobe
+            )
+        else:
+            vals, rows = ivf_search_xla(
+                jnp.asarray(q), layout, k=fetch_k, nprobe=self.ivf_nprobe
+            )
+        vals = np.asarray(vals)
+        rows = np.asarray(rows)
+        out_vals = np.full((q.shape[0], k), NEG_INF, np.float32)
+        out_idx = np.full((q.shape[0], k), -1, np.int64)
+        for r in range(q.shape[0]):
+            n_kept = 0
+            for v, layout_row in zip(vals[r], rows[r]):
+                if v <= NEG_INF / 2 or n_kept == k:
+                    break
+                store_row = self._ivf_rows[layout_row]
+                if store_row < 0 or self._mask[0, store_row] != 0.0:
+                    continue  # padding or deleted since build
+                out_vals[r, n_kept] = v
+                out_idx[r, n_kept] = store_row
+                n_kept += 1
+            if n_kept < k:
+                return None  # not enough survivors → caller goes exact
+        return out_vals, out_idx
+
     def _search_masked(self, q: np.ndarray, mask, k: int):
         """mask None → the store's live/tombstone mask; else an ad-hoc
         (1, capacity) additive mask (metadata pre-filter)."""
+        if (
+            mask is None
+            and self.n_devices == 1
+            and self.count() >= self.ivf_threshold
+        ):
+            result = self._ivf_search(q, k)
+            if result is not None:
+                return result
         self._sync()
         qd = jnp.asarray(q)
         if self.n_devices > 1:

@@ -1,0 +1,89 @@
+"""Query-planner tests: the store switches to IVF above the threshold and
+stays correct through deletes/rebuilds."""
+
+import numpy as np
+
+from multimodal_rag_tpu.ops.oracle import mips_topk_oracle
+from multimodal_rag_tpu.parallel.sharding import get_mesh
+from multimodal_rag_tpu.vectorstore import VectorStore
+
+import jax.numpy as jnp
+
+
+def unit(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def clustered(n, d=64, n_centers=20, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = unit(rng.standard_normal((n_centers, d)))
+    noise = rng.standard_normal((n, d)) * (0.3 / np.sqrt(d))
+    return unit(centers[rng.integers(0, n_centers, n)] + noise).astype(
+        np.float32
+    )
+
+
+def make_store(n=3000, threshold=1000, **kw):
+    store = VectorStore(
+        dim=64, mesh=get_mesh(1), tile_n=256, initial_capacity=4096,
+        dtype=jnp.float32, ivf_threshold=threshold, ivf_nprobe=8, **kw,
+    )
+    X = clustered(n)
+    store.add(
+        [f"i{j}" for j in range(n)], X,
+        [f"d{j}" for j in range(n)],
+        [{"doc_id": f"doc_{j % 7}"} for j in range(n)],
+    )
+    return store, X
+
+
+class TestPlanner:
+    def test_ivf_engaged_above_threshold(self):
+        store, X = make_store()
+        res = store.query(X[:2], n_results=5)
+        assert store._ivf_layout is not None  # planner built the index
+        assert len(res["ids"][0]) == 5
+
+    def test_recall_vs_oracle(self):
+        store, X = make_store()
+        q = X[100:108]
+        res = store.query(q, n_results=5)
+        _, oidx = mips_topk_oracle(q, X, 5)
+        recalls = []
+        for r in range(8):
+            want = {f"i{j}" for j in oidx[r]}
+            got = set(res["ids"][r])
+            recalls.append(len(want & got) / 5)
+        assert np.mean(recalls) >= 0.9
+
+    def test_small_store_stays_exact(self):
+        store, _ = make_store(n=100, threshold=1000)
+        store.query(np.eye(64, dtype=np.float32)[:1], n_results=3)
+        assert store._ivf_layout is None
+
+    def test_deletes_post_filtered(self):
+        store, X = make_store()
+        store.query(X[:1], n_results=5)  # build index
+        top = store.query(X[:1], n_results=1)["ids"][0][0]
+        store.delete(ids=[top])
+        res = store.query(X[:1], n_results=5)
+        assert top not in res["ids"][0]
+        assert len(res["ids"][0]) == 5
+
+    def test_rebuild_after_growth(self):
+        store, X = make_store(n=1200, threshold=1000)
+        store.query(X[:1], n_results=3)
+        built = store._ivf_built_count
+        extra = clustered(800, seed=9)
+        store.add([f"x{j}" for j in range(800)], extra)
+        store.query(X[:1], n_results=3)
+        assert store._ivf_built_count > built
+
+    def test_metadata_filter_uses_exact_path(self):
+        store, X = make_store()
+        res = store.query(
+            X[:1], n_results=5, where={"doc_id": "doc_3"}
+        )
+        assert all(
+            m["doc_id"] == "doc_3" for m in res["metadatas"][0]
+        )
