@@ -127,6 +127,7 @@ class Settings:
     IVF_THRESHOLD: int = 1_000_000  # rows above which the planner picks IVF
     IVF_NLIST: int = 0  # 0 = auto (~sqrt(N))
     IVF_NPROBE: int = 32
+    IVF_ENGINE: str = "pallas"  # pallas | xla (xla gathers probed blocks)
 
     def __post_init__(self) -> None:
         dotenv = _load_dotenv(BASE_DIR / ".env")

@@ -62,6 +62,7 @@ class EmbeddingManager:
         self.persist_dir = persist_dir
         self._encoder = encoder
         self._store = store
+        self._reranker = None
         self.is_initialized = False
         self.stats = {
             "total_embeddings_created": 0,
@@ -276,6 +277,44 @@ class EmbeddingManager:
             for key in out:
                 out[key] = out[key][:n_results]
         return out
+
+    async def rerank_results(
+        self,
+        query_text: str,
+        results: Dict[str, Any],
+        top_k: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Cross-encoder rerank of a flattened query-result dict. The
+        reference shipped this as a placeholder (``embedder.py:834-859``);
+        here it runs a real pairwise model on the TPU (lazily built)."""
+        if not results.get("documents"):
+            return results
+        if self._reranker is None:
+            from multimodal_rag_tpu.models.cross_encoder import (
+                CrossEncoderReranker,
+            )
+
+            self._reranker = await asyncio.to_thread(CrossEncoderReranker)
+        return await asyncio.to_thread(
+            self._reranker.rerank, query_text, results, top_k
+        )
+
+    async def warmup(self) -> None:
+        """Pre-compile the hot shapes (first-call XLA compiles otherwise
+        land on the first user request — observed ~30-90s on cold serving
+        paths)."""
+        if not self.is_initialized:
+            await self.initialize()
+        await self.embed_texts_batch(["warmup query"])
+        if self._store.count() == 0:
+            # Temporary row so the search kernel compiles too.
+            emb = await self.embed_texts_batch(["warmup document"])
+            self._store.add(["__warmup__"], emb)
+            await asyncio.to_thread(self._store.query, emb, 1)
+            self._store.delete(ids=["__warmup__"])
+        else:
+            emb = await self.embed_texts_batch(["warmup query"])
+            await asyncio.to_thread(self._store.query, emb, 1)
 
     async def delete_document(self, doc_id: str) -> int:
         if not self.is_initialized:

@@ -136,6 +136,16 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     async def on_startup(app):
         await comps.initialize()
         logger.info("Multimodal RAG (TPU) ready — auth disabled, localhost only")
+        if comps.embedder is not None:
+            # Pre-compile hot shapes off the request path.
+            async def _warm():
+                try:
+                    await comps.embedder.warmup()
+                    logger.info("warmup complete")
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("warmup failed: %s", e)
+
+            asyncio.get_event_loop().create_task(_warm())
 
     async def on_cleanup(app):
         await comps.cleanup()
@@ -262,6 +272,10 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             results = await comps.embedder.query(
                 req.query, n_results=req.top_k
             )
+            if req.rerank and results["ids"]:
+                results = await comps.embedder.rerank_results(
+                    req.query, results
+                )
             if not results["ids"]:
                 return web.json_response(
                     {

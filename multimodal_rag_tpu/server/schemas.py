@@ -11,6 +11,9 @@ class QueryRequest(BaseModel):
     query: str = Field(..., min_length=1, max_length=2000)
     top_k: int = Field(5, ge=1, le=20)
     use_multimodal: bool = Field(False)
+    # Additive over the reference schema: enable the TPU cross-encoder
+    # rerank stage (the reference's placeholder made real).
+    rerank: bool = Field(False)
 
 
 class QueryResponse(BaseModel):

@@ -382,11 +382,13 @@ class VectorStore:
         if self._ivf_stale():
             self._build_ivf()
         layout = self._ivf_layout
+        from multimodal_rag_tpu.config import settings as _settings
+
         fetch_k = min(
             k * 4 + 16,
             layout.block_centroids.shape[0] * layout.block_rows,
         )
-        if self.use_pallas:
+        if self.use_pallas and _settings.IVF_ENGINE == "pallas":
             vals, rows = ivf_search(
                 jnp.asarray(q), layout, k=fetch_k, nprobe=self.ivf_nprobe
             )
