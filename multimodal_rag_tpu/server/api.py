@@ -28,6 +28,12 @@ from aiohttp import web
 from pydantic import ValidationError
 
 from multimodal_rag_tpu.config import settings
+from multimodal_rag_tpu.runtime.profiling import (
+    StageTimer,
+    aggregator,
+    start_trace,
+    stop_trace,
+)
 from multimodal_rag_tpu.server.schemas import QueryRequest
 
 logger = logging.getLogger(__name__)
@@ -228,23 +234,32 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 413, f"File too large. Max: {settings.MAX_UPLOAD_SIZE}MB"
             )
         try:
+            timer = StageTimer()
             doc_id = f"doc_{uuid.uuid4().hex[:12]}"
-            parsed = await comps.parser.parse_document(
-                content,
-                filename,
-                field.headers.get("Content-Type"),
-                doc_id=doc_id,
-            )
+            with timer.stage("parse"):
+                parsed = await comps.parser.parse_document(
+                    content,
+                    filename,
+                    field.headers.get("Content-Type"),
+                    doc_id=doc_id,
+                )
             doc_type = parsed.get("doc_type", "unknown")
-            summaries = await comps.summarizer.summarize_parsed_document(
-                parsed, max_length=300, show_progress=True
-            )
+            with timer.stage("summarize"):
+                summaries = await comps.summarizer.summarize_parsed_document(
+                    parsed, max_length=300, show_progress=True
+                )
             if not summaries:
                 return json_error(400, "No content extracted")
-            counts = await comps.embedder.embed_and_store(summaries, doc_id)
-            await comps.retriever.store_raw_documents(
-                doc_id, summaries, filename
-            )
+            with timer.stage("embed_store"):
+                counts = await comps.embedder.embed_and_store(
+                    summaries, doc_id
+                )
+            with timer.stage("kv_store"):
+                await comps.retriever.store_raw_documents(
+                    doc_id, summaries, filename
+                )
+            aggregator.record_timer(timer, "upload.")
+            aggregator.record("upload.total", timer.total)
             total = time.time() - start
             return web.json_response(
                 {
@@ -269,13 +284,16 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         except (ValidationError, ValueError) as e:
             return json_error(422, str(e))
         try:
-            results = await comps.embedder.query(
-                req.query, n_results=req.top_k
-            )
-            if req.rerank and results["ids"]:
-                results = await comps.embedder.rerank_results(
-                    req.query, results
+            timer = StageTimer()
+            with timer.stage("embed_search"):
+                results = await comps.embedder.query(
+                    req.query, n_results=req.top_k
                 )
+            if req.rerank and results["ids"]:
+                with timer.stage("rerank"):
+                    results = await comps.embedder.rerank_results(
+                        req.query, results
+                    )
             if not results["ids"]:
                 return web.json_response(
                     {
@@ -284,7 +302,10 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         "processing_time": time.time() - start,
                     }
                 )
-            raw = await comps.retriever.retrieve_raw_documents(results["ids"])
+            with timer.stage("retrieve"):
+                raw = await comps.retriever.retrieve_raw_documents(
+                    results["ids"]
+                )
             text_context = "\n\n".join(raw["text_chunks"])
             tables = raw["table_chunks"]
             images = raw["image_chunks"]
@@ -321,6 +342,13 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     "(LLM backend unavailable — showing retrieved context)\n\n"
                     + snippet
                 )
+
+            # generation time = whatever the timed stages didn't cover
+            timer.stages["generate"] = max(
+                0.0, timer.total - sum(timer.stages.values())
+            )
+            aggregator.record_timer(timer, "query.")
+            aggregator.record("query.total", timer.total)
 
             sources = []
             for i, (rid, dist, meta) in enumerate(
@@ -418,10 +446,34 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         ).get("hit_rate", 0),
                     },
                     "auth": "disabled",
+                    # Additive: rolling per-stage latency percentiles.
+                    "latency": aggregator.snapshot(),
                 }
             )
         except Exception as e:  # noqa: BLE001
             return json_error(500, str(e))
+
+    # --- Profiling (additive; jax.profiler device traces) ----------------
+    async def profile(request):
+        try:
+            body = await request.json()
+        except ValueError:
+            return json_error(422, "JSON body required")
+        action = body.get("action")
+        if action == "start":
+            log_dir = body.get("log_dir", "/tmp/mmrag_profile")
+            ok = start_trace(log_dir)
+            return web.json_response(
+                {"profiling": "started" if ok else "already_running",
+                 "log_dir": log_dir}
+            )
+        if action == "stop":
+            log_dir = stop_trace()
+            return web.json_response(
+                {"profiling": "stopped" if log_dir else "not_running",
+                 "log_dir": log_dir}
+            )
+        return json_error(422, "action must be 'start' or 'stop'")
 
     # --- Docs (FastAPI auto-docs counterpart) ----------------------------
     async def openapi(request):
@@ -449,6 +501,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     # Fix for the reference admin UI's singular route (SURVEY.md §2.3.4).
     app.router.add_delete("/document/{doc_id}", delete_document)
     app.router.add_get("/stats", stats)
+    app.router.add_post("/profile", profile)
     app.router.add_get("/docs", docs)
     app.router.add_get("/openapi.json", openapi)
     if STATIC_DIR.is_dir():

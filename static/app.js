@@ -1,0 +1,180 @@
+/* Chat UI: upload, query with typing indicator, markdown rendering,
+ * source chips with relevance %, health polling.
+ * Own implementation of the reference chat page's feature set. */
+
+const API = "";
+
+const chatLog = document.getElementById("chat-log");
+const chatForm = document.getElementById("chat-form");
+const queryInput = document.getElementById("query-input");
+const sendBtn = document.getElementById("send-btn");
+const fileInput = document.getElementById("file-input");
+const uploadProgress = document.getElementById("upload-progress");
+const docList = document.getElementById("doc-list");
+const healthText = document.getElementById("health-text");
+const healthBadge = document.getElementById("health-badge");
+
+/* ---------------- markdown (minimal, safe) ---------------- */
+
+function escapeHtml(s) {
+  return s.replace(/&/g, "&amp;").replace(/</g, "&lt;")
+          .replace(/>/g, "&gt;").replace(/"/g, "&quot;");
+}
+
+function renderMarkdown(text) {
+  let html = escapeHtml(text);
+  html = html.replace(/```([\s\S]*?)```/g, (_, c) => `<pre>${c}</pre>`);
+  html = html.replace(/`([^`]+)`/g, "<code>$1</code>");
+  html = html.replace(/^### (.*)$/gm, "<h4>$1</h4>");
+  html = html.replace(/^## (.*)$/gm, "<h3>$1</h3>");
+  html = html.replace(/^# (.*)$/gm, "<h2>$1</h2>");
+  html = html.replace(/\*\*([^*]+)\*\*/g, "<b>$1</b>");
+  html = html.replace(/\*([^*]+)\*/g, "<i>$1</i>");
+  html = html.replace(/^[-*] (.*)$/gm, "<li>$1</li>");
+  html = html.replace(/(<li>[\s\S]*?<\/li>)/g, "<ul>$1</ul>");
+  html = html.replace(/\n\n/g, "<br><br>");
+  return html;
+}
+
+/* ---------------- chat ---------------- */
+
+function addMessage(role, html, sources) {
+  const wrap = document.createElement("div");
+  wrap.className = `msg ${role}`;
+  const bubble = document.createElement("div");
+  bubble.className = "bubble";
+  bubble.innerHTML = html;
+  wrap.appendChild(bubble);
+  if (sources && sources.length) {
+    const chips = document.createElement("div");
+    chips.className = "sources";
+    for (const s of sources) {
+      const chip = document.createElement("span");
+      chip.className = "chip";
+      chip.title = s.doc_id;
+      const pct = Math.round(s.relevance_score * 100);
+      chip.textContent =
+        `#${s.rank} ${s.type} · ${pct}%`;
+      chips.appendChild(chip);
+    }
+    wrap.appendChild(chips);
+  }
+  chatLog.appendChild(wrap);
+  chatLog.scrollTop = chatLog.scrollHeight;
+  return wrap;
+}
+
+function addTyping() {
+  const wrap = addMessage("bot",
+    '<span class="typing"><span></span><span></span><span></span></span>');
+  wrap.id = "typing-indicator";
+  return wrap;
+}
+
+chatForm.addEventListener("submit", async (e) => {
+  e.preventDefault();
+  const query = queryInput.value.trim();
+  if (!query) return;
+  addMessage("user", escapeHtml(query));
+  queryInput.value = "";
+  sendBtn.disabled = true;
+  const typing = addTyping();
+  try {
+    const resp = await fetch(`${API}/query`, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({
+        query,
+        top_k: 5,
+        use_multimodal: document.getElementById("multimodal-toggle").checked,
+        rerank: document.getElementById("rerank-toggle").checked,
+      }),
+    });
+    const data = await resp.json();
+    typing.remove();
+    if (!resp.ok) {
+      addMessage("bot", `⚠️ Lỗi: ${escapeHtml(data.detail || resp.status)}`);
+    } else {
+      const t = data.processing_time ? data.processing_time.toFixed(1) : "?";
+      addMessage("bot",
+        renderMarkdown(data.answer) +
+        `<div class="meta">⏱ ${t}s</div>`,
+        data.sources);
+    }
+  } catch (err) {
+    typing.remove();
+    addMessage("bot", `⚠️ Không kết nối được máy chủ: ${escapeHtml(String(err))}`);
+  } finally {
+    sendBtn.disabled = false;
+    queryInput.focus();
+  }
+});
+
+/* ---------------- upload ---------------- */
+
+fileInput.addEventListener("change", () => uploadFiles([...fileInput.files]));
+
+async function uploadFiles(files) {
+  for (const file of files) {
+    const row = document.createElement("div");
+    row.className = "progress-row";
+    row.textContent = `⏳ ${file.name}`;
+    uploadProgress.appendChild(row);
+    try {
+      const form = new FormData();
+      form.append("file", file);
+      const resp = await fetch(`${API}/upload`, { method: "POST", body: form });
+      const data = await resp.json();
+      if (resp.ok) {
+        const c = data.chunks_processed;
+        row.textContent =
+          `✅ ${file.name} (${c.text}t/${c.table}b/${c.image}a)`;
+        addMessage("bot",
+          `Đã xử lý <b>${escapeHtml(file.name)}</b>: ${c.text} đoạn văn, ` +
+          `${c.table} bảng, ${c.image} ảnh.`);
+      } else {
+        row.textContent = `❌ ${file.name}: ${data.detail || resp.status}`;
+      }
+    } catch (err) {
+      row.textContent = `❌ ${file.name}: ${err}`;
+    }
+    setTimeout(() => row.remove(), 8000);
+    refreshDocs();
+  }
+  fileInput.value = "";
+}
+
+/* ---------------- documents ---------------- */
+
+async function refreshDocs() {
+  try {
+    const resp = await fetch(`${API}/documents`);
+    const data = await resp.json();
+    docList.innerHTML = "";
+    for (const doc of data.documents.slice(0, 20)) {
+      const li = document.createElement("li");
+      li.textContent = `${doc.filename} (${doc.item_count})`;
+      li.title = doc.doc_id;
+      docList.appendChild(li);
+    }
+  } catch (_) { /* server offline */ }
+}
+
+/* ---------------- health ---------------- */
+
+async function pollHealth() {
+  try {
+    const resp = await fetch(`${API}/health`);
+    const data = await resp.json();
+    healthBadge.className = `health ${data.status}`;
+    healthText.textContent = data.status === "healthy"
+      ? "hoạt động" : data.status === "degraded" ? "suy giảm" : "lỗi";
+  } catch (_) {
+    healthBadge.className = "health unhealthy";
+    healthText.textContent = "mất kết nối";
+  }
+}
+
+refreshDocs();
+pollHealth();
+setInterval(pollHealth, 30000);
