@@ -48,7 +48,10 @@ class EmbeddingManager:
         cache_size: int = None,
         max_retries: int = 3,
         persist_dir: Optional[str] = None,
+        use_batcher: bool = True,
     ) -> None:
+        self.use_batcher = use_batcher
+        self._batcher = None
         self.batch_size = batch_size or settings.EMBEDDER_BATCH_SIZE
         enable_cache = (
             settings.EMBEDDER_ENABLE_CACHE if enable_cache is None else enable_cache
@@ -149,7 +152,16 @@ class EmbeddingManager:
             todo_texts = list(texts)
 
         if todo_texts:
-            fresh = await asyncio.to_thread(self._encoder.encode, todo_texts)
+            if self.use_batcher:
+                if self._batcher is None:
+                    from multimodal_rag_tpu.serving import EmbedBatcher
+
+                    self._batcher = EmbedBatcher(self._encoder)
+                fresh = await self._batcher.submit(todo_texts)
+            else:
+                fresh = await asyncio.to_thread(
+                    self._encoder.encode, todo_texts
+                )
             for slot, row in zip(todo_idx, fresh):
                 out[slot] = row
                 if self.cache is not None:

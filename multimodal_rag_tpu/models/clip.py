@@ -313,14 +313,28 @@ class CLIPEncoder:
         ids = self.tokenizer.encode_batch(list(texts))
         return np.asarray(self._jit_text(self.params, jnp.asarray(ids)))
 
-    def encode_images(self, images: Sequence) -> np.ndarray:
-        """images: PIL images or encoded bytes."""
+    def encode_images(
+        self, images: Sequence, device_prep: bool = True
+    ) -> np.ndarray:
+        """images: PIL images or encoded bytes. ``device_prep`` runs the
+        resize/normalize on device in one batch (``ops.image_prep``); the
+        False path keeps the host-side PIL pipeline for parity checks."""
         if not images:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
-        pixels = np.stack(
-            [preprocess_image(img, self.cfg.image_size) for img in images]
-        )
-        return np.asarray(self._jit_image(self.params, jnp.asarray(pixels)))
+        if device_prep:
+            from multimodal_rag_tpu.ops.image_prep import preprocess_batch
+
+            pixels = preprocess_batch(images, out_size=self.cfg.image_size)
+        else:
+            pixels = jnp.asarray(
+                np.stack(
+                    [
+                        preprocess_image(img, self.cfg.image_size)
+                        for img in images
+                    ]
+                )
+            )
+        return np.asarray(self._jit_image(self.params, pixels))
 
 
 def load_hf_clip_params(path: str, cfg: CLIPConfig = CLIP_B32) -> Dict:

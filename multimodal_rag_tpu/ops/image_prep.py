@@ -1,0 +1,75 @@
+"""Image preprocessing split host/device.
+
+The reference's image path was all host-side Pillow (decode + resize +
+re-encode, ``parser.py:463-481``). Here the hot path is split (SURVEY.md
+§2.4): the host only *decodes* to a fixed staging raster (C++ decode stage
+is the planned upgrade; PIL today), and the per-pixel work — bicubic
+resize, center crop, float conversion, CLIP normalization — runs on device
+as one jitted batch op in bf16, so N figures cost one dispatch instead of
+N PIL passes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_rag_tpu.models.clip import IMAGE_MEAN, IMAGE_STD
+
+STAGE_SIZE = 256  # host staging raster (shorter side ≥ model input)
+
+
+def stage_image(img, stage_size: int = STAGE_SIZE) -> np.ndarray:
+    """Decode + nearest-resize to (stage, stage, 3) uint8. Aspect ratio is
+    preserved by scaling the shorter side then center-cropping — the cheap
+    host half; everything per-pixel-float happens on device."""
+    from PIL import Image
+
+    if not hasattr(img, "convert"):
+        from io import BytesIO
+
+        img = Image.open(BytesIO(img))
+    img = img.convert("RGB")
+    w, h = img.size
+    scale = stage_size / min(w, h)
+    img = img.resize(
+        (max(stage_size, int(round(w * scale))),
+         max(stage_size, int(round(h * scale)))),
+        Image.NEAREST,  # cheap; quality resize happens on device
+    )
+    w, h = img.size
+    left, top = (w - stage_size) // 2, (h - stage_size) // 2
+    img = img.crop((left, top, left + stage_size, top + stage_size))
+    return np.asarray(img, np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def device_preprocess(
+    staged: jax.Array, out_size: int = 224
+) -> jax.Array:
+    """(B, S, S, 3) uint8 → (B, out, out, 3) f32 CLIP-normalized.
+
+    Bicubic resize + normalization fused by XLA into one device pass.
+    """
+    x = staged.astype(jnp.float32) / 255.0
+    B = x.shape[0]
+    x = jax.image.resize(
+        x, (B, out_size, out_size, 3), method="cubic"
+    )
+    mean = jnp.asarray(IMAGE_MEAN)
+    std = jnp.asarray(IMAGE_STD)
+    return (x - mean) / std
+
+
+def preprocess_batch(
+    images: Sequence, out_size: int = 224
+) -> jax.Array:
+    """bytes/PIL images → device-preprocessed (B, out, out, 3) f32."""
+    if not images:
+        return jnp.zeros((0, out_size, out_size, 3), jnp.float32)
+    staged = np.stack([stage_image(img) for img in images])
+    return device_preprocess(jnp.asarray(staged), out_size=out_size)

@@ -81,6 +81,39 @@ def train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Orbax checkpoint of params/opt-state/step (checkpoint/resume
+    subsystem — the reference had only storage-level durability,
+    SURVEY.md §5.4)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(os.path.join(path, f"step_{int(state.step)}")),
+            state,
+        )
+
+
+def load_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore the latest ``step_*`` checkpoint under ``path``."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    steps = sorted(
+        (int(name.split("_")[1]), name)
+        for name in os.listdir(path)
+        if name.startswith("step_")
+    )
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {path}")
+    latest = os.path.abspath(os.path.join(path, steps[-1][1]))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(latest, template)
+
+
 def shard_train_inputs(mesh, state: TrainState, batch: Dict[str, jax.Array]):
     """Place state replicated and batch rows sharded over ``data``."""
     from jax.sharding import NamedSharding, PartitionSpec as P
