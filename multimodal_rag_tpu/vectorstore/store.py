@@ -357,19 +357,34 @@ class VectorStore:
         return grown or shrunk
 
     def _build_ivf(self) -> None:
-        from multimodal_rag_tpu.ops.ivf import build_clustered_layout
-
         live = np.asarray(self._live_rows(), dtype=np.int64)
         vecs = self._vecs[live]
-        layout = build_clustered_layout(
-            vecs, block_rows=min(self.tile_n, 256), dtype=self.dtype
-        )
-        # layout.row_to_original indexes into `live`; compose to store rows.
-        store_rows = np.full_like(layout.row_to_original, -1)
-        ok = layout.row_to_original >= 0
-        store_rows[ok] = live[layout.row_to_original[ok]]
-        self._ivf_layout = layout
-        self._ivf_rows = store_rows
+        if self.n_devices > 1:
+            from multimodal_rag_tpu.parallel.sharded_ivf import (
+                build_sharded_ivf,
+            )
+
+            index = build_sharded_ivf(
+                vecs, self.mesh, block_rows=min(self.tile_n, 256),
+                dtype=self.dtype,
+            )
+            # index.row_map indexes into `live`; compose to store rows.
+            store_rows = np.full_like(index.row_map, -1)
+            ok = index.row_map >= 0
+            store_rows[ok] = live[index.row_map[ok]]
+            self._ivf_layout = index._replace(row_map=store_rows)
+            self._ivf_rows = None
+        else:
+            from multimodal_rag_tpu.ops.ivf import build_clustered_layout
+
+            layout = build_clustered_layout(
+                vecs, block_rows=min(self.tile_n, 256), dtype=self.dtype
+            )
+            store_rows = np.full_like(layout.row_to_original, -1)
+            ok = layout.row_to_original >= 0
+            store_rows[ok] = live[layout.row_to_original[ok]]
+            self._ivf_layout = layout
+            self._ivf_rows = store_rows
         self._ivf_built_count = len(live)
 
     def _ivf_search(self, q: np.ndarray, k: int):
@@ -384,28 +399,44 @@ class VectorStore:
         layout = self._ivf_layout
         from multimodal_rag_tpu.config import settings as _settings
 
-        fetch_k = min(
-            k * 4 + 16,
-            layout.block_centroids.shape[0] * layout.block_rows,
-        )
-        if self.use_pallas and _settings.IVF_ENGINE == "pallas":
-            vals, rows = ivf_search(
-                jnp.asarray(q), layout, k=fetch_k, nprobe=self.ivf_nprobe
+        if self.n_devices > 1:
+            from multimodal_rag_tpu.parallel.sharded_ivf import (
+                sharded_ivf_search,
+            )
+
+            fetch_k = k * 4 + 16
+            vals, store_rows = sharded_ivf_search(
+                jnp.asarray(q), layout, k=fetch_k, nprobe=self.ivf_nprobe,
+                use_pallas=self.use_pallas,
             )
         else:
-            vals, rows = ivf_search_xla(
-                jnp.asarray(q), layout, k=fetch_k, nprobe=self.ivf_nprobe
+            fetch_k = min(
+                k * 4 + 16,
+                layout.block_centroids.shape[0] * layout.block_rows,
             )
-        vals = np.asarray(vals)
-        rows = np.asarray(rows)
+            if self.use_pallas and _settings.IVF_ENGINE == "pallas":
+                vals, rows = ivf_search(
+                    jnp.asarray(q), layout, k=fetch_k,
+                    nprobe=self.ivf_nprobe,
+                )
+            else:
+                vals, rows = ivf_search_xla(
+                    jnp.asarray(q), layout, k=fetch_k,
+                    nprobe=self.ivf_nprobe,
+                )
+            vals = np.asarray(vals)
+            rows = np.asarray(rows)
+            store_rows = np.full(vals.shape, -1, np.int64)
+            ok = rows >= 0
+            store_rows[ok] = self._ivf_rows[rows[ok]]
+
         out_vals = np.full((q.shape[0], k), NEG_INF, np.float32)
         out_idx = np.full((q.shape[0], k), -1, np.int64)
         for r in range(q.shape[0]):
             n_kept = 0
-            for v, layout_row in zip(vals[r], rows[r]):
+            for v, store_row in zip(vals[r], store_rows[r]):
                 if v <= NEG_INF / 2 or n_kept == k:
                     break
-                store_row = self._ivf_rows[layout_row]
                 if store_row < 0 or self._mask[0, store_row] != 0.0:
                     continue  # padding or deleted since build
                 out_vals[r, n_kept] = v
@@ -418,11 +449,7 @@ class VectorStore:
     def _search_masked(self, q: np.ndarray, mask, k: int):
         """mask None → the store's live/tombstone mask; else an ad-hoc
         (1, capacity) additive mask (metadata pre-filter)."""
-        if (
-            mask is None
-            and self.n_devices == 1
-            and self.count() >= self.ivf_threshold
-        ):
+        if mask is None and self.count() >= self.ivf_threshold:
             result = self._ivf_search(q, k)
             if result is not None:
                 return result
