@@ -40,11 +40,21 @@ class EmbedBatcher:
         self.max_wait = max_wait_ms / 1e3
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        self._loop = None
         self.stats = {"batches": 0, "items": 0, "max_batch_seen": 0}
 
     def start(self) -> None:
+        loop = asyncio.get_event_loop()
+        if self._loop is not loop:
+            # The queue/worker are bound to an event loop; if the caller's
+            # loop changed (tests, re-served apps), rebind cleanly.
+            if self._task is not None and not self._task.done():
+                self._task.cancel()
+            self._queue = asyncio.Queue()
+            self._task = None
+            self._loop = loop
         if self._task is None or self._task.done():
-            self._task = asyncio.get_event_loop().create_task(self._run())
+            self._task = loop.create_task(self._run())
 
     async def stop(self) -> None:
         if self._task is not None:
