@@ -53,7 +53,7 @@ from multimodal_rag_tpu.ingest.chunking import (
     generate_doc_id,
 )
 from multimodal_rag_tpu.ingest.tables import build_table_obj, clean_table
-from multimodal_rag_tpu.ingest import office, pdfparse
+from multimodal_rag_tpu.ingest import office, pdfparse, pdftables
 
 logger = logging.getLogger(__name__)
 
@@ -198,7 +198,7 @@ class DocumentParser:
     # ------------------------------------------------------------------
 
     def _parse_pdf(self, content: bytes, filename: str) -> Dict[str, Any]:
-        extracted = pdfparse.extract_pdf(content)
+        extracted = pdfparse.extract_pdf(content, include_layout=True)
         total_pages = extracted["page_count"]
 
         text_chunks = chunk_with_pages(
@@ -207,6 +207,26 @@ class DocumentParser:
             total_pages,
             self.splitter,
         )
+
+        # Geometry-based table extraction (reference parser.py:615-716 via
+        # pdfplumber; here via the first-party layout interpreter).
+        tables: List[Dict[str, Any]] = []
+        for p in extracted["pages"]:
+            layout = p.get("layout")
+            if not layout:
+                continue
+            for rows in pdftables.detect_tables(layout):
+                obj = build_table_obj(
+                    f"table_{len(tables)}",
+                    clean_table(rows),
+                    {
+                        "source": filename,
+                        "page": p["page"],
+                        "table_index": len(tables),
+                    },
+                )
+                if obj:
+                    tables.append(obj)
 
         images: List[Dict[str, Any]] = []
         if self.extract_pdf_embedded_images:
@@ -243,7 +263,7 @@ class DocumentParser:
         }
         return {
             "text_chunks": text_chunks,
-            "tables": [],  # PDF table geometry analysis: see docstring
+            "tables": tables,
             "images": images,
             "document_structure": structure,
         }

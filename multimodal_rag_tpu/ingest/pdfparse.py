@@ -551,15 +551,74 @@ class FontInfo:
                 self.cmap = _parse_tounicode(doc.stream_data(tu))
             except Exception:
                 self.cmap = None
+        # Glyph widths in 1/1000 em (PDF 32000-1 §9.6.2.1 /Widths for
+        # simple fonts, §9.7.4.3 /W + /DW for CIDFonts). Missing entries
+        # fall back to the default width so layout stays plausible for
+        # fonts that omit the tables (e.g. the base-14 Helvetica).
+        self.default_width = 500.0
+        self.widths: Dict[int, float] = {}
+        try:
+            if self.two_byte:
+                desc = doc.resolve(font_dict.get("DescendantFonts"))
+                if isinstance(desc, list) and desc:
+                    cid = doc.resolve(desc[0]) or {}
+                    self.default_width = float(
+                        doc.resolve(cid.get("DW", 1000)) or 1000
+                    )
+                    self._parse_cid_w(doc, doc.resolve(cid.get("W")))
+            else:
+                first = doc.resolve(font_dict.get("FirstChar"))
+                arr = doc.resolve(font_dict.get("Widths"))
+                if isinstance(first, (int, float)) and isinstance(arr, list):
+                    for off, w in enumerate(arr):
+                        w = doc.resolve(w)
+                        if isinstance(w, (int, float)):
+                            self.widths[int(first) + off] = float(w)
+        except Exception:
+            pass
 
-    def decode(self, raw: bytes) -> str:
+    def _parse_cid_w(self, doc: "PDFDocument", w_arr) -> None:
+        """CIDFont /W array: ``c [w1 w2 ...]`` or ``c_first c_last w``."""
+        if not isinstance(w_arr, list):
+            return
+        i = 0
+        while i < len(w_arr):
+            a = doc.resolve(w_arr[i])
+            if i + 1 < len(w_arr):
+                b = doc.resolve(w_arr[i + 1])
+            else:
+                break
+            if isinstance(b, list):
+                for off, w in enumerate(b):
+                    w = doc.resolve(w)
+                    if isinstance(w, (int, float)):
+                        self.widths[int(a) + off] = float(w)
+                i += 2
+            elif i + 2 < len(w_arr):
+                w = doc.resolve(w_arr[i + 2])
+                if isinstance(w, (int, float)):
+                    for c in range(int(a), min(int(b), int(a) + 65535) + 1):
+                        self.widths[c] = float(w)
+                i += 3
+            else:
+                break
+
+    def codes(self, raw: bytes) -> List[int]:
         if self.two_byte:
-            codes = [
+            return [
                 (raw[i] << 8) | raw[i + 1]
                 for i in range(0, len(raw) - 1, 2)
             ]
-        else:
-            codes = list(raw)
+        return list(raw)
+
+    def width_of(self, raw: bytes) -> float:
+        """Total advance of the string in 1/1000 em (no spacing params)."""
+        return sum(
+            self.widths.get(c, self.default_width) for c in self.codes(raw)
+        )
+
+    def decode(self, raw: bytes) -> str:
+        codes = self.codes(raw)
         if self.cmap:
             return "".join(self.cmap.get(c, "") for c in codes)
         if self.two_byte:
@@ -571,6 +630,8 @@ DEFAULT_FONT = FontInfo.__new__(FontInfo)
 DEFAULT_FONT.subtype = ""
 DEFAULT_FONT.two_byte = False
 DEFAULT_FONT.cmap = None
+DEFAULT_FONT.default_width = 500.0
+DEFAULT_FONT.widths = {}
 
 
 # ---------------------------------------------------------------------------
@@ -680,6 +741,229 @@ def extract_page_text(doc: PDFDocument, page: dict) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Positioned layout interpreter (text spans + ruling lines)
+# ---------------------------------------------------------------------------
+#
+# This is the geometry layer under PDF table detection — the capability the
+# reference gets from pdfplumber (reference app/utils/parser.py:615-716).
+# It runs the content stream with full graphics/text matrix tracking and
+# emits (a) text spans with device-space x/y/width/size and (b) horizontal /
+# vertical ruling segments from stroked or thin-filled paths, which
+# ``ingest.pdftables`` turns into tables.
+
+# Matrices are (a, b, c, d, e, f): x' = a·x + c·y + e ; y' = b·x + d·y + f.
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    """Apply m1 first, then m2 (PDF: m1 × m2 row-vector convention)."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _mat_apply(m, x, y):
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+class TextSpan:
+    """One shown string in device space."""
+
+    __slots__ = ("x0", "x1", "y", "size", "text")
+
+    def __init__(self, x0, x1, y, size, text):
+        self.x0, self.x1, self.y, self.size, self.text = x0, x1, y, size, text
+
+    def __repr__(self):
+        return f"TextSpan({self.x0:.1f}-{self.x1:.1f},{self.y:.1f},{self.text!r})"
+
+
+class RuleSegment:
+    """Axis-aligned line segment (from stroked paths or thin filled rects)."""
+
+    __slots__ = ("x0", "y0", "x1", "y1")
+
+    def __init__(self, x0, y0, x1, y1):
+        self.x0, self.y0 = min(x0, x1), min(y0, y1)
+        self.x1, self.y1 = max(x0, x1), max(y0, y1)
+
+    @property
+    def horizontal(self) -> bool:
+        return (self.y1 - self.y0) <= 2.0 and (self.x1 - self.x0) > 4.0
+
+    @property
+    def vertical(self) -> bool:
+        return (self.x1 - self.x0) <= 2.0 and (self.y1 - self.y0) > 4.0
+
+
+def extract_page_layout(doc: PDFDocument, page: dict) -> Dict[str, Any]:
+    """→ {"spans": [TextSpan], "rules": [RuleSegment]} in device space."""
+    content = doc.page_content(page)
+    resources = doc.resolve(page.get("Resources")) or {}
+    font_dicts = doc.resolve(resources.get("Font")) or {}
+    fonts = {name: FontInfo(doc, fd) for name, fd in font_dicts.items()}
+
+    spans: List[TextSpan] = []
+    rules: List[RuleSegment] = []
+
+    ctm = _IDENTITY
+    ctm_stack: List[Tuple[float, ...]] = []
+    tm = lm = _IDENTITY  # text matrix / line matrix
+    font = DEFAULT_FONT
+    tfs = 12.0  # font size
+    tc = 0.0  # char spacing
+    tw = 0.0  # word spacing
+    th = 1.0  # horizontal scale
+    tl = 0.0  # leading
+    # Path construction state (subpath segments as user-space points).
+    path: List[Tuple[float, float, float, float]] = []
+    cur_pt: Optional[Tuple[float, float]] = None
+
+    def show(raw: bytes) -> None:
+        nonlocal tm
+        trm = _mat_mul((tfs * th, 0, 0, tfs, 0, 0), _mat_mul(tm, ctm))
+        x0, y0 = _mat_apply(trm, 0, 0)
+        # Advance in unscaled text space (em/1000 units × size).
+        adv = font.width_of(raw) / 1000.0 * tfs
+        adv += (tc + (tw if not font.two_byte else 0.0)
+                * raw.count(b" ")) * len(font.codes(raw)) / max(
+                    len(font.codes(raw)), 1)
+        adv = font.width_of(raw) / 1000.0 * tfs + tc * len(font.codes(raw))
+        if not font.two_byte:
+            adv += tw * raw.count(b" ")
+        adv *= th
+        x1, _ = _mat_apply(trm, adv / max(tfs * th, 1e-9), 0)
+        size = abs(trm[3]) or abs(trm[1]) or tfs
+        text = font.decode(raw)
+        if text.strip():
+            spans.append(TextSpan(x0, x1, y0, size, text))
+        tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+
+    def td(txv: float, tyv: float) -> None:
+        nonlocal tm, lm
+        lm = _mat_mul((1, 0, 0, 1, txv, tyv), lm)
+        tm = lm
+
+    def flush_path(stroke: bool, fill: bool) -> None:
+        nonlocal path
+        for x0, y0, x1, y1 in path:
+            dx0, dy0 = _mat_apply(ctm, x0, y0)
+            dx1, dy1 = _mat_apply(ctm, x1, y1)
+            seg = RuleSegment(dx0, dy0, dx1, dy1)
+            if seg.horizontal or seg.vertical:
+                rules.append(seg)
+        path = []
+
+    lex = Lexer(content)
+    stack: List[Any] = []
+    n = len(content)
+    while lex.pos < n:
+        lex.skip_ws()
+        if lex.pos >= n:
+            break
+        c = lex.peek()
+        try:
+            if c in b"/<([" or (48 <= c <= 57 or c in (0x2B, 0x2D, 0x2E)):
+                stack.append(lex.parse_object())
+                continue
+        except Exception:
+            lex.pos += 1
+            stack.clear()
+            continue
+        m = _OPERATOR_RE.match(content, lex.pos)
+        if not m:
+            lex.pos += 1
+            continue
+        op = m.group()
+        lex.pos = m.end()
+        try:
+            if op == b"q":
+                ctm_stack.append(ctm)
+            elif op == b"Q":
+                if ctm_stack:
+                    ctm = ctm_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                nums = [float(v) for v in stack[-6:]]
+                ctm = _mat_mul(tuple(nums), ctm)
+            elif op == b"BT":
+                tm = lm = _IDENTITY
+            elif op == b"Tf" and len(stack) >= 2:
+                font = fonts.get(str(stack[-2]), DEFAULT_FONT)
+                tfs = float(stack[-1])
+            elif op == b"Tm" and len(stack) >= 6:
+                tm = lm = tuple(float(v) for v in stack[-6:])
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                tyv = float(stack[-1])
+                if op == b"TD":
+                    tl = -tyv
+                td(float(stack[-2]), tyv)
+            elif op == b"T*":
+                td(0.0, -tl)
+            elif op == b"TL" and stack:
+                tl = float(stack[-1])
+            elif op == b"Tc" and stack:
+                tc = float(stack[-1])
+            elif op == b"Tw" and stack:
+                tw = float(stack[-1])
+            elif op == b"Tz" and stack:
+                th = float(stack[-1]) / 100.0
+            elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+            elif op == b"'" and stack and isinstance(stack[-1], bytes):
+                td(0.0, -tl)
+                show(stack[-1])
+            elif op == b'"' and len(stack) >= 3 and isinstance(stack[-1], bytes):
+                tw, tc = float(stack[-3]), float(stack[-2])
+                td(0.0, -tl)
+                show(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, bytes):
+                        show(item)
+                    elif isinstance(item, (int, float)):
+                        tm = _mat_mul(
+                            (1, 0, 0, 1, -item / 1000.0 * tfs * th, 0), tm
+                        )
+            elif op == b"m" and len(stack) >= 2:
+                cur_pt = (float(stack[-2]), float(stack[-1]))
+            elif op == b"l" and len(stack) >= 2 and cur_pt is not None:
+                pt = (float(stack[-2]), float(stack[-1]))
+                path.append((cur_pt[0], cur_pt[1], pt[0], pt[1]))
+                cur_pt = pt
+            elif op == b"re" and len(stack) >= 4:
+                x, y, w, h = (float(v) for v in stack[-4:])
+                if abs(h) <= 2.5 or abs(w) <= 2.5:  # thin rect == rule
+                    path.append((x, y, x + w, y + h))
+                else:  # border rectangle contributes 4 rules
+                    path.append((x, y, x + w, y))
+                    path.append((x, y + h, x + w, y + h))
+                    path.append((x, y, x, y + h))
+                    path.append((x + w, y, x + w, y + h))
+            elif op in (b"S", b"s"):
+                flush_path(True, False)
+            elif op in (b"f", b"F", b"f*"):
+                flush_path(False, True)
+            elif op in (b"B", b"B*", b"b", b"b*"):
+                flush_path(True, True)
+            elif op == b"n":
+                path = []
+                cur_pt = None
+        except (TypeError, ValueError, IndexError):
+            pass
+        stack.clear()
+
+    return {"spans": spans, "rules": rules}
+
+
+# ---------------------------------------------------------------------------
 # Embedded images
 # ---------------------------------------------------------------------------
 
@@ -747,9 +1031,12 @@ def _raster_to_image(doc, d, data, width, height):
 # ---------------------------------------------------------------------------
 
 
-def extract_pdf(content: bytes) -> Dict[str, Any]:
-    """→ {pages: [{page, text}], outline: [...], images:
-    [(page_num, bytes, ext, (w, h))], page_count}."""
+def extract_pdf(content: bytes, include_layout: bool = False) -> Dict[str, Any]:
+    """→ {pages: [{page, text[, layout]}], outline: [...], images:
+    [(page_num, bytes, ext, (w, h))], page_count}.
+
+    With ``include_layout`` each page dict also carries the positioned
+    span/rule layout used for table detection (``ingest.pdftables``)."""
     doc = PDFDocument(content)
     pages = doc.pages()
     page_texts = []
@@ -759,7 +1046,13 @@ def extract_pdf(content: bytes) -> Dict[str, Any]:
             text = extract_page_text(doc, page)
         except Exception:
             text = ""
-        page_texts.append({"page": i + 1, "text": text})
+        entry: Dict[str, Any] = {"page": i + 1, "text": text}
+        if include_layout:
+            try:
+                entry["layout"] = extract_page_layout(doc, page)
+            except Exception:
+                entry["layout"] = {"spans": [], "rules": []}
+        page_texts.append(entry)
         for img_bytes, ext, size in extract_page_images(doc, page):
             images.append((i + 1, img_bytes, ext, size))
     return {

@@ -43,6 +43,11 @@ class EncoderConfig:
     type_vocab: int = 2
     ln_eps: float = 1e-12
     compute_dtype: Any = jnp.bfloat16
+    # Use the VMEM-fused attention Pallas kernel (ops/fused_attention.py)
+    # instead of the einsum chain. On TPU this removes the (B, nh, S, S)
+    # logits/probs HBM round-trip, which otherwise dominates at ingest
+    # batch sizes (measured: 14k -> 20k+ chunks/s at B=2048).
+    fused_attention: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -180,24 +185,34 @@ def _layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float):
     return y * scale + bias
 
 
-def _layer(x, mask_bias, lp, cfg: EncoderConfig):
-    """One post-LN transformer block. x: (B,S,H) compute-dtype."""
+def _layer(x, key_bias, lp, cfg: EncoderConfig):
+    """One post-LN transformer block. x: (B,S,H) compute-dtype;
+    key_bias: (B,S) f32 additive bias on key positions (0 real / -1e9 pad)."""
     cd = cfg.compute_dtype
     B, S, H = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
+    sm_scale = float(1.0 / np.sqrt(hd))
 
     def proj(w, b):
         y = jnp.dot(x, w.astype(cd), preferred_element_type=jnp.float32)
         return (y + b).astype(cd)
 
-    q = proj(lp["wq"], lp["bq"]).reshape(B, S, nh, hd)
-    k = proj(lp["wk"], lp["bk"]).reshape(B, S, nh, hd)
-    v = proj(lp["wv"], lp["bv"]).reshape(B, S, nh, hd)
+    # Keep q/k/v in the projection-native (B*S, H) lane layout — the fused
+    # kernel slices heads in VMEM, so no HBM transpose ever happens.
+    q = proj(lp["wq"], lp["bq"]).reshape(B * S, H)
+    k = proj(lp["wk"], lp["bk"]).reshape(B * S, H)
+    v = proj(lp["wv"], lp["bv"]).reshape(B * S, H)
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * (1.0 / np.sqrt(hd)) + mask_bias
-    probs = jax.nn.softmax(logits, axis=-1).astype(cd)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    from multimodal_rag_tpu.ops import fused_attention as fa
+
+    if cfg.fused_attention and fa.fused_attention_supported(B, S, hd):
+        ctx = fa.fused_attention(
+            q, k, v, key_bias, sm_scale, num_heads=nh, seq_len=S
+        )
+    else:
+        ctx = fa.attention_xla(
+            q, k, v, key_bias, sm_scale, num_heads=nh, seq_len=S
+        )
     ctx = ctx.astype(cd).reshape(B, S, H)
 
     attn_out = (
@@ -232,10 +247,10 @@ def encoder_forward(
     x = x.astype(cfg.compute_dtype)
 
     # Additive attention bias: 0 for real tokens, -inf-ish for padding.
-    mask_bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    key_bias = (1.0 - mask.astype(jnp.float32)) * -1e9
 
     def body(carry, lp):
-        return _layer(carry, mask_bias, lp, cfg), None
+        return _layer(carry, key_bias, lp, cfg), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x.astype(jnp.float32)

@@ -1,0 +1,165 @@
+"""Fused multi-head attention Pallas kernel for short-sequence encoders.
+
+The encoder families this framework serves (MiniLM-L6, CLIP/SigLIP text
+towers, cross-encoder rerankers) run short sequences (S <= 256) with small
+heads (head_dim 32-64). The reference's torch path — and a naive XLA einsum
+chain — materializes the ``(B, nh, S, S)`` float32 logits and probs in HBM;
+at batch 256 that is ~600 MB of HBM traffic per layer, which makes the
+embed stage bandwidth-bound instead of MXU-bound (measured ~4.4 ms of a
+12.9 ms MiniLM forward at B=256, S=128).
+
+Layout is the key design choice. The projections produce ``(B*S, H)`` with
+heads as contiguous lane groups; any host-side transpose to the
+"(B, nh, S, hd)" convention costs ~8 full-tensor HBM relayouts per layer
+and was measured to ERASE the fusion win. So this kernel consumes the
+projection output layout directly:
+
+* q/k/v arrive as ``(B*S, H)`` — exactly what ``x @ W`` produces, reshaped
+  for free on leading dims.
+* Per head, the kernel takes a static lane slice ``[:, h*hd:(h+1)*hd]``
+  (in VMEM), splits the leading dim to ``(bb, S, hd)`` (free), and runs one
+  MXU-batched QK^T → bias → softmax → PV chain per head, fully in VMEM.
+* The context is written back into the same ``(bb*S, H)`` lane layout, so
+  the output projection consumes it with no relayout either.
+
+HBM traffic is exactly one read of q/k/v and one write of the context —
+scores never leave VMEM. Flash-style streaming is unnecessary at these
+sequence lengths: the whole per-head score block fits in VMEM.
+
+Padding is handled by an additive key bias ``(B, S)`` (0 = real token,
+-1e9 = padding), matching ``models.minilm.encoder_forward`` semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fused_attention_supported(B: int, S: int, hd: int, block_b: int = 8) -> bool:
+    """The kernel targets short-sequence encoders: the per-head (block_b,
+    S, S) score block must fit VMEM, and Pallas only compiles on TPU."""
+    return (
+        jax.default_backend() == "tpu"
+        and B % block_b == 0
+        and S <= 256
+        and hd <= 128
+    )
+
+
+def _attention_kernel(
+    q_ref, k_ref, v_ref, bias_ref, out_ref, *, sm_scale, nh, S, hd, bb
+):
+    bias = bias_ref[:][:, None, :]  # (bb, 1, S) broadcasts over query rows
+    for h in range(nh):
+        lo = h * hd
+        q = q_ref[:, lo:lo + hd].reshape(bb, S, hd)
+        k = k_ref[:, lo:lo + hd].reshape(bb, S, hd)
+        v = v_ref[:, lo:lo + hd].reshape(bb, S, hd)
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bb, S, S)
+        logits = logits * sm_scale + bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+        ctx = jax.lax.dot_general(
+            probs, v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bb, S, hd)
+        out_ref[:, lo:lo + hd] = ctx.reshape(bb * S, hd).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "seq_len", "sm_scale", "block_b",
+                              "interpret")
+)
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_bias: jax.Array,
+    sm_scale: float,
+    num_heads: int,
+    seq_len: int,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head attention fully fused in VMEM, projection-native layout.
+
+    q, k, v: ``(B*S, H)`` with head h in lanes ``[h*hd, (h+1)*hd)`` (the
+    raw projection output). ``key_bias``: ``(B, S)`` float32 additive bias
+    on key positions (0 real / -1e9 pad). Returns ``(B*S, H)`` in q's
+    dtype. B must be a multiple of ``block_b`` (callers pad the batch
+    bucket)."""
+    BS, H = q.shape
+    S = seq_len
+    B = BS // S
+    hd = H // num_heads
+    assert B * S == BS and hd * num_heads == H, (q.shape, num_heads, S)
+    assert k.shape == v.shape == (BS, H)
+    assert key_bias.shape == (B, S), (key_bias.shape, B, S)
+    assert B % block_b == 0, (B, block_b)
+
+    grid = (B // block_b,)
+    block = (block_b * S, H)
+    return pl.pallas_call(
+        functools.partial(
+            _attention_kernel, sm_scale=sm_scale, nh=num_heads, S=S, hd=hd,
+            bb=block_b,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S), lambda bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(block, lambda bi: (bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BS, H), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * S * S * hd,
+            bytes_accessed=4 * BS * H * q.dtype.itemsize,
+            transcendentals=B * num_heads * S * S,
+        ),
+        interpret=interpret,
+    )(q, k, v, key_bias)
+
+
+def attention_xla(
+    q: jax.Array, k: jax.Array, v: jax.Array, key_bias: jax.Array,
+    sm_scale: float, num_heads: int, seq_len: int,
+) -> jax.Array:
+    """XLA fallback with identical semantics and the same (B*S, H) layout
+    contract (used off-TPU and as the oracle in tests)."""
+    BS, H = q.shape
+    S = seq_len
+    B = BS // S
+    hd = H // num_heads
+
+    def split(x):
+        return x.reshape(B, S, num_heads, hd)
+
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", split(q), split(k),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * sm_scale + key_bias[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, split(v),
+        preferred_element_type=jnp.float32,
+    )
+    return ctx.astype(q.dtype).reshape(BS, H)
