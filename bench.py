@@ -4,9 +4,19 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Baseline (BASELINE.md §3): >= 20,000 embed chunks/sec/chip on TPU v5e and
-top-5 retrieval over HBM-resident vectors. Timing uses a jitted dependency-
-chained fori_loop so per-call cost is measured on-device, independent of the
-host-relay round-trip latency of tunneled dev chips.
+top-5 retrieval over HBM-resident vectors.
+
+Timing methodology (important on relay-tunneled dev chips):
+* Work is a jitted dependency-chained ``fori_loop`` so per-iteration cost is
+  measured on-device, independent of host-relay round-trip latency — the
+  (hi_reps − lo_reps) subtraction cancels all per-dispatch constants.
+* BOTH rep-count programs are warmed before timing (reps is a static arg,
+  so each count is a separate XLA executable — timing an unwarmed one
+  would measure its compile).
+* Timed calls use fresh input values: the relay layer may serve repeated
+  identical calls with small outputs from a result cache, and
+  ``block_until_ready`` alone does not guarantee device execution through
+  the tunnel — results are materialized to host via ``np.asarray``.
 """
 
 from __future__ import annotations
@@ -23,17 +33,20 @@ import jax.numpy as jnp
 EMBED_BASELINE = 20_000.0  # chunks/sec/chip
 SEQ = 128  # tokens per chunk (≈600-char chunks after wordpiece)
 BATCH = 256
+REPS_LO, REPS_HI = 4, 16
 
 
-def _timed_loop(fn, reps_lo=2, reps_hi=12):
-    np.asarray(jax.tree.leaves(fn(reps_lo))[0])  # warm / compile
+def _timed_loop(fn):
+    """fn(perturbation, reps) → device array. Returns seconds/rep."""
+    np.asarray(fn(0, REPS_LO))  # compile + warm lo
+    np.asarray(fn(1, REPS_HI))  # compile + warm hi
     t0 = time.perf_counter()
-    np.asarray(jax.tree.leaves(fn(reps_lo))[0])
+    np.asarray(fn(2, REPS_LO))
     lo = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np.asarray(jax.tree.leaves(fn(reps_hi))[0])
+    np.asarray(fn(3, REPS_HI))
     hi = time.perf_counter() - t0
-    return (hi - lo) / (reps_hi - reps_lo)
+    return (hi - lo) / (REPS_HI - REPS_LO)
 
 
 def bench_embed():
@@ -48,14 +61,14 @@ def bench_embed():
     def loop(params, ids, mask, reps):
         def body(i, carry):
             out = embed(params, ids + carry, mask, MINILM_L6)
-            return (out[0, 0] * 0 + 1).astype(jnp.uint32) * 0
+            return (jnp.abs(out[0, 0]) * 1e-6).astype(jnp.uint32)
         return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
 
-    dt = _timed_loop(lambda r: loop(params, ids, mask, r))
+    dt = _timed_loop(lambda p, r: loop(params, ids + p, mask, r))
     return BATCH / dt  # chunks per second
 
 
-def bench_retrieval(n_vectors=1 << 20, k=5, n_queries=8):
+def bench_retrieval(n_vectors=1 << 20, k=5, n_queries=8, tile_n=8192):
     from multimodal_rag_tpu.ops.mips_topk import mips_topk
 
     D = 384
@@ -66,11 +79,11 @@ def bench_retrieval(n_vectors=1 << 20, k=5, n_queries=8):
     @functools.partial(jax.jit, static_argnames=("reps",))
     def loop(Q, V, M, reps):
         def body(i, q):
-            vals, idx = mips_topk(q, V, M, k=k)
-            return Q + 1e-9 * vals[0:1, 0:1]
+            vals, idx = mips_topk(q, V, M, k=k, tile_n=tile_n)
+            return q + 1e-9 * vals[0:1, 0:1]
         return jax.lax.fori_loop(0, reps, body, Q)
 
-    dt = _timed_loop(lambda r: loop(Q, V, M, r))
+    dt = _timed_loop(lambda p, r: loop(Q + p, V, M, r))
     return dt * 1e3  # ms per query batch
 
 

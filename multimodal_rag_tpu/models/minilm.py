@@ -206,9 +206,7 @@ def _layer(x, key_bias, lp, cfg: EncoderConfig):
     from multimodal_rag_tpu.ops import fused_attention as fa
 
     if cfg.fused_attention and fa.fused_attention_supported(B, S, hd):
-        ctx = fa.fused_attention(
-            q, k, v, key_bias, sm_scale, num_heads=nh, seq_len=S
-        )
+        ctx = fa.fused_attention_ad(q, k, v, key_bias, sm_scale, nh, S)
     else:
         ctx = fa.attention_xla(
             q, k, v, key_bias, sm_scale, num_heads=nh, seq_len=S

