@@ -108,7 +108,12 @@ class Settings:
 
     # --- Models (reference config.py:102-106; CLIP_MODEL is real here) ---
     SENTENCE_TRANSFORMER_MODEL: str = "all-MiniLM-L6-v2"
-    CLIP_MODEL: str = "ViT-B/32"
+    CLIP_MODEL: str = "ViT-B/32"  # "siglip-base-patch16-224" → SigLIP towers
+    # Cross-modal figure index (text↔image retrieval over extracted
+    # figures). Off by default: the dual towers are ~87M params and their
+    # first compile stalls the first image-bearing upload; flip on for
+    # deployments that use /search/images.
+    CROSS_MODAL_ENABLED: bool = False
 
     # --- Storage (reference config.py:111-112) ---
     DATA_DIR: Path = field(default_factory=lambda: BASE_DIR / "data")

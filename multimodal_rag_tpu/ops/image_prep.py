@@ -49,9 +49,13 @@ def stage_image(img, stage_size: int = STAGE_SIZE) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
 def device_preprocess(
-    staged: jax.Array, out_size: int = 224
+    staged: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    out_size: int = 224,
 ) -> jax.Array:
-    """(B, S, S, 3) uint8 → (B, out, out, 3) f32 CLIP-normalized.
+    """(B, S, S, 3) uint8 → (B, out, out, 3) f32, normalized by the given
+    per-channel stats (CLIP or SigLIP).
 
     Bicubic resize + normalization fused by XLA into one device pass.
     """
@@ -60,16 +64,22 @@ def device_preprocess(
     x = jax.image.resize(
         x, (B, out_size, out_size, 3), method="cubic"
     )
-    mean = jnp.asarray(IMAGE_MEAN)
-    std = jnp.asarray(IMAGE_STD)
     return (x - mean) / std
 
 
 def preprocess_batch(
-    images: Sequence, out_size: int = 224
+    images: Sequence,
+    out_size: int = 224,
+    mean: np.ndarray = IMAGE_MEAN,
+    std: np.ndarray = IMAGE_STD,
 ) -> jax.Array:
-    """bytes/PIL images → device-preprocessed (B, out, out, 3) f32."""
+    """bytes/PIL images → device-preprocessed (B, out, out, 3) f32.
+    Defaults to CLIP normalization stats; pass SigLIP's (0.5/0.5) for the
+    SigLIP towers."""
     if not images:
         return jnp.zeros((0, out_size, out_size, 3), jnp.float32)
     staged = np.stack([stage_image(img) for img in images])
-    return device_preprocess(jnp.asarray(staged), out_size=out_size)
+    return device_preprocess(
+        jnp.asarray(staged), jnp.asarray(mean), jnp.asarray(std),
+        out_size=out_size,
+    )

@@ -181,6 +181,12 @@ def mips_topk(
             pltpu.VMEM((tile_b, _round_up(k_eff, LANES)), jnp.float32),
             pltpu.VMEM((tile_b, _round_up(k_eff, LANES)), jnp.int32),
         ],
+        # Large streaming tiles (8192 rows) double-buffer past the default
+        # 16 MB scoped-VMEM budget once dim > 384 (e.g. the 512-d CLIP
+        # space); v5e has 128 MB of VMEM, so give the pipeline headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * N * D,
             bytes_accessed=N * D * database.dtype.itemsize + 4 * N,

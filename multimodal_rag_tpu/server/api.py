@@ -59,6 +59,7 @@ class Components:
         summarizer=None,
         embedder=None,
         retriever=None,
+        crossmodal=None,
     ):
         self.parser = parser
         self.llm_adapter = llm_adapter
@@ -66,6 +67,7 @@ class Components:
         self.summarizer = summarizer
         self.embedder = embedder
         self.retriever = retriever
+        self.crossmodal = crossmodal
 
     @classmethod
     def build_default(cls) -> "Components":
@@ -77,6 +79,13 @@ class Components:
 
         llm = LLMAdapter()
         mllm = MLLMAdapter()
+        crossmodal = None
+        if settings.CROSS_MODAL_ENABLED:
+            from multimodal_rag_tpu.crossmodal import CrossModalIndex
+
+            crossmodal = CrossModalIndex(
+                persist_dir=settings.VECTOR_PERSIST_DIR
+            )
         return cls(
             parser=DocumentParser(llm_adapter=llm, mllm_adapter=mllm),
             llm_adapter=llm,
@@ -84,6 +93,7 @@ class Components:
             summarizer=ContentSummarizer(mllm),
             embedder=EmbeddingManager(persist_dir=settings.VECTOR_PERSIST_DIR),
             retriever=MultiVectorRetriever(),
+            crossmodal=crossmodal,
         )
 
     async def initialize(self) -> None:
@@ -100,7 +110,8 @@ class Components:
 
     async def cleanup(self) -> None:
         for component in (
-            self.llm_adapter, self.mllm_adapter, self.embedder, self.retriever
+            self.llm_adapter, self.mllm_adapter, self.embedder,
+            self.retriever, self.crossmodal,
         ):
             if component is not None:
                 try:
@@ -258,6 +269,15 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 await comps.retriever.store_raw_documents(
                     doc_id, summaries, filename
                 )
+            if comps.crossmodal is not None and parsed.get("images"):
+                with timer.stage("crossmodal"):
+                    try:
+                        n = await comps.crossmodal.index_document_images(
+                            doc_id, parsed["images"]
+                        )
+                        logger.info("Indexed %d figures cross-modally", n)
+                    except Exception as e:  # noqa: BLE001
+                        logger.warning("cross-modal indexing failed: %s", e)
             aggregator.record_timer(timer, "upload.")
             aggregator.record("upload.total", timer.total)
             total = time.time() - start
@@ -388,6 +408,8 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         try:
             await comps.embedder.delete_document(doc_id)
             await comps.retriever.delete_document(doc_id)
+            if comps.crossmodal is not None:
+                await comps.crossmodal.delete_document(doc_id)
             return web.json_response({"message": f"Document {doc_id} deleted"})
         except Exception as e:  # noqa: BLE001
             return json_error(500, str(e))
@@ -398,10 +420,42 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             count = len(docs)
             await comps.embedder.delete_all()
             await comps.retriever.delete_all()
+            if comps.crossmodal is not None:
+                await comps.crossmodal.delete_all()
             return web.json_response(
                 {"message": f"Deleted {count} documents", "count": count}
             )
         except Exception as e:  # noqa: BLE001
+            return json_error(500, str(e))
+
+    # --- Cross-modal figure search (additive; BASELINE.json config 2) ----
+    async def search_images(request):
+        if comps.crossmodal is None:
+            return json_error(
+                503,
+                "Cross-modal search disabled (set CROSS_MODAL_ENABLED=true)",
+            )
+        try:
+            body = await request.json()
+        except ValueError:
+            return json_error(422, "JSON body required")
+        query_text = body.get("query", "")
+        top_k = body.get("top_k", 5)
+        if not isinstance(query_text, str) or not query_text.strip():
+            return json_error(422, "query must be a non-empty string")
+        if not isinstance(top_k, int) or not 1 <= top_k <= 20:
+            return json_error(422, "top_k must be an int in [1, 20]")
+        start = time.time()
+        try:
+            hits = await comps.crossmodal.search_text(query_text, k=top_k)
+            return web.json_response(
+                {
+                    "results": hits,
+                    "processing_time": time.time() - start,
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("cross-modal search failed")
             return json_error(500, str(e))
 
     # --- Stats (reference api.py:468-508) --------------------------------
@@ -448,6 +502,11 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     "auth": "disabled",
                     # Additive: rolling per-stage latency percentiles.
                     "latency": aggregator.snapshot(),
+                    **(
+                        {"crossmodal": comps.crossmodal.get_stats()}
+                        if comps.crossmodal is not None
+                        else {}
+                    ),
                 }
             )
         except Exception as e:  # noqa: BLE001
@@ -501,6 +560,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     # Fix for the reference admin UI's singular route (SURVEY.md §2.3.4).
     app.router.add_delete("/document/{doc_id}", delete_document)
     app.router.add_get("/stats", stats)
+    app.router.add_post("/search/images", search_images)
     app.router.add_post("/profile", profile)
     app.router.add_get("/docs", docs)
     app.router.add_get("/openapi.json", openapi)
@@ -521,6 +581,7 @@ def _route_docs():
         ("DELETE", "/document/{doc_id}", "delete one document (alias)"),
         ("DELETE", "/documents", "delete all documents"),
         ("GET", "/stats", "system statistics"),
+        ("POST", "/search/images", "cross-modal figure search {query, top_k}"),
     ]
 
 
