@@ -48,6 +48,8 @@ class CLIPConfig:
     embed_dim: int = 512
     ln_eps: float = 1e-5
     compute_dtype: Any = jnp.bfloat16
+    # VMEM-fused attention kernel (ops/fused_attention.py) on TPU.
+    fused_attention: bool = True
 
     @property
     def n_patches(self) -> int:
@@ -131,11 +133,14 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _pre_ln_block(x, mask_bias, lp, heads, cfg):
-    """Pre-LN transformer block (CLIP convention)."""
+def _pre_ln_block(x, pos_bias, lp, heads, cfg):
+    """Pre-LN transformer block (CLIP convention). ``pos_bias``: optional
+    (S, S) f32 additive bias shared across the batch (the causal mask for
+    the text tower; None for vision)."""
     cd = cfg.compute_dtype
     B, S, W = x.shape
     hd = W // heads
+    sm_scale = float(1.0 / np.sqrt(hd))
 
     h = _layernorm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps).astype(cd)
 
@@ -143,18 +148,28 @@ def _pre_ln_block(x, mask_bias, lp, heads, cfg):
         y = jnp.dot(inp, w.astype(cd), preferred_element_type=jnp.float32)
         return (y + b).astype(cd)
 
-    q = proj(h, lp["wq"], lp["bq"]).reshape(B, S, heads, hd)
-    k = proj(h, lp["wk"], lp["bk"]).reshape(B, S, heads, hd)
-    v = proj(h, lp["wv"], lp["bv"]).reshape(B, S, heads, hd)
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * (1.0 / np.sqrt(hd))
-    if mask_bias is not None:
-        logits = logits + mask_bias
-    probs = jax.nn.softmax(logits, axis=-1).astype(cd)
-    ctx = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-    ).astype(cd).reshape(B, S, W)
+    # Projection-native (B*S, W) layout: the fused kernel slices heads in
+    # VMEM, so no HBM transpose (see ops/fused_attention.py).
+    q = proj(h, lp["wq"], lp["bq"]).reshape(B * S, W)
+    k = proj(h, lp["wk"], lp["bk"]).reshape(B * S, W)
+    v = proj(h, lp["wv"], lp["bv"]).reshape(B * S, W)
+
+    from multimodal_rag_tpu.ops import fused_attention as fa
+
+    key_bias = jnp.zeros((B, S), jnp.float32)
+    if getattr(cfg, "fused_attention", True) and fa.fused_attention_supported(
+        B, S, hd
+    ):
+        ctx = fa.fused_attention(
+            q, k, v, key_bias, sm_scale, num_heads=heads, seq_len=S,
+            pos_bias=pos_bias,
+        )
+    else:
+        ctx = fa.attention_xla(
+            q, k, v, key_bias, sm_scale, num_heads=heads, seq_len=S,
+            pos_bias=pos_bias,
+        )
+    ctx = ctx.astype(cd).reshape(B, S, W)
     attn = (
         jnp.dot(ctx, lp["wo"].astype(cd), preferred_element_type=jnp.float32)
         + lp["bo"]
@@ -187,7 +202,7 @@ def encode_text(
     tp = params["text"]
     B, S = ids.shape
     x = tp["token_embed"][ids] + tp["pos_embed"][:S][None]
-    causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+    causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)
     x = _run_tower(x, causal, tp["blocks"], cfg.text_heads, cfg)
     x = _layernorm(x, tp["ln_final_scale"], tp["ln_final_bias"], cfg.ln_eps)
     eot = jnp.argmax(ids, axis=-1)  # EOT has the highest token id
@@ -307,11 +322,27 @@ class CLIPEncoder:
     def dim(self) -> int:
         return self.cfg.embed_dim
 
+    # Batch buckets: one compiled executable per bucket instead of one per
+    # distinct request size (remote compiles are expensive).
+    BATCH_BUCKETS = (4, 8, 32, 128)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return ((n + 127) // 128) * 128
+
     def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
         ids = self.tokenizer.encode_batch(list(texts))
-        return np.asarray(self._jit_text(self.params, jnp.asarray(ids)))
+        bb = self._bucket(len(texts))
+        if bb != len(texts):
+            ids = np.concatenate(
+                [ids, np.repeat(ids[-1:], bb - len(texts), axis=0)]
+            )
+        out = np.asarray(self._jit_text(self.params, jnp.asarray(ids)))
+        return out[: len(texts)]
 
     def encode_images(
         self, images: Sequence, device_prep: bool = True
@@ -334,7 +365,13 @@ class CLIPEncoder:
                     ]
                 )
             )
-        return np.asarray(self._jit_image(self.params, pixels))
+        bb = self._bucket(len(images))
+        if bb != pixels.shape[0]:
+            pixels = jnp.concatenate(
+                [pixels, jnp.repeat(pixels[-1:], bb - pixels.shape[0], axis=0)]
+            )
+        out = np.asarray(self._jit_image(self.params, pixels))
+        return out[: len(images)]
 
 
 def load_hf_clip_params(path: str, cfg: CLIPConfig = CLIP_B32) -> Dict:

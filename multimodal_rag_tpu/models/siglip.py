@@ -62,6 +62,8 @@ class SigLIPConfig:
     embed_dim: int = 768
     ln_eps: float = 1e-6
     compute_dtype: Any = jnp.bfloat16
+    # VMEM-fused attention kernel (ops/fused_attention.py) on TPU.
+    fused_attention: bool = True
 
     def __post_init__(self):
         # SigLIP has no vision projection: the MAP-pooled vector IS the
@@ -127,11 +129,14 @@ def init_params(rng: jax.Array, cfg: SigLIPConfig = SIGLIP_B16) -> Dict:
     }
 
 
-def _gelu_block(x, mask_bias, lp, heads, cfg):
-    """Pre-LN block with tanh GELU (SigLIP MLP convention)."""
+def _gelu_block(x, pos_bias, lp, heads, cfg):
+    """Pre-LN block with tanh GELU (SigLIP MLP convention). ``pos_bias``:
+    optional (S, S) f32 additive bias (SigLIP towers are bidirectional, so
+    normally None)."""
     cd = cfg.compute_dtype
     B, S, W = x.shape
     hd = W // heads
+    sm_scale = float(1.0 / np.sqrt(hd))
 
     h = _layernorm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps).astype(cd)
 
@@ -139,18 +144,26 @@ def _gelu_block(x, mask_bias, lp, heads, cfg):
         y = jnp.dot(inp, w.astype(cd), preferred_element_type=jnp.float32)
         return (y + b).astype(cd)
 
-    q = proj(h, lp["wq"], lp["bq"]).reshape(B, S, heads, hd)
-    k = proj(h, lp["wk"], lp["bk"]).reshape(B, S, heads, hd)
-    v = proj(h, lp["wv"], lp["bv"]).reshape(B, S, heads, hd)
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * (1.0 / np.sqrt(hd))
-    if mask_bias is not None:
-        logits = logits + mask_bias
-    probs = jax.nn.softmax(logits, axis=-1).astype(cd)
-    ctx = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-    ).astype(cd).reshape(B, S, W)
+    q = proj(h, lp["wq"], lp["bq"]).reshape(B * S, W)
+    k = proj(h, lp["wk"], lp["bk"]).reshape(B * S, W)
+    v = proj(h, lp["wv"], lp["bv"]).reshape(B * S, W)
+
+    from multimodal_rag_tpu.ops import fused_attention as fa
+
+    key_bias = jnp.zeros((B, S), jnp.float32)
+    if getattr(cfg, "fused_attention", True) and fa.fused_attention_supported(
+        B, S, hd
+    ):
+        ctx = fa.fused_attention(
+            q, k, v, key_bias, sm_scale, num_heads=heads, seq_len=S,
+            pos_bias=pos_bias,
+        )
+    else:
+        ctx = fa.attention_xla(
+            q, k, v, key_bias, sm_scale, num_heads=heads, seq_len=S,
+            pos_bias=pos_bias,
+        )
+    ctx = ctx.astype(cd).reshape(B, S, W)
     attn = (
         jnp.dot(ctx, lp["wo"].astype(cd), preferred_element_type=jnp.float32)
         + lp["bo"]
@@ -327,11 +340,26 @@ class SigLIPEncoder:
     def dim(self) -> int:
         return self.cfg.embed_dim
 
+    # One compiled executable per bucket instead of one per request size.
+    BATCH_BUCKETS = (4, 8, 32, 128)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return ((n + 127) // 128) * 128
+
     def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
         ids = self.tokenizer.encode_batch(list(texts))
-        return np.asarray(self._jit_text(self.params, jnp.asarray(ids)))
+        bb = self._bucket(len(texts))
+        if bb != len(texts):
+            ids = np.concatenate(
+                [ids, np.repeat(ids[-1:], bb - len(texts), axis=0)]
+            )
+        out = np.asarray(self._jit_text(self.params, jnp.asarray(ids)))
+        return out[: len(texts)]
 
     def encode_images(
         self, images: Sequence, device_prep: bool = True
@@ -356,7 +384,13 @@ class SigLIPEncoder:
 
             raw = arr * _clip.IMAGE_STD + _clip.IMAGE_MEAN
             pixels = jnp.asarray((raw - IMAGE_MEAN) / IMAGE_STD)
-        return np.asarray(self._jit_image(self.params, pixels))
+        bb = self._bucket(len(images))
+        if bb != pixels.shape[0]:
+            pixels = jnp.concatenate(
+                [pixels, jnp.repeat(pixels[-1:], bb - pixels.shape[0], axis=0)]
+            )
+        out = np.asarray(self._jit_image(self.params, pixels))
+        return out[: len(images)]
 
 
 def load_hf_siglip_params(

@@ -42,19 +42,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 def fused_attention_supported(B: int, S: int, hd: int, block_b: int = 8) -> bool:
     """The kernel targets short-sequence encoders: the per-head (block_b,
-    S, S) score block must fit VMEM, and Pallas only compiles on TPU."""
+    S, S) score block must fit VMEM, Pallas only compiles on TPU, and the
+    in-VMEM leading-dim split (block_b*S, hd) → (block_b, S, hd) needs a
+    sublane-aligned S (multiple of 8) — unaligned towers (e.g. CLIP's
+    S=77/50) take the XLA path through the same call sites."""
     return (
         jax.default_backend() == "tpu"
         and B % block_b == 0
+        and S % 8 == 0
         and S <= 256
         and hd <= 128
     )
 
 
 def _attention_kernel(
-    q_ref, k_ref, v_ref, bias_ref, out_ref, *, sm_scale, nh, S, hd, bb
+    q_ref, k_ref, v_ref, bias_ref, *rest, sm_scale, nh, S, hd, bb, has_pos
 ):
+    if has_pos:
+        pos_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     bias = bias_ref[:][:, None, :]  # (bb, 1, S) broadcasts over query rows
+    if has_pos:
+        bias = bias + pos_ref[:][None, :, :]  # (S, S): causal / relative
     for h in range(nh):
         lo = h * hd
         q = q_ref[:, lo:lo + hd].reshape(bb, S, hd)
@@ -89,6 +99,7 @@ def fused_attention(
     sm_scale: float,
     num_heads: int,
     seq_len: int,
+    pos_bias: jax.Array | None = None,
     block_b: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
@@ -96,9 +107,10 @@ def fused_attention(
 
     q, k, v: ``(B*S, H)`` with head h in lanes ``[h*hd, (h+1)*hd)`` (the
     raw projection output). ``key_bias``: ``(B, S)`` float32 additive bias
-    on key positions (0 real / -1e9 pad). Returns ``(B*S, H)`` in q's
-    dtype. B must be a multiple of ``block_b`` (callers pad the batch
-    bucket)."""
+    on key positions (0 real / -1e9 pad). ``pos_bias``: optional ``(S, S)``
+    float32 additive bias shared across the batch (e.g. CLIP's causal
+    mask). Returns ``(B*S, H)`` in q's dtype. B must be a multiple of
+    ``block_b`` (callers pad the batch bucket)."""
     BS, H = q.shape
     S = seq_len
     B = BS // S
@@ -107,22 +119,32 @@ def fused_attention(
     assert k.shape == v.shape == (BS, H)
     assert key_bias.shape == (B, S), (key_bias.shape, B, S)
     assert B % block_b == 0, (B, block_b)
+    has_pos = pos_bias is not None
+    if has_pos:
+        assert pos_bias.shape == (S, S), pos_bias.shape
 
     grid = (B // block_b,)
     block = (block_b * S, H)
+    in_specs = [
+        pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, S), lambda bi: (bi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [q, k, v, key_bias]
+    if has_pos:
+        in_specs.append(
+            pl.BlockSpec((S, S), lambda bi: (0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(pos_bias)
     return pl.pallas_call(
         functools.partial(
             _attention_kernel, sm_scale=sm_scale, nh=num_heads, S=S, hd=hd,
-            bb=block_b,
+            bb=block_b, has_pos=has_pos,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, lambda bi: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, S), lambda bi: (bi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(block, lambda bi: (bi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BS, H), q.dtype),
@@ -135,7 +157,7 @@ def fused_attention(
             transcendentals=B * num_heads * S * S,
         ),
         interpret=interpret,
-    )(q, k, v, key_bias)
+    )(*inputs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -176,6 +198,7 @@ fused_attention_ad.defvjp(_fa_fwd, _fa_bwd)
 def attention_xla(
     q: jax.Array, k: jax.Array, v: jax.Array, key_bias: jax.Array,
     sm_scale: float, num_heads: int, seq_len: int,
+    pos_bias: jax.Array | None = None,
 ) -> jax.Array:
     """XLA fallback with identical semantics and the same (B*S, H) layout
     contract (used off-TPU and as the oracle in tests)."""
@@ -192,6 +215,8 @@ def attention_xla(
         preferred_element_type=jnp.float32,
     )
     logits = logits * sm_scale + key_bias[:, None, None, :]
+    if pos_bias is not None:
+        logits = logits + pos_bias[None, None, :, :]
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     ctx = jnp.einsum(
         "bhqk,bkhd->bqhd", probs, split(v),
