@@ -154,9 +154,8 @@ def _gelu_block(x, pos_bias, lp, heads, cfg):
     if getattr(cfg, "fused_attention", True) and fa.fused_attention_supported(
         B, S, hd
     ):
-        ctx = fa.fused_attention(
-            q, k, v, key_bias, sm_scale, num_heads=heads, seq_len=S,
-            pos_bias=pos_bias,
+        ctx = fa.fused_attention_ad(
+            q, k, v, key_bias, sm_scale, heads, S, pos_bias
         )
     else:
         ctx = fa.attention_xla(

@@ -161,35 +161,41 @@ def fused_attention(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_attention_ad(q, k, v, key_bias, sm_scale, num_heads, seq_len):
+def fused_attention_ad(
+    q, k, v, key_bias, sm_scale, num_heads, seq_len, pos_bias=None
+):
     """Differentiable wrapper: Pallas-fused forward, XLA-recompute backward.
 
-    Training (contrastive fine-tuning, ``training.py``) differentiates the
-    encoder; Pallas kernels have no automatic VJP, so the backward pass
-    recomputes attention with the XLA formula and differentiates that —
-    a standard rematerialization trade (backward batches are small)."""
+    Training (contrastive / sigmoid fine-tuning, ``training.py``)
+    differentiates the encoders; Pallas kernels have no automatic VJP, so
+    the backward pass recomputes attention with the XLA formula and
+    differentiates that — a standard rematerialization trade (backward
+    batches are small)."""
     return fused_attention(
-        q, k, v, key_bias, sm_scale, num_heads=num_heads, seq_len=seq_len
+        q, k, v, key_bias, sm_scale, num_heads=num_heads, seq_len=seq_len,
+        pos_bias=pos_bias,
     )
 
 
-def _fa_fwd(q, k, v, key_bias, sm_scale, num_heads, seq_len):
+def _fa_fwd(q, k, v, key_bias, sm_scale, num_heads, seq_len, pos_bias=None):
     out = fused_attention(
-        q, k, v, key_bias, sm_scale, num_heads=num_heads, seq_len=seq_len
+        q, k, v, key_bias, sm_scale, num_heads=num_heads, seq_len=seq_len,
+        pos_bias=pos_bias,
     )
-    return out, (q, k, v, key_bias)
+    return out, (q, k, v, key_bias, pos_bias)
 
 
 def _fa_bwd(sm_scale, num_heads, seq_len, res, g):
-    q, k, v, key_bias = res
+    q, k, v, key_bias, pos_bias = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_: attention_xla(
-            q_, k_, v_, key_bias, sm_scale, num_heads, seq_len
+            q_, k_, v_, key_bias, sm_scale, num_heads, seq_len, pos_bias
         ),
         q, k, v,
     )
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, jnp.zeros_like(key_bias)
+    dpos = None if pos_bias is None else jnp.zeros_like(pos_bias)
+    return dq, dk, dv, jnp.zeros_like(key_bias), dpos
 
 
 fused_attention_ad.defvjp(_fa_fwd, _fa_bwd)

@@ -81,6 +81,55 @@ def train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+# ---------------------------------------------------------------------------
+# Dual-encoder (image-text) fine-tuning with the SigLIP sigmoid objective
+# ---------------------------------------------------------------------------
+
+
+def siglip_loss(
+    params,
+    batch: Dict[str, jax.Array],
+    cfg=None,
+) -> jax.Array:
+    """Pairwise sigmoid loss over (image, caption) pairs
+    (``models.siglip.siglip_pair_loss``). batch: pixels (B, H, W, 3) f32,
+    ids (B, context) — matched row-wise. Unlike InfoNCE there is no
+    batch-global softmax: with a DP-sharded batch each device can score
+    its local block independently (the SigLIP paper's "chunked" property);
+    under jit-over-sharded-inputs XLA still derives the all-gather of the
+    (tiny) pooled embeddings for the full (B, B) score matrix."""
+    from multimodal_rag_tpu.models import siglip as sg
+
+    cfg = cfg or sg.SIGLIP_B16
+    z_img = sg.encode_image(params, batch["pixels"], cfg)
+    z_txt = sg.encode_text(params, batch["ids"], cfg)
+    return sg.siglip_pair_loss(
+        z_img, z_txt, params["logit_scale"], params["logit_bias"]
+    )
+
+
+def siglip_train_step(
+    state: TrainState,
+    batch: Dict[str, jax.Array],
+    optimizer: optax.GradientTransformation,
+    cfg=None,
+) -> Tuple[TrainState, jax.Array]:
+    """One dual-encoder optimizer step (towers + logit scale/bias)."""
+    loss, grads = jax.value_and_grad(siglip_loss)(state.params, batch, cfg)
+    updates, opt_state = optimizer.update(
+        grads, state.opt_state, state.params
+    )
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def make_sharded_siglip_train_step(optimizer, cfg=None):
+    """jit the dual-encoder step; DP shardings propagate from inputs placed
+    by ``shard_train_inputs``."""
+    step_fn = functools.partial(siglip_train_step, optimizer=optimizer, cfg=cfg)
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 def save_checkpoint(path: str, state: TrainState) -> None:
     """Orbax checkpoint of params/opt-state/step (checkpoint/resume
     subsystem — the reference had only storage-level durability,

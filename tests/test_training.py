@@ -115,3 +115,77 @@ class TestCheckpoint:
         a, la = train_step(state, batch, optimizer, TINY)
         b, lb = train_step(restored, batch, optimizer, TINY)
         np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+
+
+class TestSigLIPTraining:
+    def test_siglip_train_step_decreases_loss(self):
+        import dataclasses
+
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_rag_tpu.models import siglip as sg
+        from multimodal_rag_tpu.training import (
+            init_train_state,
+            make_optimizer,
+            make_sharded_siglip_train_step,
+        )
+
+        cfg = sg.SigLIPConfig(
+            vocab_size=256, text_width=32, text_layers=1, text_heads=2,
+            context_length=8, image_size=32, patch_size=16, vision_width=32,
+            vision_layers=1, vision_heads=2, embed_dim=32,
+            compute_dtype=jnp.float32,
+        )
+        params = sg.init_params(jax.random.key(0), cfg)
+        opt = make_optimizer(lr=1e-3, warmup=1)
+        state = init_train_state(params, opt)
+        rng = np.random.default_rng(0)
+        batch = {
+            "pixels": jnp.asarray(
+                rng.normal(size=(4, 32, 32, 3)), jnp.float32
+            ),
+            "ids": jnp.asarray(
+                rng.integers(1, 256, (4, 8)), jnp.uint32
+            ),
+        }
+        step = make_sharded_siglip_train_step(opt, cfg)
+        losses = []
+        for _ in range(8):
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_logit_calibration_updates(self):
+        import dataclasses
+
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_rag_tpu.models import siglip as sg
+        from multimodal_rag_tpu.training import (
+            init_train_state,
+            make_optimizer,
+            siglip_train_step,
+        )
+
+        cfg = sg.SigLIPConfig(
+            vocab_size=128, text_width=32, text_layers=1, text_heads=2,
+            context_length=8, image_size=32, patch_size=16, vision_width=32,
+            vision_layers=1, vision_heads=2, embed_dim=32,
+            compute_dtype=jnp.float32,
+        )
+        params = sg.init_params(jax.random.key(1), cfg)
+        opt = make_optimizer(lr=1e-3, warmup=1)
+        state = init_train_state(params, opt)
+        rng = np.random.default_rng(1)
+        batch = {
+            "pixels": jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32),
+            "ids": jnp.asarray(rng.integers(1, 128, (2, 8)), jnp.uint32),
+        }
+        before = float(state.params["logit_bias"])
+        state, _ = siglip_train_step(state, batch, opt, cfg)
+        assert float(state.params["logit_bias"]) != before
