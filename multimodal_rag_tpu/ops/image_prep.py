@@ -2,8 +2,9 @@
 
 The reference's image path was all host-side Pillow (decode + resize +
 re-encode, ``parser.py:463-481``). Here the hot path is split (SURVEY.md
-§2.4): the host only *decodes* to a fixed staging raster (C++ decode stage
-is the planned upgrade; PIL today), and the per-pixel work — bicubic
+§2.4): the host only *decodes* to a fixed staging raster — via the native
+C++ stage (``native/imgdec.cc``: libjpeg/libpng directly, no Python image
+objects) when built, PIL otherwise — and the per-pixel work — bicubic
 resize, center crop, float conversion, CLIP normalization — runs on device
 as one jitted batch op in bf16, so N figures cost one dispatch instead of
 N PIL passes.
@@ -11,8 +12,10 @@ N PIL passes.
 
 from __future__ import annotations
 
+import ctypes
 import functools
-from typing import Sequence
+import os
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,11 +25,63 @@ from multimodal_rag_tpu.models.clip import IMAGE_MEAN, IMAGE_STD
 
 STAGE_SIZE = 256  # host staging raster (shorter side ≥ model input)
 
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native"
+)
+_IMGLIB: Optional[ctypes.CDLL] = None
+_imglib_checked = False
+
+
+def _native_lib() -> Optional[ctypes.CDLL]:
+    """libmmimg.so if built (make -C native), else None → PIL fallback."""
+    global _IMGLIB, _imglib_checked
+    if _imglib_checked:
+        return _IMGLIB
+    _imglib_checked = True
+    path = os.path.join(_NATIVE_DIR, "libmmimg.so")
+    if not os.path.exists(path):
+        # Build on demand, same as the native KV store (storage/kv.py).
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "libmmimg.so"],
+                check=True, capture_output=True,
+            )
+        except Exception:  # noqa: BLE001
+            _IMGLIB = None
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.mmimg_decode_stage.restype = ctypes.c_int
+        lib.mmimg_decode_stage.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_char_p,
+        ]
+        _IMGLIB = lib
+    except OSError:
+        _IMGLIB = None
+    return _IMGLIB
+
 
 def stage_image(img, stage_size: int = STAGE_SIZE) -> np.ndarray:
     """Decode + nearest-resize to (stage, stage, 3) uint8. Aspect ratio is
     preserved by scaling the shorter side then center-cropping — the cheap
-    host half; everything per-pixel-float happens on device."""
+    host half; everything per-pixel-float happens on device.
+
+    Raw JPEG/PNG bytes go through the native C++ decoder when available;
+    PIL images and other formats use the PIL path."""
+    if isinstance(img, (bytes, bytearray)):
+        lib = _native_lib()
+        if lib is not None:
+            out = np.empty((stage_size, stage_size, 3), np.uint8)
+            rc = lib.mmimg_decode_stage(
+                bytes(img), len(img), stage_size,
+                out.ctypes.data_as(ctypes.c_char_p),
+            )
+            if rc == 0:
+                return out
+            # fall through to PIL on unknown formats / decode errors
+
     from PIL import Image
 
     if not hasattr(img, "convert"):

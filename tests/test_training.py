@@ -187,5 +187,7 @@ class TestSigLIPTraining:
             "ids": jnp.asarray(rng.integers(1, 128, (2, 8)), jnp.uint32),
         }
         before = float(state.params["logit_bias"])
+        # Two steps: the warmup schedule makes the first step's LR zero.
+        state, _ = siglip_train_step(state, batch, opt, cfg)
         state, _ = siglip_train_step(state, batch, opt, cfg)
         assert float(state.params["logit_bias"]) != before
