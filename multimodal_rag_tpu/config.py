@@ -128,7 +128,7 @@ class Settings:
     MESH_SHAPE: str = ""  # e.g. "data:4,model:2"; empty = 1-D over all devices
     COMPUTE_DTYPE: str = "bfloat16"
     SEQ_BUCKETS: str = "32,64,128,256"  # token-length buckets for XLA shapes
-    BATCH_BUCKETS: str = "8,32,128,512"  # batch-size buckets
+    BATCH_BUCKETS: str = "8,32,128,256"  # batch-size buckets (256 = v5e throughput knee)
     IVF_THRESHOLD: int = 1_000_000  # rows above which the planner picks IVF
     IVF_NLIST: int = 0  # 0 = auto (~sqrt(N))
     IVF_NPROBE: int = 32

@@ -284,7 +284,7 @@ class TextEncoder:
         tokenizer=None,
         cfg: EncoderConfig = MINILM_L6,
         seq_buckets: Sequence[int] = (32, 64, 128, 256),
-        batch_buckets: Sequence[int] = (8, 32, 128, 512),
+        batch_buckets: Sequence[int] = (8, 32, 128, 256),
         seed: int = 0,
     ) -> None:
         from multimodal_rag_tpu.models.tokenizer import get_tokenizer
