@@ -213,16 +213,41 @@ class EmbeddingManager:
         n_results: int = 5,
         filter_dict: Optional[Dict] = None,
     ) -> Dict[str, Any]:
-        """Single query → flattened result dict (reference ``:539-617``)."""
+        """Single query → flattened result dict (reference ``:539-617``).
+
+        On the serving hot path (cache miss, no metadata filter, exact
+        single-device search) the embed forward and the MIPS top-k run as
+        ONE device dispatch (``VectorStore.search_fused``); otherwise the
+        regular two-step path applies."""
         if not self.is_initialized:
             await self.initialize()
         if not query_text or not query_text.strip():
             raise ValueError("Query text cannot be empty")
-        emb = await self.embed_texts_batch([query_text])
-        res = await self._with_retry(
-            self._store.query, emb, n_results,
-            ("metadatas", "documents", "distances"), filter_dict,
+
+        res = None
+        cached = (
+            self.cache.get(self._key(query_text))
+            if self.cache is not None
+            else None
         )
+        if (
+            cached is None
+            and filter_dict is None
+            and hasattr(self._encoder, "prepare")
+        ):
+            fused = await asyncio.to_thread(self._fused_query, query_text,
+                                            n_results)
+            if fused is not None:
+                res, emb_row = fused
+                self.stats["total_embeddings_created"] += 1
+                if self.cache is not None:
+                    self.cache.put(self._key(query_text), emb_row)
+        if res is None:
+            emb = await self.embed_texts_batch([query_text])
+            res = await self._with_retry(
+                self._store.query, emb, n_results,
+                ("metadatas", "documents", "distances"), filter_dict,
+            )
         self.stats["total_queries"] += 1
         return {
             "ids": res["ids"][0],
@@ -230,6 +255,24 @@ class EmbeddingManager:
             "metadatas": res["metadatas"][0],
             "documents": res["documents"][0],
         }
+
+    def _fused_query(self, query_text: str, n_results: int):
+        """Host half of the fused path: tokenize, then one jit dispatch of
+        embed→top-k. Returns (results, embedding row) or None."""
+        ids, mask = self._encoder.prepare([query_text])
+        out = self._store.search_fused(
+            self._encoder.embed_fn,
+            (self._encoder.params, ids, mask),
+            n_results,
+        )
+        if out is None:
+            return None
+        res, emb = out
+        # Row 0 is the real query; the rest is batch-bucket padding.
+        return (
+            {k: v[:1] for k, v in res.items()},
+            np.asarray(emb[0], np.float32),
+        )
 
     async def batch_query(
         self,

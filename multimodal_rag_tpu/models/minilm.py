@@ -300,11 +300,27 @@ class TextEncoder:
         )
         self.seq_buckets = tuple(seq_buckets)
         self.batch_buckets = tuple(batch_buckets)
-        self._jit_embed = jax.jit(partial(embed, cfg=cfg))
+        # Stable callable identity: jit (and downstream fused-chain caches,
+        # vectorstore.search_fused) key traces on this object.
+        self.embed_fn = partial(embed, cfg=cfg)
+        self._jit_embed = jax.jit(self.embed_fn)
 
     @property
     def dim(self) -> int:
         return self.cfg.hidden_dim
+
+    def prepare(self, texts: Sequence[str]):
+        """Tokenize + bucket-pad → (ids, mask) np arrays of a compiled
+        shape. The inputs ``embed_fn(params, ids, mask)`` expects."""
+        ids, mask = self.tokenizer.encode_batch(texts, self.seq_buckets[-1])
+        longest = int(mask.sum(axis=1).max())
+        sb = bucket_for(longest, self.seq_buckets)
+        bb = bucket_for(len(texts), self.batch_buckets)
+        ids_p = np.zeros((bb, sb), np.uint32)
+        mask_p = np.zeros((bb, sb), np.int32)
+        ids_p[: len(texts)] = ids[:, :sb]
+        mask_p[: len(texts)] = mask[:, :sb]
+        return ids_p, mask_p
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         """Texts → (len(texts), hidden_dim) float32 unit-norm embeddings."""
@@ -318,15 +334,6 @@ class TextEncoder:
         return out
 
     def _encode_block(self, texts: Sequence[str]) -> np.ndarray:
-        # Tokenize at the largest seq bucket, then shrink to the bucket that
-        # covers the longest real sequence.
-        ids, mask = self.tokenizer.encode_batch(texts, self.seq_buckets[-1])
-        longest = int(mask.sum(axis=1).max())
-        sb = bucket_for(longest, self.seq_buckets)
-        bb = bucket_for(len(texts), self.batch_buckets)
-        ids_p = np.zeros((bb, sb), np.uint32)
-        mask_p = np.zeros((bb, sb), np.int32)
-        ids_p[: len(texts)] = ids[:, :sb]
-        mask_p[: len(texts)] = mask[:, :sb]
+        ids_p, mask_p = self.prepare(texts)
         vecs = self._jit_embed(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
         return np.asarray(vecs)[: len(texts)]

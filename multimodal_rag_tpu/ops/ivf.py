@@ -163,6 +163,125 @@ def build_clustered_layout(
     )
 
 
+def build_clustered_layout_device(
+    vectors: jax.Array,
+    n_clusters: int = 0,
+    block_rows: int = 256,
+    kmeans_iters: int = 8,
+    sample_cap: int = 1 << 17,
+    assign_chunk: int = 1 << 16,
+    seed: int = 0,
+) -> ClusteredLayout:
+    """On-device layout build: k-means, assignment, stable cluster sort,
+    gather-reorder, and block centroids all run on the chip.
+
+    ``vectors`` is a device array (any float dtype; kept as the stored
+    dtype). Unlike :func:`build_clustered_layout` (host mirror path), the
+    only host traffic is the final ``row_to_original`` index vector — at
+    10M rows the host build moves ~15 GB through the host↔device link for
+    assignment batches alone, which dominates build time on anything
+    slower than local PCIe.
+    """
+    n, d = vectors.shape
+    if n_clusters <= 0:
+        n_clusters = max(1, int(np.sqrt(max(n, 1))))
+    key = jax.random.key(seed)
+
+    if n > sample_cap:
+        idx = jax.random.choice(key, n, (sample_cap,), replace=False)
+        sample = jnp.take(vectors, idx, axis=0).astype(jnp.float32)
+    else:
+        sample = vectors.astype(jnp.float32)
+    centroids = kmeans(sample, k=n_clusters, iters=kmeans_iters, seed=seed)
+
+    # Chunked assignment, chunks driven from Python: one small jitted
+    # kernel compiled once and dispatched per chunk. (A lax.map loop body
+    # here costs minutes of XLA compile; a single flat matmul would
+    # materialize an (N, k) score block that OOMs at multi-M rows.)
+    n_chunk_pad = _round_up(n, assign_chunk)
+    cT = centroids.T.astype(vectors.dtype)
+
+    @jax.jit
+    def _assign_chunk(block, cT):
+        scores = jnp.dot(block, cT, preferred_element_type=jnp.float32)
+        return jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    vecs_pad = (
+        jnp.pad(vectors, ((0, n_chunk_pad - n), (0, 0)))
+        if n_chunk_pad != n
+        else vectors
+    )
+    parts = [
+        _assign_chunk(
+            jax.lax.dynamic_slice_in_dim(vecs_pad, lo, assign_chunk, 0), cT
+        )
+        for lo in range(0, n_chunk_pad, assign_chunk)
+    ]
+    assign = jnp.concatenate(parts)[:n]
+
+    order = jnp.argsort(assign, stable=True)
+    n_pad = _round_up(max(n, block_rows), block_rows)
+    reordered = jnp.take(vectors, order, axis=0)
+    if n_pad != n:
+        reordered = jnp.pad(reordered, ((0, n_pad - n), (0, 0)))
+
+    row_idx = jnp.arange(n_pad)
+    mask = jnp.where(row_idx < n, 0.0, NEG_INF).astype(jnp.float32)[None, :]
+
+    n_blocks = n_pad // block_rows
+    counts = jnp.clip(
+        jnp.minimum(
+            jnp.full((n_blocks,), block_rows, jnp.float32),
+            n - jnp.arange(n_blocks, dtype=jnp.float32) * block_rows,
+        ),
+        0.0,
+        None,
+    )
+
+    # Chunked block sums, groups driven from Python (same compile/memory
+    # trade as assignment: small jitted kernel per group keeps the live
+    # f32 footprint bounded — XLA does not reliably fuse the f32 convert
+    # into the reduction, and a full-size f32 copy OOMs at multi-M rows).
+    group = 512
+    n_groups = _round_up(n_blocks, group) // group
+    rows_grp_pad = n_groups * group * block_rows
+    rows = (
+        jnp.pad(reordered, ((0, rows_grp_pad - n_pad), (0, 0)))
+        if rows_grp_pad != n_pad
+        else reordered
+    )
+
+    @jax.jit
+    def _group_sums(grp):  # (group*block_rows, d) -> (group, d)
+        return grp.reshape(group, block_rows, d).astype(jnp.float32).sum(
+            axis=1
+        )
+
+    sums = jnp.concatenate(
+        [
+            _group_sums(
+                jax.lax.dynamic_slice_in_dim(
+                    rows, g * group * block_rows, group * block_rows, 0
+                )
+            )
+            for g in range(n_groups)
+        ]
+    )[:n_blocks]
+    block_centroids = sums / jnp.maximum(counts[:, None], 1.0)
+
+    row_to_original = np.full((n_pad,), -1, np.int64)
+    row_to_original[:n] = np.asarray(order, np.int64)
+
+    return ClusteredLayout(
+        vectors=reordered,
+        block_centroids=block_centroids,
+        row_to_original=row_to_original,
+        mask=mask,
+        n_live=n,
+        block_rows=block_rows,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Search
 # ---------------------------------------------------------------------------

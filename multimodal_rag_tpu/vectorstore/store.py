@@ -120,6 +120,10 @@ class VectorStore:
         self._ivf_rows = None  # layout row → store row
         self._ivf_built_count = 0
 
+        # Fused embed→search chains, keyed (embed_fn, k, tile); jax.jit
+        # handles shape polymorphism (capacity growth) per entry.
+        self._fused_fns: Dict[tuple, Any] = {}
+
     # ------------------------------------------------------------------
     # Device sync
     # ------------------------------------------------------------------
@@ -323,7 +327,12 @@ class VectorStore:
                 vals, idx = self._search_masked(q, None, k)
             vals = np.asarray(vals)
             idx = np.asarray(idx)
+        return self._format_rows(vals, idx, include)
 
+    def _format_rows(
+        self, vals: np.ndarray, idx: np.ndarray, include: Sequence[str]
+    ) -> Dict[str, list]:
+        """(B, k) scores + store rows → Chroma-shaped lists-of-lists."""
         out = {"ids": []}
         docs, metas, dists = [], [], []
         for row_vals, row_idx in zip(vals, idx):
@@ -341,6 +350,58 @@ class VectorStore:
         if "distances" in include:
             out["distances"] = dists
         return out
+
+    def search_fused(
+        self,
+        embed_fn,
+        embed_args: tuple,
+        n_results: int = 5,
+        include: Sequence[str] = ("metadatas", "documents", "distances"),
+    ):
+        """Single-dispatch embed-forward → exact MIPS top-k (the serving
+        hot path fuses the encoder and the similarity kernel into ONE jit
+        call — no host round-trip between them; BASELINE north star).
+
+        ``embed_fn(*embed_args)`` must be jittable and return (B, dim)
+        unit-norm embeddings (``TextEncoder.embed_fn`` +
+        ``TextEncoder.prepare``). Returns (results, embeddings) with
+        Chroma-shaped results, or None when this path doesn't apply
+        (multi-device, IVF-scale corpus, XLA fallback, or empty store) —
+        callers then use the regular two-dispatch path."""
+        with self._lock:
+            live = self.count()
+            if (
+                self.n_devices > 1
+                or live == 0
+                or live >= self.ivf_threshold
+            ):
+                return None
+            self._sync()
+            k_eff = min(n_results, live)
+            tile = self._query_tile()
+            use_pallas = self.use_pallas
+            key = (embed_fn, k_eff, tile, use_pallas)
+            fn = self._fused_fns.get(key)
+            if fn is None:
+                def chain(args, V, M):
+                    emb = embed_fn(*args)
+                    q = emb.astype(jnp.float32)
+                    if use_pallas:
+                        vals, idx = mips_topk(q, V, M, k=k_eff, tile_n=tile)
+                    else:
+                        vals, idx = mips_topk_xla(
+                            q, V, k_eff, valid=M[0] > NEG_INF / 2
+                        )
+                    return vals, idx, emb
+
+                fn = jax.jit(chain)
+                self._fused_fns[key] = fn
+            vals, idx, emb = fn(
+                tuple(embed_args), self._dev_vecs, self._dev_mask
+            )
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            emb = np.asarray(emb)
+        return self._format_rows(vals, idx, include), emb
 
     # ------------------------------------------------------------------
     # Query planner: exact below ivf_threshold, IVF above (SURVEY.md §7)
@@ -375,11 +436,24 @@ class VectorStore:
             self._ivf_layout = index._replace(row_map=store_rows)
             self._ivf_rows = None
         else:
-            from multimodal_rag_tpu.ops.ivf import build_clustered_layout
-
-            layout = build_clustered_layout(
-                vecs, block_rows=min(self.tile_n, 256), dtype=self.dtype
+            from multimodal_rag_tpu.ops.ivf import (
+                build_clustered_layout,
+                build_clustered_layout_device,
             )
+
+            if self.use_pallas:
+                # TPU: build on device — k-means, assignment, sort, and the
+                # reorder gather all run on-chip; the host path would move
+                # the whole corpus through the host↔device link in
+                # assignment batches (measured: dominates build at 10M).
+                layout = build_clustered_layout_device(
+                    jnp.asarray(vecs, self.dtype),
+                    block_rows=min(self.tile_n, 256),
+                )
+            else:
+                layout = build_clustered_layout(
+                    vecs, block_rows=min(self.tile_n, 256), dtype=self.dtype
+                )
             store_rows = np.full_like(layout.row_to_original, -1)
             ok = layout.row_to_original >= 0
             store_rows[ok] = live[layout.row_to_original[ok]]

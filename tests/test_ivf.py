@@ -138,3 +138,59 @@ class TestSearch:
             nprobe=layout.block_centroids.shape[0], interpret=True,
         )
         assert (layout.row_to_original[np.asarray(rows)] >= 0).all()
+
+
+class TestDeviceBuild:
+    def test_device_layout_matches_host_semantics(self):
+        import jax.numpy as jnp
+
+        from multimodal_rag_tpu.ops.ivf import (
+            build_clustered_layout_device,
+            ivf_search_xla,
+        )
+        from multimodal_rag_tpu.ops.oracle import mips_topk_oracle
+
+        rng = np.random.default_rng(0)
+        V = rng.standard_normal((5000, 64)).astype(np.float32)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        lay = build_clustered_layout_device(jnp.asarray(V), block_rows=128)
+        assert lay.n_live == 5000
+        assert lay.vectors.shape[0] % 128 == 0
+        r2o = lay.row_to_original
+        # a permutation of the input rows, padding marked -1
+        assert sorted(r2o[:5000].tolist()) == list(range(5000))
+        assert (r2o[5000:] == -1).all()
+        np.testing.assert_allclose(
+            np.asarray(lay.vectors)[:5000], V[r2o[:5000]], atol=1e-6
+        )
+        mask = np.asarray(lay.mask)[0]
+        assert (mask[:5000] == 0).all() and (mask[5000:] < -1e29).all()
+
+        Q = rng.standard_normal((4, 64)).astype(np.float32)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        _, idx = ivf_search_xla(jnp.asarray(Q), lay, k=5, nprobe=12)
+        store_idx = r2o[np.asarray(idx)]
+        _, oidx = mips_topk_oracle(Q, V, 5)
+        recall = np.mean(
+            [len(set(store_idx[b]) & set(oidx[b])) / 5 for b in range(4)]
+        )
+        # random (unclusterable) data is the worst case; just require that
+        # probing finds a substantial fraction of the true neighbors
+        assert recall >= 0.5
+
+    def test_block_centroids_are_block_means(self):
+        import jax.numpy as jnp
+
+        from multimodal_rag_tpu.ops.ivf import build_clustered_layout_device
+
+        rng = np.random.default_rng(1)
+        V = rng.standard_normal((700, 32)).astype(np.float32)
+        lay = build_clustered_layout_device(jnp.asarray(V), block_rows=256)
+        blocks = np.asarray(lay.vectors).reshape(-1, 256, 32)
+        counts = [(np.asarray(lay.row_to_original).reshape(-1, 256)[i] >= 0).sum()
+                  for i in range(blocks.shape[0])]
+        for i, c in enumerate(counts):
+            want = blocks[i].sum(axis=0) / max(c, 1)
+            np.testing.assert_allclose(
+                np.asarray(lay.block_centroids)[i], want, atol=1e-4
+            )
