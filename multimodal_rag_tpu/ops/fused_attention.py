@@ -100,6 +100,11 @@ def fused_attention(
     num_heads: int,
     seq_len: int,
     pos_bias: jax.Array | None = None,
+    # Blocks larger than 8 are faster standalone (0.34 ms -> 0.13 ms at
+    # block 32, B=256/S=128) but SLOWER inside the full encoder: the
+    # bigger VMEM working set degrades XLA's scheduling of the
+    # surrounding projection matmuls (end-to-end 23.5k chunks/s at 8 vs
+    # 20.9k at 32). Keep 8 unless profiling says otherwise.
     block_b: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
