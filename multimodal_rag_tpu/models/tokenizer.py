@@ -143,6 +143,74 @@ class HashingTokenizer:
         return ids, mask
 
 
+class WordPieceTokenizer:
+    """First-party WordPiece: greedy longest-match against a ``vocab.txt``
+    (BERT distribution format, one piece per line, ``##`` continuations).
+
+    Matches HF ``BertTokenizer`` semantics for the MiniLM family: basic
+    whitespace/punctuation/CJK pre-tokenization (``basic_tokenize``),
+    longest-prefix matching with a 200-char word cap, and ``[UNK]`` for
+    words with no decomposition. No torch / tokenizers dependency — the
+    exact-vocab path when only a vocab.txt ships with a checkpoint
+    (SURVEY.md §7 hard part 7)."""
+
+    name = "wordpiece"
+    MAX_WORD_CHARS = 200
+
+    def __init__(self, vocab_path: str, lowercase: bool = True):
+        self.lowercase = lowercase
+        self.vocab: dict = {}
+        with open(vocab_path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                self.vocab[line.rstrip("\n")] = i
+        self.vocab_size = len(self.vocab)
+        self.unk_id = self.vocab.get("[UNK]", UNK_ID)
+        self.cls_id = self.vocab.get("[CLS]", CLS_ID)
+        self.sep_id = self.vocab.get("[SEP]", SEP_ID)
+        self.pad_id = self.vocab.get("[PAD]", PAD_ID)
+
+    def _word_pieces(self, word: str) -> List[int]:
+        if len(word) > self.MAX_WORD_CHARS:
+            return [self.unk_id]
+        pieces: List[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]  # no decomposition: whole word is UNK
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def tokenize_ids(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for word in basic_tokenize(text, self.lowercase):
+            ids.extend(self._word_pieces(word))
+        return ids
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        batch = len(texts)
+        ids = np.full((batch, max_len), self.pad_id, dtype=np.uint32)
+        mask = np.zeros((batch, max_len), dtype=np.int32)
+        for i, text in enumerate(texts):
+            body = self.tokenize_ids(text)[: max_len - 2]
+            row = [self.cls_id] + body + [self.sep_id]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return ids, mask
+
+
 class HFTokenizer:
     """Exact-vocabulary tokenizer via the ``tokenizers`` library.
 
@@ -177,20 +245,23 @@ class HFTokenizer:
 
 
 def find_local_tokenizer() -> Optional[str]:
-    """Look for a tokenizer.json without touching the network."""
+    """Look for a tokenizer.json or vocab.txt without touching the network."""
     cand = os.environ.get("MMRAG_TOKENIZER_PATH")
     if cand and os.path.exists(cand):
         return cand
     hub = os.path.expanduser("~/.cache/huggingface/hub")
     if os.path.isdir(hub):
-        for root, _dirs, files in os.walk(hub):
-            if "tokenizer.json" in files and "MiniLM" in root:
-                return os.path.join(root, "tokenizer.json")
+        for name in ("tokenizer.json", "vocab.txt"):
+            for root, _dirs, files in os.walk(hub):
+                if name in files and "MiniLM" in root:
+                    return os.path.join(root, name)
     return None
 
 
 def get_tokenizer(vocab_size: int = VOCAB_SIZE):
-    """Best available tokenizer: exact vocab if local, hashing otherwise.
+    """Best available tokenizer: exact vocab if local (tokenizer.json via
+    the ``tokenizers`` lib, else the first-party WordPiece over vocab.txt),
+    hashing otherwise.
 
     ``vocab_size`` must match the encoder's embedding table — hashed ids are
     generated in-range so gathers never clamp.
@@ -199,6 +270,8 @@ def get_tokenizer(vocab_size: int = VOCAB_SIZE):
         path = find_local_tokenizer()
         if path:
             try:
+                if path.endswith("vocab.txt"):
+                    return WordPieceTokenizer(path)
                 return HFTokenizer(path)
             except Exception:  # fall through to the deterministic backend
                 pass

@@ -139,3 +139,72 @@ class TestTextEncoder:
         assert MINILM_L6.hidden_dim == 384
         assert MINILM_L6.num_layers == 6
         assert MINILM_L6.vocab_size == 30522
+
+
+class TestWordPieceTokenizer:
+    @staticmethod
+    def make_vocab(tmp_path):
+        vocab = (
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+            + ["hello", "world", "un", "##aff", "##able", "##ing",
+               "run", "##ning", "ток", "##ен", ",", "."]
+        )
+        path = tmp_path / "vocab.txt"
+        path.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+        return str(path), {w: i for i, w in enumerate(vocab)}
+
+    def test_greedy_longest_match(self, tmp_path):
+        from multimodal_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+        path, v = self.make_vocab(tmp_path)
+        tok = WordPieceTokenizer(path)
+        assert tok.tokenize_ids("hello world") == [v["hello"], v["world"]]
+        # "unaffable" -> un + ##aff + ##able (the canonical example)
+        assert tok.tokenize_ids("unaffable") == [
+            v["un"], v["##aff"], v["##able"],
+        ]
+        assert tok.tokenize_ids("running") == [v["run"], v["##ning"]]
+
+    def test_unknown_word_is_single_unk(self, tmp_path):
+        from multimodal_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+        path, v = self.make_vocab(tmp_path)
+        tok = WordPieceTokenizer(path)
+        assert tok.tokenize_ids("xyzzy") == [v["[UNK]"]]
+        # partial decomposition that dead-ends is also UNK, not pieces
+        assert tok.tokenize_ids("unx") == [v["[UNK]"]]
+
+    def test_punctuation_split_and_framing(self, tmp_path):
+        from multimodal_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+        path, v = self.make_vocab(tmp_path)
+        tok = WordPieceTokenizer(path)
+        assert tok.tokenize_ids("hello, world.") == [
+            v["hello"], v[","], v["world"], v["."],
+        ]
+        ids, mask = tok.encode_batch(["hello world"], 8)
+        assert ids[0, 0] == v["[CLS]"]
+        assert ids[0, 3] == v["[SEP]"]
+        assert mask[0].sum() == 4
+
+    def test_unicode_lowercase(self, tmp_path):
+        from multimodal_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+        path, v = self.make_vocab(tmp_path)
+        tok = WordPieceTokenizer(path)
+        assert tok.tokenize_ids("ТОКен") == [v["ток"], v["##ен"]]
+
+    def test_matches_hf_bert_tokenizer_if_available(self, tmp_path):
+        """Cross-check against transformers' BertTokenizer on the same
+        vocab file (slow path; skipped when transformers is unusable)."""
+        pytest.importorskip("transformers")
+        from transformers import BertTokenizer
+
+        from multimodal_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+        path, _ = self.make_vocab(tmp_path)
+        ours = WordPieceTokenizer(path)
+        theirs = BertTokenizer(path, do_lower_case=True)
+        for text in ("hello world", "unaffable running", "hello, xyzzy."):
+            want = theirs.encode(text, add_special_tokens=False)
+            assert ours.tokenize_ids(text) == want, text
