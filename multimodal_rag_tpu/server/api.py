@@ -566,6 +566,9 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     app.router.add_get("/openapi.json", openapi)
     if STATIC_DIR.is_dir():
         app.router.add_static("/static", STATIC_DIR)
+    # Extracted figures (thumbnails for cross-modal results in the chat UI).
+    if settings.FIGURES_DIR.is_dir():
+        app.router.add_static("/figures", settings.FIGURES_DIR)
     return app
 
 

@@ -96,10 +96,11 @@ chatForm.addEventListener("submit", async (e) => {
       addMessage("bot", `⚠️ Lỗi: ${escapeHtml(data.detail || resp.status)}`);
     } else {
       const t = data.processing_time ? data.processing_time.toFixed(1) : "?";
-      addMessage("bot",
+      const msg = addMessage("bot",
         renderMarkdown(data.answer) +
         `<div class="meta">⏱ ${t}s</div>`,
         data.sources);
+      attachFigures(msg, query);
     }
   } catch (err) {
     typing.remove();
@@ -109,6 +110,39 @@ chatForm.addEventListener("submit", async (e) => {
     queryInput.focus();
   }
 });
+
+/* ---------------- cross-modal figures ---------------- */
+
+let figuresAvailable = true; // flips off on the first 503 (feature disabled)
+
+async function attachFigures(msgEl, query) {
+  if (!figuresAvailable) return;
+  try {
+    const resp = await fetch(`${API}/search/images`, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ query, top_k: 4 }),
+    });
+    if (resp.status === 503) { figuresAvailable = false; return; }
+    if (!resp.ok) return;
+    const data = await resp.json();
+    const hits = (data.results || []).filter((h) => h.path);
+    if (!hits.length) return;
+    const row = document.createElement("div");
+    row.className = "figure-row";
+    for (const h of hits) {
+      const name = h.path.split("/").pop();
+      const img = document.createElement("img");
+      img.src = `${API}/figures/${encodeURIComponent(name)}`;
+      img.title = `${h.doc_id} · ${(h.relevance * 100).toFixed(0)}%`;
+      img.loading = "lazy";
+      img.onerror = () => img.remove();
+      row.appendChild(img);
+    }
+    msgEl.appendChild(row);
+    chatLog.scrollTop = chatLog.scrollHeight;
+  } catch (_) { /* non-fatal */ }
+}
 
 /* ---------------- upload ---------------- */
 
