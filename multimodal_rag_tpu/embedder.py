@@ -354,13 +354,23 @@ class EmbeddingManager:
             self._reranker.rerank, query_text, results, top_k
         )
 
-    async def warmup(self) -> None:
+    async def warmup(self, ingest_shapes: bool = True) -> None:
         """Pre-compile the hot shapes (first-call XLA compiles otherwise
         land on the first user request — observed ~30-90s on cold serving
-        paths)."""
+        paths). ``ingest_shapes`` also compiles the full-batch bucket the
+        continuous batcher coalesces uploads into (bulk ingest measured
+        ~150s of first-process bucket compiles without it)."""
         if not self.is_initialized:
             await self.initialize()
         await self.embed_texts_batch(["warmup query"])
+        if ingest_shapes and hasattr(self._encoder, "batch_buckets"):
+            bb = self._encoder.batch_buckets[-1]
+            # ~600-char chunks tokenize into the 128-token bucket; summary
+            # texts (~300 chars) into 64 — warm both at full batch.
+            for chars in (600, 250):
+                texts = [("lorem ipsum " * 60)[:chars] + str(i)
+                         for i in range(bb)]
+                await self.embed_texts_batch(texts)
         if self._store.count() == 0:
             # Temporary row so the search kernel compiles too.
             emb = await self.embed_texts_batch(["warmup document"])

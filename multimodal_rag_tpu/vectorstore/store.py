@@ -425,9 +425,11 @@ class VectorStore:
                 build_sharded_ivf,
             )
 
+            from multimodal_rag_tpu.config import settings as _s
+
             index = build_sharded_ivf(
                 vecs, self.mesh, block_rows=min(self.tile_n, 256),
-                dtype=self.dtype,
+                dtype=self.dtype, n_clusters=_s.IVF_NLIST,
             )
             # index.row_map indexes into `live`; compose to store rows.
             store_rows = np.full_like(index.row_map, -1)
@@ -446,13 +448,19 @@ class VectorStore:
                 # reorder gather all run on-chip; the host path would move
                 # the whole corpus through the host↔device link in
                 # assignment batches (measured: dominates build at 10M).
+                from multimodal_rag_tpu.config import settings as _s
+
                 layout = build_clustered_layout_device(
                     jnp.asarray(vecs, self.dtype),
                     block_rows=min(self.tile_n, 256),
+                    n_clusters=_s.IVF_NLIST,
                 )
             else:
+                from multimodal_rag_tpu.config import settings as _s
+
                 layout = build_clustered_layout(
-                    vecs, block_rows=min(self.tile_n, 256), dtype=self.dtype
+                    vecs, block_rows=min(self.tile_n, 256), dtype=self.dtype,
+                    n_clusters=_s.IVF_NLIST,
                 )
             store_rows = np.full_like(layout.row_to_original, -1)
             ok = layout.row_to_original >= 0
