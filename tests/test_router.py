@@ -1,0 +1,153 @@
+"""Multi-slice router: scatter-gather query, doc affinity, failover."""
+
+import asyncio
+import io
+
+import aiohttp
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from multimodal_rag_tpu.server.api import create_app
+from multimodal_rag_tpu.server.router import create_router_app
+from tests.test_api import make_components
+
+
+@pytest.fixture()
+def cluster(tmp_path):
+    """Two backend slices + a router in front, all in-process."""
+    loop = asyncio.new_event_loop()
+    backends = []
+    servers = []
+    for i in range(2):
+        comps = make_components(tmp_path / f"slice{i}")
+        loop.run_until_complete(comps.initialize())
+        server = TestServer(create_app(components=comps), loop=loop)
+        loop.run_until_complete(server.start_server())
+        servers.append(server)
+        backends.append(f"http://{server.host}:{server.port}")
+
+    router_app = create_router_app(
+        backends, state_path=str(tmp_path / "affinity.json")
+    )
+    client = TestClient(TestServer(router_app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop, servers
+    loop.run_until_complete(client.close())
+    for s in servers:
+        loop.run_until_complete(s.close())
+    loop.close()
+
+
+def upload(client, loop, name, content):
+    form = aiohttp.FormData()
+    form.add_field("file", io.BytesIO(content), filename=name,
+                   content_type="text/plain")
+
+    async def do():
+        resp = await client.post("/upload", data=form)
+        return resp.status, await resp.json()
+
+    return loop.run_until_complete(do())
+
+
+def post_json(client, loop, path, body):
+    async def do():
+        resp = await client.post(path, json=body)
+        return resp.status, await resp.json()
+
+    return loop.run_until_complete(do())
+
+
+def get_json(client, loop, path):
+    async def do():
+        resp = await client.get(path)
+        return resp.status, await resp.json()
+
+    return loop.run_until_complete(do())
+
+
+class TestRouter:
+    def test_uploads_round_robin_and_affinity(self, cluster):
+        client, loop, _ = cluster
+        ids = []
+        for i in range(4):
+            status, body = upload(
+                client, loop, f"d{i}.txt",
+                f"Document number {i} about machine learning topic.".encode(),
+            )
+            assert status == 200
+            ids.append(body["doc_id"])
+        pool = client.server.app["pool"]
+        owners = {pool.owner_of(d) for d in ids}
+        assert len(owners) == 2  # spread across both slices
+
+        status, body = get_json(client, loop, "/documents")
+        assert status == 200 and body["total"] == 4
+
+    def test_scatter_gather_query_merges_sources(self, cluster):
+        client, loop, _ = cluster
+        upload(client, loop, "a.txt", b"TPU kernels stream vectors from HBM.")
+        upload(client, loop, "b.txt", b"Gzip compresses raw document chunks.")
+        status, body = post_json(
+            client, loop, "/query",
+            {"query": "vector kernels on TPU", "top_k": 4},
+        )
+        assert status == 200
+        assert body["answer"]
+        ranks = [s["rank"] for s in body["sources"]]
+        assert ranks == sorted(ranks)
+        rels = [s["relevance_score"] for s in body["sources"]]
+        assert rels == sorted(rels, reverse=True)
+        # evidence from both slices is eligible
+        doc_ids = {s["doc_id"].rsplit("_", 2)[0] for s in body["sources"]}
+        assert len(doc_ids) >= 2
+
+    def test_delete_routes_to_owner(self, cluster):
+        client, loop, _ = cluster
+        _, body = upload(client, loop, "x.txt", b"To be deleted soon.")
+        doc_id = body["doc_id"]
+
+        async def do():
+            resp = await client.delete(f"/documents/{doc_id}")
+            return resp.status
+
+        assert loop.run_until_complete(do()) == 200
+        _, docs = get_json(client, loop, "/documents")
+        assert all(d["doc_id"] != doc_id for d in docs["documents"])
+
+    def test_health_aggregates(self, cluster):
+        client, loop, _ = cluster
+        status, body = get_json(client, loop, "/health")
+        assert status == 200
+        assert body["router"] is True
+        assert len(body["slices"]) == 2
+
+    def test_failover_on_dead_slice(self, cluster):
+        client, loop, servers = cluster
+        upload(client, loop, "pre.txt", b"Survivor document content here.")
+        # Kill slice 0; the router should keep serving from slice 1.
+        loop.run_until_complete(servers[0].close())
+        for i in range(3):
+            status, _ = upload(
+                client, loop, f"post{i}.txt",
+                f"After failure doc {i} content.".encode(),
+            )
+            assert status == 200
+        status, body = post_json(
+            client, loop, "/query", {"query": "content", "top_k": 3}
+        )
+        assert status == 200 and body["sources"]
+
+    def test_delete_all_broadcasts(self, cluster):
+        client, loop, _ = cluster
+        upload(client, loop, "m.txt", b"One doc on some slice.")
+        upload(client, loop, "n.txt", b"Another doc on the other slice.")
+
+        async def do():
+            resp = await client.delete("/documents")
+            return resp.status, await resp.json()
+
+        status, body = loop.run_until_complete(do())
+        assert status == 200 and body["count"] == 2
+        _, docs = get_json(client, loop, "/documents")
+        assert docs["total"] == 0
