@@ -81,7 +81,24 @@ class EmbeddingManager:
         if self.is_initialized:
             return
         if self._encoder is None:
-            self._encoder = await asyncio.to_thread(TextEncoder)
+            import dataclasses
+
+            import jax.numpy as jnp
+
+            from multimodal_rag_tpu.models.minilm import MINILM_L6
+
+            cfg = dataclasses.replace(
+                MINILM_L6,
+                compute_dtype=getattr(
+                    jnp, settings.COMPUTE_DTYPE, jnp.bfloat16
+                ),
+            )
+            self._encoder = await asyncio.to_thread(
+                TextEncoder,
+                cfg=cfg,
+                seq_buckets=settings.seq_buckets,
+                batch_buckets=settings.batch_buckets,
+            )
         if self._store is None:
             loaded = None
             if self.persist_dir:
@@ -97,7 +114,9 @@ class EmbeddingManager:
                 except FileNotFoundError:
                     loaded = None
             self._store = loaded or VectorStore(
-                dim=self._encoder.dim, name=settings.CHROMA_COLLECTION_NAME
+                dim=self._encoder.dim,
+                name=settings.CHROMA_COLLECTION_NAME,
+                initial_capacity=settings.VECTOR_SHARD_CAPACITY,
             )
         self.is_initialized = True
         logger.info(

@@ -18,11 +18,25 @@ DATA_AXIS = "data"
 
 
 def get_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D mesh over the first ``n_devices`` (default: all) devices."""
+    """1-D mesh over the first ``n_devices`` (default: all) devices.
+
+    With neither argument given, the ``MESH_SHAPE`` env knob (e.g.
+    ``"data:4"``) bounds the device count — useful to pin a serving slice
+    to a subset of a shared host's chips."""
     if devices is None:
         devices = jax.devices()
+    if n_devices is None:
+        from multimodal_rag_tpu.config import settings
+
+        if settings.MESH_SHAPE:
+            try:
+                n_devices = 1
+                for part in settings.MESH_SHAPE.split(","):
+                    n_devices *= int(part.split(":")[-1])
+            except ValueError:
+                n_devices = None
     if n_devices is not None:
-        devices = devices[:n_devices]
+        devices = devices[: max(1, min(n_devices, len(devices)))]
     import numpy as np
 
     return Mesh(np.asarray(devices), (DATA_AXIS,))
