@@ -112,3 +112,25 @@ class TestBatcher:
             await b.stop()
 
         run(flow())
+
+    def test_deterministic_vs_serial(self):
+        """SURVEY §5.2: concurrency safety by determinism — any interleaving
+        of concurrent submits must produce the same embeddings the serial
+        encoder produces for the same texts."""
+        import numpy as np
+
+        encoder = make_encoder()
+        batcher = EmbedBatcher(encoder, max_batch=16, max_wait_ms=1.0)
+        texts = [f"deterministic text number {i}" for i in range(24)]
+
+        async def concurrent():
+            batcher.start()
+            outs = await asyncio.gather(
+                *(batcher.submit([t]) for t in texts)
+            )
+            await batcher.stop()
+            return np.concatenate(outs)
+
+        got = asyncio.new_event_loop().run_until_complete(concurrent())
+        want = encoder.encode(texts)
+        np.testing.assert_allclose(got, want, atol=1e-5)
