@@ -512,6 +512,55 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         except Exception as e:  # noqa: BLE001
             return json_error(500, str(e))
 
+    # --- Prometheus metrics (the reference only sketched this in its
+    # DEPLOYMENT.md:276-291; here it is a real text-format exporter) ------
+    async def metrics(request):
+        lines = [
+            "# HELP mmrag_stage_latency_seconds per-stage latency",
+            "# TYPE mmrag_stage_latency_seconds summary",
+        ]
+        for stage, q in aggregator.snapshot().items():
+            name = stage.replace(".", "_").replace("-", "_")
+            for quantile, key in (("0.5", "p50_ms"), ("0.95", "p95_ms")):
+                if key in q:
+                    lines.append(
+                        f'mmrag_stage_latency_seconds{{stage="{name}",'
+                        f'quantile="{quantile}"}} {q[key] / 1e3:.6f}'
+                    )
+            if "count" in q:
+                lines.append(
+                    f'mmrag_stage_latency_seconds_count{{stage="{name}"}}'
+                    f' {q["count"]}'
+                )
+        try:
+            emb = comps.embedder.get_stats() if comps.embedder else {}
+            lines.append(
+                "# TYPE mmrag_embeddings_created_total counter"
+            )
+            lines.append(
+                f"mmrag_embeddings_created_total "
+                f"{emb.get('total_embeddings_created', 0)}"
+            )
+            lines.append("# TYPE mmrag_queries_total counter")
+            lines.append(
+                f"mmrag_queries_total {emb.get('total_queries', 0)}"
+            )
+            if comps.embedder and comps.embedder.store is not None:
+                lines.append("# TYPE mmrag_vectors gauge")
+                lines.append(
+                    f"mmrag_vectors {comps.embedder.store.count()}"
+                )
+        except Exception:  # noqa: BLE001
+            pass
+        lines.append("# TYPE mmrag_uptime_seconds gauge")
+        lines.append(
+            f"mmrag_uptime_seconds {time.time() - app['start_time']:.1f}"
+        )
+        return web.Response(
+            text="\n".join(lines) + "\n",
+            content_type="text/plain",
+        )
+
     # --- Profiling (additive; jax.profiler device traces) ----------------
     async def profile(request):
         try:
@@ -561,6 +610,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     app.router.add_delete("/document/{doc_id}", delete_document)
     app.router.add_get("/stats", stats)
     app.router.add_post("/search/images", search_images)
+    app.router.add_get("/metrics", metrics)
     app.router.add_post("/profile", profile)
     app.router.add_get("/docs", docs)
     app.router.add_get("/openapi.json", openapi)
@@ -585,6 +635,7 @@ def _route_docs():
         ("DELETE", "/documents", "delete all documents"),
         ("GET", "/stats", "system statistics"),
         ("POST", "/search/images", "cross-modal figure search {query, top_k}"),
+        ("GET", "/metrics", "Prometheus text-format metrics"),
     ]
 
 

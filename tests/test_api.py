@@ -255,3 +255,25 @@ class TestOps:
         status, ctype = loop.run_until_complete(do())
         assert status == 200
         assert ctype == "text/html"
+
+
+class TestMetrics:
+    def test_prometheus_text_format(self, client):
+        cl, loop = client
+        upload_file(cl, loop)
+
+        async def do():
+            await cl.post("/query", json={"query": "neural nets", "top_k": 2})
+            resp = await cl.get("/metrics")
+            return resp.status, resp.content_type, await resp.text()
+
+        status, ctype, text = loop.run_until_complete(do())
+        assert status == 200 and ctype == "text/plain"
+        assert "mmrag_stage_latency_seconds" in text
+        assert "mmrag_queries_total 1" in text
+        assert "mmrag_vectors" in text
+        # every sample line is `name{labels} value` or `name value`
+        for line in text.splitlines():
+            if line.startswith("#") or not line:
+                continue
+            assert len(line.rsplit(" ", 1)) == 2, line
