@@ -390,6 +390,20 @@ class EmbeddingManager:
                 texts = [("lorem ipsum " * 60)[:chars] + str(i)
                          for i in range(bb)]
                 await self.embed_texts_batch(texts)
+            # Reranker: first rerank=true query otherwise pays the
+            # cross-encoder compile (~7 s measured on v5e).
+            try:
+                await self.rerank_results(
+                    "warmup query",
+                    {
+                        "ids": ["w0"],
+                        "documents": ["warmup passage " * 20],
+                        "distances": [0.5],
+                        "metadatas": [None],
+                    },
+                )
+            except Exception:  # noqa: BLE001 — warmup must never fail init
+                pass
         if self._store.count() == 0:
             # Temporary row so the search kernel compiles too.
             emb = await self.embed_texts_batch(["warmup document"])
