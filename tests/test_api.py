@@ -277,3 +277,48 @@ class TestMetrics:
             if line.startswith("#") or not line:
                 continue
             assert len(line.rsplit(" ", 1)) == 2, line
+
+
+class TestConcurrentTraffic:
+    def test_mixed_uploads_and_queries(self, client):
+        """Concurrency smoke: uploads and queries interleaved through one
+        event loop must all succeed and leave consistent state (the
+        reference's safety-by-convention, SURVEY §5.2, as a test)."""
+        cl, loop = client
+        upload_file(cl, loop, "seed.txt", b"Seed document about learning.")
+
+        async def one_upload(i):
+            form = aiohttp.FormData()
+            form.add_field(
+                "file",
+                io.BytesIO(f"Concurrent doc {i}: topic {i % 3}.".encode()),
+                filename=f"c{i}.txt", content_type="text/plain",
+            )
+            resp = await cl.post("/upload", data=form)
+            return resp.status
+
+        async def one_query(i):
+            resp = await cl.post(
+                "/query", json={"query": f"topic {i % 3}", "top_k": 3}
+            )
+            return resp.status
+
+        async def storm():
+            jobs = []
+            for i in range(6):
+                jobs.append(one_upload(i))
+                jobs.append(one_query(i))
+                jobs.append(one_query(i + 100))
+            return await asyncio.gather(*jobs)
+
+        statuses = loop.run_until_complete(storm())
+        assert all(s == 200 for s in statuses), statuses
+
+        async def final_state():
+            docs = await (await cl.get("/documents")).json()
+            stats = await (await cl.get("/stats")).json()
+            return docs, stats
+
+        docs, stats = loop.run_until_complete(final_state())
+        assert docs["total"] == 7
+        assert stats["documents"]["total_chunks"] == 7
