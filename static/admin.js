@@ -41,6 +41,11 @@ async function refreshStats() {
       s.documents.by_type.table;
     document.getElementById("stat-image").textContent =
       s.documents.by_type.image;
+    const fig = document.getElementById("stat-figures");
+    fig.textContent = s.crossmodal ? s.crossmodal.figures : "–";
+    const q = (s.latency || {})["query.total"];
+    document.getElementById("stat-p50").textContent =
+      q && q.p50_ms != null ? q.p50_ms.toFixed(0) : "–";
   } catch (_) { /* offline */ }
 }
 
