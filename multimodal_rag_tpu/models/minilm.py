@@ -177,6 +177,51 @@ def load_hf_bert_params(path: str, cfg: EncoderConfig = MINILM_L6) -> Dict:
 # ---------------------------------------------------------------------------
 
 
+def quantize_params(params: Dict) -> Dict:
+    """Per-output-channel symmetric int8 quantization of the six matmul
+    weights per layer (wq/wk/wv/wo/w1/w2). Embeddings and layernorms stay
+    float32; biases stay float32.
+
+    With per-token dynamic activation quantization (see ``_qdot``) the
+    embedding cosine vs the bf16 path stays >0.9999 (measured on v5e).
+    NOTE measured END-TO-END SLOWER for MiniLM-L6 on v5e (17.7k vs 21.6k
+    chunks/s at B=256): at these small dims the per-token absmax/round/
+    dequant VPU passes cost more than the int8 MXU rate gains. The path
+    exists for (a) halving weight HBM for larger encoder families where
+    weights dominate, and (b) backends where XLA fuses the quant chain.
+    Returns a params pytree in which each quantized weight ``w`` is
+    replaced by ``w_q`` (int8) + ``w_s`` (f32 per-channel scale); the
+    float weight is dropped."""
+    layers = dict(params["layers"])
+    out_layers: Dict[str, jax.Array] = {}
+    for name, w in layers.items():
+        if name.startswith("w") and w.ndim == 3:  # (L, in, out)
+            absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)  # (L,1,out)
+            scale = jnp.maximum(absmax, 1e-8) / 127.0
+            w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+            out_layers[name + "_q"] = w_q
+            out_layers[name + "_s"] = scale.astype(jnp.float32)
+        else:
+            out_layers[name] = w
+    return {"embed": params["embed"], "layers": out_layers}
+
+
+def _qdot(x: jax.Array, w_q: jax.Array, w_s: jax.Array) -> jax.Array:
+    """int8 x int8 matmul with f32 dequant: x (B, in) any float dtype,
+    w_q (in, out) int8, w_s (1, out) f32. Per-token dynamic activation
+    scales keep the quantization error bounded row-wise."""
+    x32 = x.astype(jnp.float32)
+    x_max = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # (B, 1)
+    x_s = jnp.maximum(x_max, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(x32 / x_s), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * x_s * w_s
+
+
 def _layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -187,21 +232,35 @@ def _layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float):
 
 def _layer(x, key_bias, lp, cfg: EncoderConfig):
     """One post-LN transformer block. x: (B,S,H) compute-dtype;
-    key_bias: (B,S) f32 additive bias on key positions (0 real / -1e9 pad)."""
+    key_bias: (B,S) f32 additive bias on key positions (0 real / -1e9 pad).
+
+    Accepts either float weights (``wq``...) or int8-quantized weights
+    (``wq_q``/``wq_s``, from :func:`quantize_params`) — the six matmuls
+    then run on the int8 MXU path (2x the bf16 rate on v5e); attention
+    internals stay in the compute dtype either way."""
     cd = cfg.compute_dtype
     B, S, H = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     sm_scale = float(1.0 / np.sqrt(hd))
+    quantized = "wq_q" in lp
+    x2d = x.reshape(B * S, H)
 
-    def proj(w, b):
-        y = jnp.dot(x, w.astype(cd), preferred_element_type=jnp.float32)
-        return (y + b).astype(cd)
+    def matmul(inp2d, name):
+        if quantized:
+            return _qdot(inp2d, lp[name + "_q"], lp[name + "_s"][0])
+        return jnp.dot(
+            inp2d.astype(cd), lp[name].astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+
+    def proj(name, bias):
+        return (matmul(x2d, name) + bias).astype(cd)
 
     # Keep q/k/v in the projection-native (B*S, H) lane layout — the fused
     # kernel slices heads in VMEM, so no HBM transpose ever happens.
-    q = proj(lp["wq"], lp["bq"]).reshape(B * S, H)
-    k = proj(lp["wk"], lp["bk"]).reshape(B * S, H)
-    v = proj(lp["wv"], lp["bv"]).reshape(B * S, H)
+    q = proj("wq", lp["bq"])
+    k = proj("wk", lp["bk"])
+    v = proj("wv", lp["bv"])
 
     from multimodal_rag_tpu.ops import fused_attention as fa
 
@@ -211,23 +270,22 @@ def _layer(x, key_bias, lp, cfg: EncoderConfig):
         ctx = fa.attention_xla(
             q, k, v, key_bias, sm_scale, num_heads=nh, seq_len=S
         )
-    ctx = ctx.astype(cd).reshape(B, S, H)
+    ctx = ctx.astype(cd)
 
-    attn_out = (
-        jnp.dot(ctx, lp["wo"].astype(cd), preferred_element_type=jnp.float32)
-        + lp["bo"]
-    )
-    x = _layernorm(
-        x.astype(jnp.float32) + attn_out, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps
+    attn_out = matmul(ctx, "wo") + lp["bo"]
+    x2d = _layernorm(
+        x2d.astype(jnp.float32) + attn_out, lp["ln1_scale"], lp["ln1_bias"],
+        cfg.ln_eps,
     ).astype(cd)
 
-    h1 = jnp.dot(x, lp["w1"].astype(cd), preferred_element_type=jnp.float32) + lp["b1"]
+    h1 = matmul(x2d, "w1") + lp["b1"]
     h1 = jax.nn.gelu(h1, approximate=False).astype(cd)
-    h2 = jnp.dot(h1, lp["w2"].astype(cd), preferred_element_type=jnp.float32) + lp["b2"]
-    x = _layernorm(
-        x.astype(jnp.float32) + h2, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps
+    h2 = matmul(h1, "w2") + lp["b2"]
+    x2d = _layernorm(
+        x2d.astype(jnp.float32) + h2, lp["ln2_scale"], lp["ln2_bias"],
+        cfg.ln_eps,
     ).astype(cd)
-    return x
+    return x2d.reshape(B, S, H)
 
 
 def encoder_forward(
@@ -286,6 +344,7 @@ class TextEncoder:
         seq_buckets: Sequence[int] = (32, 64, 128, 256),
         batch_buckets: Sequence[int] = (8, 32, 128, 256),
         seed: int = 0,
+        quantize: bool = False,
     ) -> None:
         from multimodal_rag_tpu.models.tokenizer import get_tokenizer
 
@@ -293,6 +352,8 @@ class TextEncoder:
         self.params = (
             params if params is not None else init_params(jax.random.key(seed), cfg)
         )
+        if quantize and "wq_q" not in self.params["layers"]:
+            self.params = quantize_params(self.params)
         self.tokenizer = tokenizer or get_tokenizer(vocab_size=cfg.vocab_size)
         # Out-of-range ids would silently clamp in the embedding gather.
         assert self.tokenizer.vocab_size <= cfg.vocab_size, (

@@ -208,3 +208,52 @@ class TestWordPieceTokenizer:
         for text in ("hello world", "unaffable running", "hello, xyzzy."):
             want = theirs.encode(text, add_special_tokens=False)
             assert ours.tokenize_ids(text) == want, text
+
+
+class TestQuantizedPath:
+    def test_int8_embeddings_match_float(self):
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+
+        from multimodal_rag_tpu.models.minilm import (
+            EncoderConfig, embed, init_params, quantize_params,
+        )
+
+        cfg = EncoderConfig(
+            vocab_size=500, hidden_dim=64, num_layers=2, num_heads=4,
+            ff_dim=128, max_position=32, compute_dtype=jnp.float32,
+        )
+        params = init_params(jax.random.key(0), cfg)
+        q_params = quantize_params(params)
+        assert q_params["layers"]["wq_q"].dtype == jnp.int8
+        assert "wq" not in q_params["layers"]
+
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, 500, (4, 16)), jnp.uint32)
+        mask = jnp.asarray(
+            (np.arange(16)[None] < np.array([16, 9, 5, 16])[:, None])
+            .astype(np.int32)
+        )
+        zf = np.asarray(embed(params, ids, mask, cfg))
+        zq = np.asarray(embed(q_params, ids, mask, cfg))
+        cos = np.sum(zf * zq, axis=-1)  # both unit-norm
+        assert (cos > 0.999).all(), cos
+        np.testing.assert_allclose(
+            np.linalg.norm(zq, axis=-1), 1.0, atol=1e-5
+        )
+
+    def test_text_encoder_quantize_flag(self):
+        import jax.numpy as jnp
+
+        from multimodal_rag_tpu.models.minilm import EncoderConfig, TextEncoder
+
+        cfg = EncoderConfig(
+            vocab_size=500, hidden_dim=64, num_layers=2, num_heads=4,
+            ff_dim=128, max_position=32, compute_dtype=jnp.float32,
+        )
+        enc = TextEncoder(cfg=cfg, quantize=True,
+                          seq_buckets=(16,), batch_buckets=(4,))
+        assert "wq_q" in enc.params["layers"]
+        out = enc.encode(["quantized inference on the MXU"])
+        assert out.shape == (1, 64)
