@@ -435,6 +435,37 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 503,
                 "Cross-modal search disabled (set CROSS_MODAL_ENABLED=true)",
             )
+        # Multipart = query-by-image (image → similar figures).
+        if request.content_type.startswith("multipart/"):
+            reader = await request.multipart()
+            image_bytes = None
+            top_k = 5
+            async for part in reader:
+                if part.name == "file":
+                    image_bytes = await part.read(decode=False)
+                elif part.name == "top_k":
+                    try:
+                        top_k = int((await part.read()).decode())
+                    except ValueError:
+                        return json_error(422, "top_k must be an int")
+            if not image_bytes:
+                return json_error(422, "file field required")
+            if not 1 <= top_k <= 20:
+                return json_error(422, "top_k must be in [1, 20]")
+            start = time.time()
+            try:
+                hits = await comps.crossmodal.search_image(
+                    image_bytes, k=top_k
+                )
+                return web.json_response(
+                    {
+                        "results": hits,
+                        "processing_time": time.time() - start,
+                    }
+                )
+            except Exception as e:  # noqa: BLE001
+                logger.exception("image-to-image search failed")
+                return json_error(500, str(e))
         try:
             body = await request.json()
         except ValueError:

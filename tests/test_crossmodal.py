@@ -200,3 +200,51 @@ class TestApiRoute:
         finally:
             loop.run_until_complete(client.close())
             loop.close()
+
+
+class TestImageToImageRoute:
+    def test_multipart_image_search(self, tmp_path):
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from tests.test_api import make_components
+        from multimodal_rag_tpu.server.api import create_app
+
+        loop = asyncio.new_event_loop()
+        comps = make_components(tmp_path)
+        comps.crossmodal = tiny_index()
+        loop.run_until_complete(comps.initialize())
+        loop.run_until_complete(
+            comps.crossmodal.index_document_images(
+                "doc_i", [image_obj(i) for i in range(3)]
+            )
+        )
+        app = create_app(components=comps)
+        client = TestClient(TestServer(app, loop=loop), loop=loop)
+        loop.run_until_complete(client.start_server())
+        try:
+            import aiohttp
+
+            async def do():
+                form = aiohttp.FormData()
+                form.add_field("file", io.BytesIO(make_png(1)),
+                               filename="q.png",
+                               content_type="image/png")
+                form.add_field("top_k", "2")
+                resp = await client.post("/search/images", data=form)
+                return resp.status, await resp.json()
+
+            status, body = loop.run_until_complete(do())
+            assert status == 200
+            assert body["results"][0]["id"] == "doc_i_img_1"  # exact match
+            assert body["results"][0]["relevance"] > 0.99
+
+            async def missing_file():
+                form = aiohttp.FormData()
+                form.add_field("top_k", "2")
+                resp = await client.post("/search/images", data=form)
+                return resp.status
+
+            assert loop.run_until_complete(missing_file()) == 422
+        finally:
+            loop.run_until_complete(client.close())
+            loop.close()
