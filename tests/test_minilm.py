@@ -257,3 +257,14 @@ class TestQuantizedPath:
         assert "wq_q" in enc.params["layers"]
         out = enc.encode(["quantized inference on the MXU"])
         assert out.shape == (1, 64)
+
+    def test_get_tokenizer_picks_vocab_txt(self, tmp_path, monkeypatch):
+        from multimodal_rag_tpu.models import tokenizer as tok_mod
+
+        path, _ = TestWordPieceTokenizer.make_vocab(tmp_path)
+        monkeypatch.setenv("MMRAG_TOKENIZER_PATH", path)
+        tok = tok_mod.get_tokenizer(tok_mod.VOCAB_SIZE)
+        assert tok.name == "wordpiece"
+        monkeypatch.delenv("MMRAG_TOKENIZER_PATH")
+        tok2 = tok_mod.get_tokenizer(tok_mod.VOCAB_SIZE)
+        assert tok2.name in ("hashing-wordpiece", "hf-wordpiece", "wordpiece")
