@@ -37,16 +37,26 @@ REPS_LO, REPS_HI = 4, 16
 
 
 def _timed_loop(fn):
-    """fn(perturbation, reps) → device array. Returns seconds/rep."""
+    """fn(perturbation, reps) → device array. Returns seconds/rep.
+
+    Best-of-two per rep count: the relay adds per-dispatch jitter that can
+    exceed the marginal device time, so a single (hi - lo) pair can come
+    out negative. If the subtraction still degenerates, fall back to
+    hi/REPS_HI (an upper bound that includes the constant overhead)."""
     np.asarray(fn(0, REPS_LO))  # compile + warm lo
     np.asarray(fn(1, REPS_HI))  # compile + warm hi
-    t0 = time.perf_counter()
-    np.asarray(fn(2, REPS_LO))
-    lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(fn(3, REPS_HI))
-    hi = time.perf_counter() - t0
-    return (hi - lo) / (REPS_HI - REPS_LO)
+    lo, hi = float("inf"), float("inf")
+    for attempt in range(2):
+        t0 = time.perf_counter()
+        np.asarray(fn(2 + 2 * attempt, REPS_LO))
+        lo = min(lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(fn(3 + 2 * attempt, REPS_HI))
+        hi = min(hi, time.perf_counter() - t0)
+    dt = (hi - lo) / (REPS_HI - REPS_LO)
+    if dt <= 0:
+        dt = hi / REPS_HI
+    return dt
 
 
 def bench_embed():
