@@ -481,4 +481,6 @@ class EmbeddingManager:
         out = dict(self.stats)
         if self.cache is not None:
             out["cache"] = self.cache.get_stats()
+        if self._batcher is not None:
+            out["batcher"] = dict(self._batcher.stats)
         return out
