@@ -75,14 +75,15 @@ class ClusteredLayout(NamedTuple):
     """Physically reordered database + block metadata.
 
     Padding rows are always a suffix (rows >= n_live); the fine kernel
-    masks them by index. Store-level deletes *after* a build are handled
-    by post-filtering + planner rebuild, not by holes in the layout.
+    masks them by index. Store-level deletes *after* a build flip entries
+    in ``mask`` (via ``_replace``), which both engines honor in-kernel —
+    no post-filter fallback needed until the planner decides to rebuild.
     """
 
     vectors: jax.Array  # (n_pad, D) reordered, padded with zeros
     block_centroids: jax.Array  # (n_blocks, D) f32
     row_to_original: np.ndarray  # (n_pad,) original row per new row, -1 pad
-    mask: jax.Array  # (1, n_pad) additive mask (XLA reference path)
+    mask: jax.Array  # (1, n_pad) additive: 0 live, NEG_INF pad/tombstoned
     n_live: int  # real rows; padding rows are >= n_live
     block_rows: int
 
@@ -292,10 +293,13 @@ def _ivf_fine_kernel(
     meta_ref,  # (2,) scalar prefetch — [n_scanned_blocks, n_live]
     q_ref,  # (B_pad, D) in VMEM
     v_hbm,  # (n_blocks*block_rows, D) stays in HBM; blocks DMA'd manually
+    m_hbm,  # (1, n_blocks*block_rows) additive live mask, stays in HBM
     vals_out,  # (B_pad, out_k)
     idx_out,
     buf,  # (2, block_rows, D) VMEM double buffer
+    mbuf,  # (2, 1, block_rows) VMEM mask double buffer
     sems,  # (2,) DMA semaphores
+    msems,  # (2,) mask DMA semaphores
     *,
     k: int,
     block_rows: int,
@@ -305,7 +309,9 @@ def _ivf_fine_kernel(
     a manually double-buffered HBM→VMEM pipeline (dynamic block ids defeat
     the automatic pipeline emitter), and *every* block is scored against the
     whole query batch — dense MXU matmuls, one DMA per unique block, and
-    per-query running top-k carried through the loop."""
+    per-query running top-k carried through the loop. The additive mask slab
+    rides the same pipeline so padding rows *and* rows tombstoned after the
+    layout build (VectorStore deletes) are rejected in-kernel."""
     b_pad = q_ref.shape[0]
     u = meta_ref[0]
     n_live = meta_ref[1]
@@ -318,7 +324,15 @@ def _ivf_fine_kernel(
             sems.at[slot],
         )
 
+    def start_mask_dma(slot, i):
+        return pltpu.make_async_copy(
+            m_hbm.at[:, pl.ds(ids_ref[i] * block_rows, block_rows)],
+            mbuf.at[slot],
+            msems.at[slot],
+        )
+
     start_dma(0, 0).start()
+    start_mask_dma(0, 0).start()
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
 
@@ -329,8 +343,10 @@ def _ivf_fine_kernel(
         @pl.when(i + 1 < u)
         def _():
             start_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+            start_mask_dma(jax.lax.rem(i + 1, 2), i + 1).start()
 
         start_dma(slot, i).wait()
+        start_mask_dma(slot, i).wait()
 
         scores = jax.lax.dot_general(
             q, buf[slot],
@@ -338,6 +354,7 @@ def _ivf_fine_kernel(
             preferred_element_type=jnp.float32,
         )  # (B_pad, block_rows)
         base = ids_ref[i] * block_rows
+        scores = scores + mbuf[slot][0]
         scores = jnp.where(base + col < n_live, scores, NEG_INF)
 
         cand_vals, cand_idx = _extract_topk(scores, base, k)
@@ -369,12 +386,14 @@ def ivf_fine_search(
     k: int,
     n_scan: jax.Array | int | None = None,  # how many of block_ids are real
     block_rows: int = 256,
+    mask: jax.Array | None = None,  # (1, n_rows) additive live mask
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact rescore over the union of probed blocks → ((B,k) scores,
     (B,k) *layout-row* indices). Every query is scored against every
     scanned block (recall ≥ the per-query probe lists that produced the
-    union)."""
+    union). ``mask`` (0 = live, NEG_INF = padding/tombstoned) lets deletes
+    made after the layout build stay excluded without a rebuild."""
     B, D = queries.shape
     block_ids = block_ids.reshape(-1)
     U = block_ids.shape[0]
@@ -389,6 +408,8 @@ def ivf_fine_search(
     meta = jnp.stack(
         [jnp.asarray(n_scan, jnp.int32), jnp.asarray(n_live, jnp.int32)]
     )
+    if mask is None:
+        mask = jnp.zeros((1, vectors.shape[0]), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -396,6 +417,7 @@ def ivf_fine_search(
         in_specs=[
             pl.BlockSpec((b_pad, D), lambda i, ids, meta: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # vectors stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mask stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((b_pad, out_k), lambda i, ids, meta: (0, 0)),
@@ -403,6 +425,8 @@ def ivf_fine_search(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_rows, D), vectors.dtype),
+            pltpu.VMEM((2, 1, block_rows), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -416,7 +440,7 @@ def ivf_fine_search(
             jax.ShapeDtypeStruct((b_pad, out_k), jnp.int32),
         ],
         interpret=interpret,
-    )(block_ids.astype(jnp.int32), meta, queries, vectors)
+    )(block_ids.astype(jnp.int32), meta, queries, vectors, mask)
     return vals[:B, :k_eff], idx[:B, :k_eff]
 
 
@@ -463,6 +487,7 @@ def ivf_search(
         k=k,
         n_scan=u,
         block_rows=layout.block_rows,
+        mask=layout.mask,
         interpret=interpret,
     )
 
@@ -490,6 +515,7 @@ def ivf_search_xla(
     rows_global = safe_ids[pos // br] * br + (pos % br)
     invalid = (pos // br >= u) | (rows_global >= layout.n_live)
     scores = jnp.where(invalid[None, :], NEG_INF, scores)
+    scores = scores + jnp.take(layout.mask[0], rows_global)[None, :]
     k_eff = min(k, U * br)
     vals, local = jax.lax.top_k(scores, k_eff)
     rows = rows_global[local]

@@ -39,6 +39,7 @@ class ShardedIVFIndex(NamedTuple):
     vectors: jax.Array  # (n_dev, rows_pad, D), sharded on axis 0
     centroids: jax.Array  # (n_dev, max_blocks, D), sharded on axis 0
     meta: jax.Array  # (n_dev, 2) int32 [live_blocks, n_live], sharded
+    mask: jax.Array  # (n_dev, rows_pad) additive: 0 live, NEG_INF dead
     row_map: np.ndarray  # (n_dev, rows_pad) → global store row, host-side
     block_rows: int
     mesh: object
@@ -70,6 +71,7 @@ def build_sharded_ivf(
     vecs = np.zeros((n_dev, rows_pad, d), np.float32)
     cents = np.zeros((n_dev, max_blocks, d), np.float32)
     meta = np.zeros((n_dev, 2), np.int32)
+    mask = np.full((n_dev, rows_pad), NEG_INF, np.float32)
     row_map = np.full((n_dev, rows_pad), -1, np.int64)
     for i, (chunk, layout) in enumerate(zip(chunks, layouts)):
         lv = np.asarray(layout.vectors, np.float32)
@@ -77,6 +79,7 @@ def build_sharded_ivf(
         lc = np.asarray(layout.block_centroids)
         cents[i, : lc.shape[0]] = lc
         meta[i] = [lc.shape[0], layout.n_live]
+        mask[i, : layout.n_live] = 0.0
         ok = layout.row_to_original >= 0
         mapped = np.full_like(layout.row_to_original, -1)
         mapped[ok] = chunk[layout.row_to_original[ok]]
@@ -88,17 +91,31 @@ def build_sharded_ivf(
         vectors=jax.device_put(jnp.asarray(vecs, dtype), shard0),
         centroids=jax.device_put(jnp.asarray(cents), shard0),
         meta=jax.device_put(jnp.asarray(meta), shard_meta),
+        mask=jax.device_put(jnp.asarray(mask), shard_meta),
         row_map=row_map,
         block_rows=block_rows,
         mesh=mesh,
     )
 
 
-def _local_search(q, vecs, cents, meta, *, k, nprobe, block_rows, use_pallas):
+def mark_deleted(index: ShardedIVFIndex, virtual_rows: np.ndarray) -> ShardedIVFIndex:
+    """Flip mask entries for flat virtual layout rows (dev*rows_pad + row)
+    after store-level tombstoning; returns the updated index."""
+    host = np.array(index.mask)  # owned copy (np.asarray view is read-only)
+    host.reshape(-1)[np.asarray(virtual_rows, np.int64)] = NEG_INF
+    shard_meta = NamedSharding(index.mesh, P(DATA_AXIS, None))
+    return index._replace(
+        mask=jax.device_put(jnp.asarray(host), shard_meta)
+    )
+
+
+def _local_search(q, vecs, cents, meta, mask, *, k, nprobe, block_rows,
+                  use_pallas):
     """Per-shard coarse+fine search + cross-shard merge. Runs under
     shard_map: leading device axis is size 1 locally."""
     vecs = vecs[0]
     cents = cents[0]
+    # mask arrives as the local (1, rows_pad) block — the fine kernel's shape
     live_blocks = meta[0, 0]
     n_live = meta[0, 1]
     max_blocks = cents.shape[0]
@@ -124,7 +141,8 @@ def _local_search(q, vecs, cents, meta, *, k, nprobe, block_rows, use_pallas):
 
     if use_pallas:
         vals, rows = ivf_fine_search(
-            q, vecs, n_live, ids, k=k, n_scan=u, block_rows=block_rows
+            q, vecs, n_live, ids, k=k, n_scan=u, block_rows=block_rows,
+            mask=mask,
         )
     else:
         safe = jnp.minimum(ids, max_blocks - 1)
@@ -140,6 +158,7 @@ def _local_search(q, vecs, cents, meta, *, k, nprobe, block_rows, use_pallas):
         )
         invalid = (pos // block_rows >= u) | (rows_global >= n_live)
         scores = jnp.where(invalid[None, :], NEG_INF, scores)
+        scores = scores + jnp.take(mask[0], rows_global)[None, :]
         vals, local = jax.lax.top_k(scores, min(k, cand.shape[0]))
         rows = rows_global[local].astype(jnp.int32)
 
@@ -164,7 +183,9 @@ def sharded_ivf_search(
     if use_pallas is None:
         use_pallas = default_use_pallas()
     fn = _build(index.mesh, k, nprobe, index.block_rows, use_pallas)
-    vals, virtual = fn(queries, index.vectors, index.centroids, index.meta)
+    vals, virtual = fn(
+        queries, index.vectors, index.centroids, index.meta, index.mask
+    )
     vals = np.asarray(vals)
     virtual = np.asarray(virtual)
     rows = index.row_map.reshape(-1)[virtual]
@@ -184,6 +205,7 @@ def _build(mesh, k, nprobe, block_rows, use_pallas):
             P(),
             P(DATA_AXIS, None, None),
             P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None),
             P(DATA_AXIS, None),
         ),
         out_specs=(P(), P()),

@@ -18,6 +18,10 @@ TPU-first design decisions:
 * **Host mirror.** ids / documents / metadatas stay host-side (they are
   Python objects); embeddings keep a host float32 mirror so capacity
   growth, persistence, and compaction never read back from device.
+  Metadata lookups are numpy-vectorized: a ``doc_id → rows`` index
+  (maintained in ``add``/``_tombstone``) serves the delete path, and
+  per-key object columns serve arbitrary equality filters — no Python
+  O(N) scan sits on any request path.
 * **Single- or multi-chip.** With a mesh of >1 devices the vector array is
   row-sharded over HBM and queries run through the collectives-based
   merge (``parallel.distributed_search``); single-chip uses the kernel
@@ -25,18 +29,26 @@ TPU-first design decisions:
 * **Compaction.** Tombstones accumulate until ``compact()`` (auto-invoked
   when dead fraction exceeds ``compact_threshold``) rewrites the arrays
   densely.
+* **IVF deletes/adds stay honest.** Tombstones flip entries in the
+  clustered layout's additive mask (both engines honor it in-kernel), and
+  rows added after a build are searched by an exact scan over a
+  device-resident *tail* buffer merged with the IVF candidates — the fast
+  path survives mutation instead of silently falling back to a full exact
+  scan. Fallbacks that do happen are counted and logged.
 
-Persistence: ``save()`` writes vectors+mask (npz) and ids/docs/metadata
-(json) to a directory; ``load()`` restores — covering the reference's
+Persistence: ``save()`` writes bf16 vector shard files + a packed live
+bitmap + a JSON manifest; ``load()`` streams shards directly into the
+pre-allocated mirror (no peak-memory doubling) — covering the reference's
 Chroma persist-dir restart semantics (SURVEY.md §5.4).
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +65,13 @@ from multimodal_rag_tpu.parallel.sharding import (
     get_mesh,
     row_sharding,
 )
+
+logger = logging.getLogger(__name__)
+
+_MISSING = object()
+
+# Rows per persisted vector shard file (1M rows × 384 dim × bf16 ≈ 768 MB).
+SHARD_ROWS = 1 << 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,26 +105,10 @@ class VectorStore:
             use_pallas if use_pallas is not None else default_use_pallas()
         )
         self._align = self.n_devices * tile_n
+        self._initial_capacity = initial_capacity
         self._lock = threading.RLock()
 
-        self._capacity = _round_up(initial_capacity, self._align)
-        self._size = 0  # rows ever written (dense prefix, incl. tombstones)
-        self._dead = 0
-
-        # Host mirrors.
-        self._vecs = np.zeros((self._capacity, dim), np.float32)
-        self._mask = np.full((1, self._capacity), NEG_INF, np.float32)
-        self._ids: List[str] = []
-        self._docs: List[Optional[str]] = []
-        self._metas: List[Optional[dict]] = []
-        self._id_to_row: Dict[str, int] = {}
-
-        # Device arrays (lazily refreshed).
-        self._dev_vecs = None
-        self._dev_mask = None
-        self._dirty = True
-
-        # IVF planner state (single-device path; SURVEY.md §7 layer 4).
+        # IVF planner knobs (single source: config; SURVEY.md §7 layer 4).
         from multimodal_rag_tpu.config import settings as _settings
 
         self.ivf_threshold = (
@@ -116,9 +119,50 @@ class VectorStore:
         self.ivf_nprobe = (
             ivf_nprobe if ivf_nprobe is not None else _settings.IVF_NPROBE
         )
+
+        self.counters = {
+            "ivf_builds": 0,
+            "ivf_searches": 0,
+            "ivf_fallbacks": 0,
+            "compactions": 0,
+        }
+        self._reset_state()
+
+    def _reset_state(self) -> None:
+        """(Re)initialize all mutable state. Never rebinds ``_lock`` —
+        callers must already hold it when resetting a live store."""
+        self._capacity = _round_up(self._initial_capacity, self._align)
+        self._size = 0  # rows ever written (dense prefix, incl. tombstones)
+        self._dead = 0
+
+        # Host mirrors.
+        self._vecs = np.zeros((self._capacity, self.dim), np.float32)
+        self._mask = np.full((1, self._capacity), NEG_INF, np.float32)
+        self._ids: List[str] = []
+        self._docs: List[Optional[str]] = []
+        self._metas: List[Optional[dict]] = []
+        self._id_to_row: Dict[str, int] = {}
+        # Metadata indexes: doc_id → set of live rows (the delete path),
+        # plus lazily-built per-key object columns for arbitrary filters.
+        self._doc_rows: Dict[Any, set] = {}
+        self._meta_cols: Dict[str, Tuple[np.ndarray, int]] = {}
+
+        # Device arrays (lazily refreshed).
+        self._dev_vecs = None
+        self._dev_mask = None
+        self._dirty = True
+
+        # IVF planner state.
         self._ivf_layout = None
-        self._ivf_rows = None  # layout row → store row
+        self._ivf_rows = None  # layout row → store row (single-device)
+        self._ivf_store_to_layout = None  # store row → layout/virtual row
+        self._ivf_pending_dead: List[int] = []
         self._ivf_built_count = 0
+        self._ivf_built_size = 0  # store _size watermark at build time
+        # Exact-scan tail buffer for rows added after the IVF build.
+        self._tail_dev = None
+        self._tail_cap = 0
+        self._tail_len = 0
 
         # Fused embed→search chains, keyed (embed_fn, k, tile); jax.jit
         # handles shape polymorphism (capacity growth) per entry.
@@ -187,6 +231,8 @@ class VectorStore:
                 self._docs.append(doc)
                 self._metas.append(meta)
                 self._id_to_row[id_] = row
+                if meta is not None and "doc_id" in meta:
+                    self._doc_rows.setdefault(meta["doc_id"], set()).add(row)
             self._size += len(ids)
             self._dirty = True
 
@@ -194,6 +240,14 @@ class VectorStore:
         if self._mask[0, row] == 0.0:
             self._mask[0, row] = NEG_INF
             self._dead += 1
+            meta = self._metas[row]
+            if meta is not None and "doc_id" in meta:
+                rows = self._doc_rows.get(meta["doc_id"])
+                if rows is not None:
+                    rows.discard(row)
+                    if not rows:
+                        self._doc_rows.pop(meta["doc_id"], None)
+            self._ivf_mark_deleted(row)
         self._id_to_row.pop(self._ids[row], None)
         self._dirty = True
 
@@ -209,9 +263,7 @@ class VectorStore:
                     if row is not None:
                         rows.add(row)
             if where:
-                for row in self._live_rows():
-                    if self._matches(self._metas[row], where):
-                        rows.add(row)
+                rows.update(int(r) for r in self._rows_matching(where))
             for row in rows:
                 self._tombstone(row)
             if rows:
@@ -219,17 +271,11 @@ class VectorStore:
             return len(rows)
 
     def delete_all(self) -> None:
-        """Drop-and-recreate semantics (reference embedder.py:658-688)."""
+        """Drop-and-recreate semantics (reference embedder.py:658-688).
+        Resets state in place under the existing lock — the lock object is
+        never rebound, so concurrent readers serialize correctly."""
         with self._lock:
-            self.__init__(
-                dim=self.dim,
-                name=self.name,
-                mesh=self.mesh,
-                tile_n=self.tile_n,
-                dtype=self.dtype,
-                compact_threshold=self.compact_threshold,
-                use_pallas=self.use_pallas,
-            )
+            self._reset_state()
 
     def _maybe_compact(self) -> None:
         if self._size and self._dead / self._size > self.compact_threshold:
@@ -247,17 +293,84 @@ class VectorStore:
             self._docs = [self._docs[r] for r in live]
             self._metas = [self._metas[r] for r in live]
             self._id_to_row = {id_: i for i, id_ in enumerate(self._ids)}
+            self._rebuild_meta_indexes()
             self._vecs, self._mask = vecs, mask
             self._size, self._dead = len(live), 0
             self._dirty = True
-            self._ivf_layout = None  # store rows were remapped
+            self._drop_ivf()  # store rows were remapped
+            self.counters["compactions"] += 1
+
+    def _rebuild_meta_indexes(self) -> None:
+        self._doc_rows = {}
+        for row, meta in enumerate(self._metas):
+            if meta is not None and "doc_id" in meta:
+                self._doc_rows.setdefault(meta["doc_id"], set()).add(row)
+        self._meta_cols = {}
+
+    def _drop_ivf(self) -> None:
+        self._ivf_layout = None
+        self._ivf_rows = None
+        self._ivf_store_to_layout = None
+        self._ivf_pending_dead = []
+        self._ivf_built_count = 0
+        self._ivf_built_size = 0
+        self._tail_dev = None
+        self._tail_cap = 0
+        self._tail_len = 0
 
     # ------------------------------------------------------------------
     # Reads
     # ------------------------------------------------------------------
 
-    def _live_rows(self) -> List[int]:
-        return [r for r in range(self._size) if self._mask[0, r] == 0.0]
+    def _live_rows(self) -> np.ndarray:
+        """Vectorized live-row index — never a Python loop over the corpus."""
+        return np.flatnonzero(self._mask[0, : self._size] == 0.0)
+
+    def _meta_col(self, key: str) -> np.ndarray:
+        """Per-key metadata column (object dtype), built lazily and extended
+        incrementally so repeated filtered queries are numpy-vectorized."""
+        col, filled = self._meta_cols.get(key, (None, 0))
+        if col is None or col.shape[0] < self._capacity:
+            new = np.empty((self._capacity,), object)
+            if col is not None:
+                new[:filled] = col[:filled]
+            col = new
+        if filled < self._size:
+            metas = self._metas
+            for r in range(filled, self._size):
+                m = metas[r]
+                col[r] = m.get(key) if m is not None else None
+            filled = self._size
+        self._meta_cols[key] = (col, filled)
+        return col
+
+    def _rows_matching(self, where: dict) -> np.ndarray:
+        """Live rows whose metadata equals every (key, value) in ``where``.
+        ``doc_id`` filters resolve through the eager doc index; other keys
+        through vectorized object-column comparison."""
+        live = self._mask[0, : self._size] == 0.0
+        rest = dict(where)
+        doc_id = rest.pop("doc_id", _MISSING)
+        if doc_id is not _MISSING:
+            bucket = self._doc_rows.get(doc_id)
+            if not bucket:
+                return np.empty((0,), np.int64)
+            rows = np.fromiter(bucket, np.int64, len(bucket))
+            rows.sort()
+            for k, v in rest.items():  # small candidate set by now
+                keep = [
+                    self._metas[r] is not None and self._metas[r].get(k) == v
+                    for r in rows
+                ]
+                rows = rows[np.asarray(keep, bool)]
+                if rows.size == 0:
+                    break
+            return rows
+        sel = live
+        for k, v in rest.items():
+            col = self._meta_col(key=k)
+            sel = sel & (col[: self._size] == v)
+        return np.flatnonzero(sel)
 
     @staticmethod
     def _matches(meta: Optional[dict], where: dict) -> bool:
@@ -280,10 +393,14 @@ class VectorStore:
                 rows = [
                     self._id_to_row[i] for i in ids if i in self._id_to_row
                 ]
+                if where:
+                    rows = [
+                        r for r in rows if self._matches(self._metas[r], where)
+                    ]
+            elif where:
+                rows = self._rows_matching(where).tolist()
             else:
-                rows = self._live_rows()
-            if where:
-                rows = [r for r in rows if self._matches(self._metas[r], where)]
+                rows = self._live_rows().tolist()
             out: Dict[str, list] = {"ids": [self._ids[r] for r in rows]}
             if "documents" in include:
                 out["documents"] = [self._docs[r] for r in rows]
@@ -315,13 +432,11 @@ class VectorStore:
                         out[key] = [[] for _ in range(q.shape[0])]
                 return out
             k = min(n_results, live)
-            mask = self._mask
             if where:
                 # Metadata pre-filter: restrict search to matching rows.
+                sel = self._rows_matching(where)
                 mask = np.full_like(self._mask, NEG_INF)
-                for r in self._live_rows():
-                    if self._matches(self._metas[r], where):
-                        mask[0, r] = 0.0
+                mask[0, sel] = 0.0
                 vals, idx = self._search_masked(q, jnp.asarray(mask), k)
             else:
                 vals, idx = self._search_masked(q, None, k)
@@ -411,8 +526,9 @@ class VectorStore:
         if self._ivf_layout is None:
             return True
         built = self._ivf_built_count
-        # Rebuild when the corpus grew >20% or any delete happened after
-        # the build beyond a 10% budget (deletes are post-filtered until).
+        # Rebuild when the corpus grew >20% (tail scan covers the interim)
+        # or deletes shrank it >10% past the build (mask entries keep the
+        # interim exact; the rebuild restores probe efficiency).
         grown = self.count() > built * 1.2
         shrunk = self.count() < built * 0.9
         return grown or shrunk
@@ -437,27 +553,26 @@ class VectorStore:
             store_rows[ok] = live[index.row_map[ok]]
             self._ivf_layout = index._replace(row_map=store_rows)
             self._ivf_rows = None
+            flat_rows = store_rows.reshape(-1)
         else:
             from multimodal_rag_tpu.ops.ivf import (
                 build_clustered_layout,
                 build_clustered_layout_device,
             )
 
+            from multimodal_rag_tpu.config import settings as _s
+
             if self.use_pallas:
                 # TPU: build on device — k-means, assignment, sort, and the
                 # reorder gather all run on-chip; the host path would move
                 # the whole corpus through the host↔device link in
                 # assignment batches (measured: dominates build at 10M).
-                from multimodal_rag_tpu.config import settings as _s
-
                 layout = build_clustered_layout_device(
                     jnp.asarray(vecs, self.dtype),
                     block_rows=min(self.tile_n, 256),
                     n_clusters=_s.IVF_NLIST,
                 )
             else:
-                from multimodal_rag_tpu.config import settings as _s
-
                 layout = build_clustered_layout(
                     vecs, block_rows=min(self.tile_n, 256), dtype=self.dtype,
                     n_clusters=_s.IVF_NLIST,
@@ -467,17 +582,84 @@ class VectorStore:
             store_rows[ok] = live[layout.row_to_original[ok]]
             self._ivf_layout = layout
             self._ivf_rows = store_rows
+            flat_rows = store_rows
+        # Inverse map: store row → layout (or flat virtual) row, used to
+        # flip mask entries when rows are tombstoned after the build.
+        inv = np.full((self._capacity,), -1, np.int64)
+        ok = flat_rows >= 0
+        inv[flat_rows[ok]] = np.flatnonzero(ok)
+        self._ivf_store_to_layout = inv
+        self._ivf_pending_dead = []
         self._ivf_built_count = len(live)
+        self._ivf_built_size = self._size
+        self._tail_dev = None
+        self._tail_cap = 0
+        self._tail_len = 0
+        self.counters["ivf_builds"] += 1
+
+    def _ivf_mark_deleted(self, store_row: int) -> None:
+        """Queue a post-build tombstone for the layout mask (flushed in one
+        scatter at the next IVF search)."""
+        inv = self._ivf_store_to_layout
+        if inv is None or store_row >= inv.shape[0]:
+            return
+        lrow = inv[store_row]
+        if lrow >= 0:
+            self._ivf_pending_dead.append(int(lrow))
+
+    def _ivf_flush_deletes(self) -> None:
+        if not self._ivf_pending_dead or self._ivf_layout is None:
+            return
+        rows = np.asarray(sorted(set(self._ivf_pending_dead)), np.int64)
+        self._ivf_pending_dead = []
+        if self.n_devices > 1:
+            from multimodal_rag_tpu.parallel.sharded_ivf import mark_deleted
+
+            self._ivf_layout = mark_deleted(self._ivf_layout, rows)
+        else:
+            new_mask = self._ivf_layout.mask.at[0, rows].set(NEG_INF)
+            self._ivf_layout = self._ivf_layout._replace(mask=new_mask)
+
+    def _tail_search(self, q: np.ndarray, k: int):
+        """Exact scan over rows appended after the IVF build (the *tail*),
+        kept in a bucketed device buffer so post-build adds stay visible
+        without an immediate rebuild. Returns ((B, kt), (B, kt) store rows)
+        or None when the tail is empty."""
+        lo, hi = self._ivf_built_size, self._size
+        n_tail = hi - lo
+        if n_tail <= 0:
+            return None
+        cap = max(1024, 1 << (n_tail - 1).bit_length())
+        if (
+            self._tail_dev is None
+            or self._tail_cap != cap
+            or self._tail_len != n_tail
+        ):
+            buf = np.zeros((cap, self.dim), np.float32)
+            buf[:n_tail] = self._vecs[lo:hi]
+            self._tail_dev = jnp.asarray(buf, self.dtype)
+            self._tail_cap, self._tail_len = cap, n_tail
+        valid = np.zeros((cap,), bool)
+        valid[:n_tail] = self._mask[0, lo:hi] == 0.0
+        kt = min(k, n_tail)
+        vals, idx = mips_topk_xla(
+            jnp.asarray(q), self._tail_dev, kt, valid=jnp.asarray(valid)
+        )
+        vals = np.asarray(vals)
+        rows = np.asarray(idx).astype(np.int64) + lo
+        rows[vals <= NEG_INF / 2] = -1
+        return vals, rows
 
     def _ivf_search(self, q: np.ndarray, k: int):
-        """IVF path with dead-row post-filtering; falls back to exact when
-        too few live candidates survive."""
-        import jax.numpy as jnp
-
+        """IVF path: probe the clustered layout (tombstones masked
+        in-kernel), exact-scan the post-build tail, merge. Falls back to
+        exact (counted + logged) only when the probed blocks cannot supply
+        k live candidates."""
         from multimodal_rag_tpu.ops.ivf import ivf_search, ivf_search_xla
 
         if self._ivf_stale():
             self._build_ivf()
+        self._ivf_flush_deletes()
         layout = self._ivf_layout
         from multimodal_rag_tpu.config import settings as _settings
 
@@ -486,14 +668,14 @@ class VectorStore:
                 sharded_ivf_search,
             )
 
-            fetch_k = k * 4 + 16
+            fetch_k = k + 8
             vals, store_rows = sharded_ivf_search(
                 jnp.asarray(q), layout, k=fetch_k, nprobe=self.ivf_nprobe,
                 use_pallas=self.use_pallas,
             )
         else:
             fetch_k = min(
-                k * 4 + 16,
+                k + 8,
                 layout.block_centroids.shape[0] * layout.block_rows,
             )
             if self.use_pallas and _settings.IVF_ENGINE == "pallas":
@@ -512,20 +694,34 @@ class VectorStore:
             ok = rows >= 0
             store_rows[ok] = self._ivf_rows[rows[ok]]
 
-        out_vals = np.full((q.shape[0], k), NEG_INF, np.float32)
-        out_idx = np.full((q.shape[0], k), -1, np.int64)
-        for r in range(q.shape[0]):
-            n_kept = 0
-            for v, store_row in zip(vals[r], store_rows[r]):
-                if v <= NEG_INF / 2 or n_kept == k:
-                    break
-                if store_row < 0 or self._mask[0, store_row] != 0.0:
-                    continue  # padding or deleted since build
-                out_vals[r, n_kept] = v
-                out_idx[r, n_kept] = store_row
-                n_kept += 1
-            if n_kept < k:
-                return None  # not enough survivors → caller goes exact
+        # Merge in the exact-scan tail (rows added after the build).
+        tail = self._tail_search(q, k)
+        if tail is not None:
+            vals = np.concatenate([vals, tail[0]], axis=1)
+            store_rows = np.concatenate([store_rows, tail[1]], axis=1)
+
+        # Vectorized finalize: drop padding/sentinels, keep top-k per query
+        # with the kernel tie-break contract (score desc, row asc).
+        valid = (vals > NEG_INF / 2) & (store_rows >= 0)
+        vals = np.where(valid, vals, NEG_INF)
+        B = q.shape[0]
+        out_vals = np.full((B, k), NEG_INF, np.float32)
+        out_idx = np.full((B, k), -1, np.int64)
+        for r in range(B):  # B ≤ top_k cap (20); inner ops vectorized
+            order = np.lexsort((store_rows[r], -vals[r]))[:k]
+            out_vals[r] = vals[r, order]
+            out_idx[r] = store_rows[r, order]
+        survivors = (out_vals > NEG_INF / 2).sum(axis=1)
+        want = min(k, self.count())
+        if (survivors < want).any():
+            self.counters["ivf_fallbacks"] += 1
+            logger.warning(
+                "IVF path returned %d/%d candidates (nprobe=%d); "
+                "falling back to exact scan",
+                int(survivors.min()), want, self.ivf_nprobe,
+            )
+            return None  # caller runs the exact path
+        self.counters["ivf_searches"] += 1
         return out_vals, out_idx
 
     def _query_tile(self) -> int:
@@ -573,20 +769,57 @@ class VectorStore:
 
     # ------------------------------------------------------------------
     # Persistence (reference Chroma persist-dir semantics, SURVEY.md §5.4)
+    #
+    # Format 2: JSON manifest + bf16 vector shard files (SHARD_ROWS rows
+    # each; halves the 10M footprint vs f32) + packed live bitmap + the
+    # ids/docs/metas JSON. Shards stream directly into the pre-allocated
+    # mirror on load — peak host memory = mirror + ONE shard, not 2×corpus.
     # ------------------------------------------------------------------
 
     def save(self, directory: str) -> None:
+        import ml_dtypes
+
         with self._lock:
             os.makedirs(directory, exist_ok=True)
-            np.savez_compressed(
-                os.path.join(directory, f"{self.name}.npz"),
-                vecs=self._vecs[: self._size],
-                mask=self._mask[:, : self._size],
+            size = self._size
+            # Disk dtype mirrors the device dtype: bf16 shards halve the
+            # 10M-row footprint (~7.5 GB vs 15) and lose nothing the search
+            # kernel would have seen; f32 stores stay lossless.
+            vec_dtype = (
+                "float32" if self.dtype == jnp.float32 else "bfloat16"
             )
+            np_dtype = (
+                np.float32 if vec_dtype == "float32" else ml_dtypes.bfloat16
+            )
+            n_shards = max(1, _round_up(size, SHARD_ROWS) // SHARD_ROWS)
+            for i in range(n_shards):
+                lo = i * SHARD_ROWS
+                hi = min(size, lo + SHARD_ROWS)
+                shard = self._vecs[lo:hi].astype(np_dtype)
+                shard.tofile(
+                    os.path.join(directory, f"{self.name}.vec.{i:04d}.bin")
+                )
+            live_bits = np.packbits(self._mask[0, :size] == 0.0)
+            live_bits.tofile(
+                os.path.join(directory, f"{self.name}.mask.bin")
+            )
+            manifest = {
+                "format": 2,
+                "name": self.name,
+                "dim": self.dim,
+                "size": size,
+                "shard_rows": SHARD_ROWS,
+                "n_shards": n_shards,
+                "vec_dtype": vec_dtype,
+            }
+            with open(
+                os.path.join(directory, f"{self.name}.manifest.json"), "w"
+            ) as f:
+                json.dump(manifest, f)
             meta = {
                 "name": self.name,
                 "dim": self.dim,
-                "size": self._size,
+                "size": size,
                 "ids": self._ids,
                 "docs": self._docs,
                 "metas": self._metas,
@@ -595,17 +828,47 @@ class VectorStore:
                 os.path.join(directory, f"{self.name}.json"), "w"
             ) as f:
                 json.dump(meta, f)
+            # Drop the superseded monolithic format-1 blob if present.
+            legacy = os.path.join(directory, f"{self.name}.npz")
+            if os.path.exists(legacy):
+                os.remove(legacy)
 
     @classmethod
     def load(cls, directory: str, name: str = "multimodal_rag", **kwargs):
         with open(os.path.join(directory, f"{name}.json")) as f:
             meta = json.load(f)
         store = cls(dim=meta["dim"], name=name, **kwargs)
-        data = np.load(os.path.join(directory, f"{name}.npz"))
         size = meta["size"]
         store._grow(size)
-        store._vecs[:size] = data["vecs"]
-        store._mask[:, :size] = data["mask"]
+        manifest_path = os.path.join(directory, f"{name}.manifest.json")
+        if os.path.exists(manifest_path):
+            import ml_dtypes
+
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            shard_rows = manifest["shard_rows"]
+            np_dtype = (
+                np.float32
+                if manifest.get("vec_dtype") == "float32"
+                else ml_dtypes.bfloat16
+            )
+            for i in range(manifest["n_shards"]):
+                lo = i * shard_rows
+                hi = min(size, lo + shard_rows)
+                shard = np.fromfile(
+                    os.path.join(directory, f"{name}.vec.{i:04d}.bin"),
+                    dtype=np_dtype,
+                ).reshape(-1, meta["dim"])
+                store._vecs[lo:hi] = shard[: hi - lo]
+            bits = np.fromfile(
+                os.path.join(directory, f"{name}.mask.bin"), dtype=np.uint8
+            )
+            live = np.unpackbits(bits, count=size).astype(bool)
+            store._mask[0, :size] = np.where(live, 0.0, NEG_INF)
+        else:  # legacy format-1 monolithic npz
+            data = np.load(os.path.join(directory, f"{name}.npz"))
+            store._vecs[:size] = data["vecs"]
+            store._mask[:, :size] = data["mask"]
         store._ids = list(meta["ids"])
         store._docs = list(meta["docs"])
         store._metas = list(meta["metas"])
@@ -616,6 +879,13 @@ class VectorStore:
             for r, id_ in enumerate(store._ids)
             if store._mask[0, r] == 0.0
         }
+        store._rebuild_meta_indexes()
+        # Doc index must only hold live rows.
+        live_set = set(store._id_to_row.values())
+        for doc_id in list(store._doc_rows):
+            store._doc_rows[doc_id] &= live_set
+            if not store._doc_rows[doc_id]:
+                del store._doc_rows[doc_id]
         store._dirty = True
         return store
 
@@ -628,4 +898,9 @@ class VectorStore:
             "devices": self.n_devices,
             "dim": self.dim,
             "dtype": str(self.dtype.__name__ if hasattr(self.dtype, "__name__") else self.dtype),
+            "counters": dict(self.counters),
+            "ivf_built_count": self._ivf_built_count,
+            "ivf_tail_rows": max(0, self._size - self._ivf_built_size)
+            if self._ivf_layout is not None
+            else 0,
         }

@@ -87,3 +87,67 @@ class TestPlanner:
         assert all(
             m["doc_id"] == "doc_3" for m in res["metadatas"][0]
         )
+
+
+class TestHonestMutation:
+    """VERDICT r1 #4: deletes flip the layout mask (IVF path survives heavy
+    deletion) and post-build adds stay visible via the tail scan."""
+
+    def test_heavy_delete_keeps_ivf_path(self):
+        store, X = make_store(n=3000, threshold=1000)
+        store.query(X[:1], n_results=5)  # build index
+        # Delete ~30% of rows (below the 50% compact threshold).
+        dead_ids = [f"i{j}" for j in range(0, 3000, 4)]  # 750 rows
+        n = store.delete(ids=dead_ids)
+        assert n == 750
+        before = dict(store.counters)
+        res = store.query(X[:8], n_results=5)
+        after = store.counters
+        # Query took the IVF path — no silent exact fallback.
+        assert after["ivf_searches"] == before["ivf_searches"] + 1
+        assert after["ivf_fallbacks"] == before["ivf_fallbacks"]
+        dead = set(dead_ids)
+        for row in res["ids"]:
+            assert len(row) == 5
+            assert not (set(row) & dead)
+
+    def test_fallbacks_are_counted(self):
+        # nprobe=1 over a tiny layout cannot supply k live rows for every
+        # query after deletes → the fallback must be visible in stats.
+        store = VectorStore(
+            dim=64, mesh=get_mesh(1), tile_n=256, initial_capacity=4096,
+            dtype=jnp.float32, ivf_threshold=100, ivf_nprobe=1,
+        )
+        X = clustered(400)
+        store.add([f"i{j}" for j in range(400)], X)
+        store.query(X[:1], n_results=5)  # build
+        store.delete(ids=[f"i{j}" for j in range(150)])
+        store.query(X[:4], n_results=50)
+        stats = store.get_stats()
+        assert (
+            stats["counters"]["ivf_fallbacks"]
+            + stats["counters"]["ivf_searches"]
+            > 0
+        )
+
+    def test_post_build_adds_visible_without_rebuild(self):
+        store, X = make_store(n=3000, threshold=1000)
+        store.query(X[:1], n_results=5)  # build index
+        built = store._ivf_built_count
+        # Add <20% new rows: no rebuild is triggered, but the tail scan
+        # must still surface them.
+        fresh = clustered(100, seed=42)
+        store.add([f"new{j}" for j in range(100)], fresh)
+        res = store.query(fresh[:4], n_results=1)
+        assert store._ivf_built_count == built  # no rebuild happened
+        for r in range(4):
+            assert res["ids"][r][0] == f"new{r}"
+        assert store.get_stats()["ivf_tail_rows"] == 100
+
+    def test_delete_then_upsert_same_id(self):
+        store, X = make_store(n=2000, threshold=1000)
+        store.query(X[:1], n_results=5)
+        new_vec = clustered(1, seed=77)
+        store.add(["i5"], new_vec)  # upsert: old row dies, new row in tail
+        res = store.query(new_vec, n_results=1)
+        assert res["ids"][0][0] == "i5"

