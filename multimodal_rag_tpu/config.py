@@ -124,6 +124,13 @@ class Settings:
     ENABLE_CORS: bool = True
     MAX_UPLOAD_SIZE: int = 50  # MB
 
+    # --- Checkpoints (new; same discovery posture as MMRAG_TOKENIZER_PATH:
+    # explicit path wins, else the HF cache is scanned, else random init
+    # with a prominent serving warning) ---
+    MMRAG_CHECKPOINT_PATH: str = ""  # MiniLM encoder safetensors (file/dir)
+    MMRAG_CROSS_ENCODER_PATH: str = ""  # reranker safetensors (file/dir)
+    MMRAG_CLIP_CHECKPOINT_PATH: str = ""  # CLIP/SigLIP towers (file/dir)
+
     # --- TPU-specific (new) ---
     MESH_SHAPE: str = ""  # e.g. "data:4,model:2"; empty = 1-D over all devices
     COMPUTE_DTYPE: str = "bfloat16"

@@ -39,13 +39,14 @@ def build_dual_encoder(model_name: Optional[str] = None):
     """CLIP_MODEL knob → encoder instance. "siglip" anywhere in the name
     selects SigLIP-B/16; default is CLIP ViT-B/32."""
     name = (model_name or settings.CLIP_MODEL or "ViT-B/32").lower()
+    ckpt = settings.MMRAG_CLIP_CHECKPOINT_PATH or None
     if "siglip" in name:
         from multimodal_rag_tpu.models.siglip import SigLIPEncoder
 
-        return SigLIPEncoder()
+        return SigLIPEncoder(checkpoint_path=ckpt)
     from multimodal_rag_tpu.models.clip import CLIPEncoder
 
-    return CLIPEncoder()
+    return CLIPEncoder(checkpoint_path=ckpt)
 
 
 class CrossModalIndex:

@@ -98,6 +98,7 @@ class EmbeddingManager:
                 cfg=cfg,
                 seq_buckets=settings.seq_buckets,
                 batch_buckets=settings.batch_buckets,
+                checkpoint_path=settings.MMRAG_CHECKPOINT_PATH or None,
             )
         if self._store is None:
             loaded = None
@@ -368,7 +369,10 @@ class EmbeddingManager:
                 CrossEncoderReranker,
             )
 
-            self._reranker = await asyncio.to_thread(CrossEncoderReranker)
+            self._reranker = await asyncio.to_thread(
+                CrossEncoderReranker,
+                checkpoint_path=settings.MMRAG_CROSS_ENCODER_PATH or None,
+            )
         return await asyncio.to_thread(
             self._reranker.rerank, query_text, results, top_k
         )

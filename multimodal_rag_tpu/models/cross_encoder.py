@@ -114,11 +114,46 @@ class CrossEncoderReranker:
         seq_buckets: Sequence[int] = (64, 128, 256),
         batch_buckets: Sequence[int] = (8, 32, 128),
         seed: int = 0,
+        checkpoint_path: str | None = None,
     ):
+        import logging
+
+        from multimodal_rag_tpu.models.minilm import find_local_checkpoint
+
+        logger = logging.getLogger(__name__)
         self.cfg = cfg
-        self.params = (
-            params if params is not None else init_params(jax.random.key(seed), cfg)
-        )
+        # `trained` gates rerank(): random-init pair scores would reorder
+        # results by pure noise — strictly worse than the reference's
+        # pass-through placeholder (embedder.py:834-859), so an untrained
+        # reranker degrades to that placeholder instead.
+        self.trained = params is not None
+        if params is None:
+            if not checkpoint_path and cfg.vocab_size == 30522:
+                checkpoint_path = find_local_checkpoint(
+                    "ms-marco", env_var="MMRAG_CROSS_ENCODER_PATH"
+                )
+            if checkpoint_path:
+                try:
+                    params = load_hf_cross_encoder(checkpoint_path, cfg)
+                    self.trained = True
+                    logger.info(
+                        "Loaded cross-encoder checkpoint from %s",
+                        checkpoint_path,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    logger.error(
+                        "Failed to load cross-encoder %s (%s); rerank "
+                        "degrades to pass-through", checkpoint_path, e,
+                    )
+        if params is None:
+            if cfg.vocab_size == 30522:
+                logger.warning(
+                    "No cross-encoder checkpoint found: rerank=true is a "
+                    "pass-through. Set MMRAG_CROSS_ENCODER_PATH to a local "
+                    "ms-marco-MiniLM safetensors snapshot to enable it."
+                )
+            params = init_params(jax.random.key(seed), cfg)
+        self.params = params
         self.tokenizer = tokenizer or get_tokenizer(
             vocab_size=cfg.vocab_size
         )
@@ -151,9 +186,11 @@ class CrossEncoderReranker:
     ) -> Dict[str, list]:
         """Reorder a flattened query-result dict ({ids, distances,
         metadatas, documents}) by cross-encoder score. Keeps the result
-        shape; adds ``rerank_scores``."""
+        shape; adds ``rerank_scores``. Untrained (random-init) rerankers
+        return the results unchanged — the reference's placeholder
+        semantics — rather than reordering by noise."""
         docs = results.get("documents") or []
-        if not docs:
+        if not docs or not self.trained:
             return results
         scores = self.score(query, docs)
         order = np.argsort(-scores, kind="stable")

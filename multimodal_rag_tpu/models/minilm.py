@@ -23,13 +23,38 @@ graph, shapes, and FLOPs, which is what the perf path needs.
 
 from __future__ import annotations
 
+import logging
+import os
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def find_local_checkpoint(
+    hint: str, env_var: Optional[str] = None
+) -> Optional[str]:
+    """Locate a safetensors checkpoint without touching the network (same
+    posture as ``tokenizer.find_local_tokenizer``): explicit env path wins,
+    else scan the HF hub cache for a ``model.safetensors`` whose path
+    contains ``hint``."""
+    if env_var:
+        cand = os.environ.get(env_var)
+        if cand and os.path.exists(cand):
+            return cand
+    hub = os.path.expanduser("~/.cache/huggingface/hub")
+    if os.path.isdir(hub):
+        for root, _dirs, files in os.walk(hub):
+            if hint in root:
+                for name in files:
+                    if name.endswith(".safetensors"):
+                        return os.path.join(root, name)
+    return None
 
 
 @dataclass(frozen=True)
@@ -345,13 +370,41 @@ class TextEncoder:
         batch_buckets: Sequence[int] = (8, 32, 128, 256),
         seed: int = 0,
         quantize: bool = False,
+        checkpoint_path: str | None = None,
     ) -> None:
         from multimodal_rag_tpu.models.tokenizer import get_tokenizer
 
         self.cfg = cfg
-        self.params = (
-            params if params is not None else init_params(jax.random.key(seed), cfg)
-        )
+        self.pretrained = params is not None
+        if params is None:
+            if not checkpoint_path and cfg.vocab_size == 30522:
+                # Auto-discover only for real BERT-vocab configs (tiny test
+                # configs must stay hermetic).
+                checkpoint_path = find_local_checkpoint(
+                    "all-MiniLM", env_var="MMRAG_CHECKPOINT_PATH"
+                )
+            if checkpoint_path:
+                try:
+                    params = load_hf_bert_params(checkpoint_path, cfg)
+                    self.pretrained = True
+                    logger.info(
+                        "Loaded encoder checkpoint from %s", checkpoint_path
+                    )
+                except Exception as e:  # noqa: BLE001 — degrade, don't die
+                    logger.error(
+                        "Failed to load checkpoint %s (%s); "
+                        "falling back to random init", checkpoint_path, e,
+                    )
+        if params is None:
+            if cfg.vocab_size == 30522:  # real config, not a test tiny
+                logger.warning(
+                    "Serving with RANDOM-INIT encoder weights: retrieval "
+                    "ranking will be semantically meaningless. Point "
+                    "MMRAG_CHECKPOINT_PATH at a local all-MiniLM-L6-v2 "
+                    "safetensors snapshot for real embeddings."
+                )
+            params = init_params(jax.random.key(seed), cfg)
+        self.params = params
         if quantize and "wq_q" not in self.params["layers"]:
             self.params = quantize_params(self.params)
         self.tokenizer = tokenizer or get_tokenizer(vocab_size=cfg.vocab_size)

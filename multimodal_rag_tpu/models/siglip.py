@@ -324,13 +324,41 @@ class SigLIPEncoder:
         cfg: SigLIPConfig = SIGLIP_B16,
         tokenizer=None,
         seed: int = 0,
+        checkpoint_path: str | None = None,
     ):
+        import logging
+
+        from multimodal_rag_tpu.models.minilm import find_local_checkpoint
+
+        logger = logging.getLogger(__name__)
         self.cfg = cfg
-        self.params = (
-            params
-            if params is not None
-            else init_params(jax.random.key(seed), cfg)
-        )
+        self.pretrained = params is not None
+        if params is None:
+            if not checkpoint_path and cfg.vocab_size == 32000:
+                checkpoint_path = find_local_checkpoint(
+                    "siglip", env_var="MMRAG_CLIP_CHECKPOINT_PATH"
+                )
+            if checkpoint_path:
+                try:
+                    params = load_hf_siglip_params(checkpoint_path, cfg)
+                    self.pretrained = True
+                    logger.info(
+                        "Loaded SigLIP checkpoint from %s", checkpoint_path
+                    )
+                except Exception as e:  # noqa: BLE001
+                    logger.error(
+                        "Failed to load SigLIP checkpoint %s (%s); "
+                        "falling back to random init", checkpoint_path, e,
+                    )
+        if params is None:
+            if cfg.vocab_size == 32000:
+                logger.warning(
+                    "Cross-modal search is running with RANDOM-INIT SigLIP "
+                    "towers; set MMRAG_CLIP_CHECKPOINT_PATH for real "
+                    "text-image retrieval."
+                )
+            params = init_params(jax.random.key(seed), cfg)
+        self.params = params
         self.tokenizer = tokenizer or SigLIPTokenizer(cfg)
         self._jit_text = jax.jit(partial(encode_text, cfg=cfg))
         self._jit_image = jax.jit(partial(encode_image, cfg=cfg))
