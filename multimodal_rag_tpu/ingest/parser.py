@@ -14,9 +14,10 @@ Format support in this environment (third-party parser libs are absent, so
 extraction is first-party code):
 
 * PDF   — own extractor (``ingest.pdfparse``): text + outline + embedded
-          images. Page rasterization (reference's pdf2image @200 DPI,
-          parser.py:521-613) needs a renderer binary and is gated off the
-          same way the reference gates on poppler availability.
+          images. Page rasterization + per-page OCR (reference's pdf2image
+          @200 DPI, parser.py:521-613) runs through the poppler
+          ``pdftoppm`` binary when present, gated the same way OCR gates
+          on tesseract.
 * DOCX/PPTX — stdlib zip+XML (``ingest.office``).
 * HTML  — BeautifulSoup: strip script/style/nav/footer, heading outline,
           tables, images incl. data: URIs and async remote fetch.
@@ -58,6 +59,69 @@ from multimodal_rag_tpu.ingest import office, pdfparse, pdftables
 logger = logging.getLogger(__name__)
 
 TESSERACT = shutil.which("tesseract")
+PDFTOPPM = shutil.which("pdftoppm")
+
+# Reference parser.py:689-711 caps parallel LLM table summaries at 20.
+MAX_TABLE_SUMMARIES = 20
+# Reference parser.py:521-613 renders pages in batches of 10 at 200 DPI.
+PDF_PAGE_BATCH = 10
+PDF_PAGE_DPI = 200
+
+
+def image_has_text(data: bytes, edge_threshold: float = 0.10) -> bool:
+    """Edge-density heuristic deciding whether an image is worth OCR'ing
+    (reference ``parser.py:1845-1862`` used cv2 Canny with a >10% edge
+    ratio; here PIL + numpy gradient magnitude — no cv2 dependency).
+    Photos/gradients have few sharp edges; text and diagrams have many.
+    Fails open (True) so OCR never silently disappears on odd inputs."""
+    try:
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(BytesIO(data)).convert("L")
+        img.thumbnail((512, 512))
+        a = np.asarray(img, np.float32)
+        if a.size == 0:
+            return True
+        gx = np.abs(np.diff(a, axis=1))
+        gy = np.abs(np.diff(a, axis=0))
+        edges = (gx[:-1, :] > 40.0) | (gy[:, :-1] > 40.0)
+        return float(edges.mean()) > edge_threshold
+    except Exception:  # noqa: BLE001 — heuristic only
+        return True
+
+
+def render_pdf_pages(
+    content: bytes, first: int, last: int, dpi: int = PDF_PAGE_DPI
+) -> List[tuple]:
+    """Rasterize PDF pages [first, last] (1-based) via the poppler
+    ``pdftoppm`` binary → [(page_number, png_bytes)]. Empty when the
+    binary is absent or rendering fails (same external-tool gating as
+    OCR/tesseract; the reference gated on poppler via pdf2image)."""
+    if not PDFTOPPM:
+        return []
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            pdf_path = Path(td) / "doc.pdf"
+            pdf_path.write_bytes(content)
+            prefix = Path(td) / "page"
+            subprocess.run(
+                [
+                    PDFTOPPM, "-png", "-r", str(dpi),
+                    "-f", str(first), "-l", str(last),
+                    str(pdf_path), str(prefix),
+                ],
+                capture_output=True, timeout=300,
+            )
+            out = []
+            for f in Path(td).iterdir():
+                m = re.fullmatch(r"page-(\d+)\.png", f.name)
+                if m:
+                    out.append((int(m.group(1)), f.read_bytes()))
+            return sorted(out)
+    except Exception as e:  # noqa: BLE001
+        logger.warning("pdftoppm rendering failed: %s", e)
+        return []
 
 
 def ocr_image_bytes(data: bytes) -> str:
@@ -170,6 +234,9 @@ class DocumentParser:
             result = self._parse_text(content, filename)
             doc_type = "text"
 
+        if result.get("tables"):
+            await self._summarize_tables_llm(result["tables"])
+
         result["doc_id"] = doc_id
         result["filename"] = filename
         result["doc_type"] = doc_type
@@ -239,7 +306,9 @@ class DocumentParser:
                 img_path = self.figures_dir / f"{stem}_embedded_{count}.{ext}"
                 img_path.write_bytes(data)
                 ocr_text = ""
-                if self.enable_ocr:
+                # Edge-density gate (reference parser.py:1845-1862): skip
+                # tesseract on photos with no text-like structure.
+                if self.enable_ocr and image_has_text(data):
                     ocr_text = ocr_image_bytes(data)
                 images.append(
                     {
@@ -257,6 +326,17 @@ class DocumentParser:
                     }
                 )
 
+        # Page rasterization + per-page OCR (reference parser.py:521-613):
+        # renders up to MAX_PDF_PAGES_AS_IMAGES pages at 200 DPI in batches
+        # of 10 and OCRs every page — the only text path for scanned PDFs
+        # and the source of the reference's shipped figures/ corpus.
+        if self.convert_pdf_pages_to_images and PDFTOPPM:
+            page_images, ocr_chunks = self._extract_pdf_pages_as_images(
+                content, filename, total_pages
+            )
+            images.extend(page_images)
+            text_chunks.extend(ocr_chunks)
+
         structure = {
             "total_pages": total_pages,
             "outline": extracted["outline"],
@@ -267,6 +347,91 @@ class DocumentParser:
             "images": images,
             "document_structure": structure,
         }
+
+    def _extract_pdf_pages_as_images(
+        self, content: bytes, filename: str, total_pages: int
+    ):
+        """Render page screenshots (batches of PDF_PAGE_BATCH, capped at
+        ``max_pdf_pages_as_images``), save to figures/ with the reference's
+        ``{stem}_page_{n}_{hash8}.png`` naming flavor, and OCR every page
+        unconditionally (reference parser.py:546-613)."""
+        import hashlib
+
+        stem = Path(filename).stem
+        n_pages = min(total_pages, self.max_pdf_pages_as_images)
+        images: List[Dict[str, Any]] = []
+        ocr_chunks: List[Dict[str, Any]] = []
+        for lo in range(1, n_pages + 1, PDF_PAGE_BATCH):
+            hi = min(lo + PDF_PAGE_BATCH - 1, n_pages)
+            for page_num, png in render_pdf_pages(content, lo, hi):
+                digest = hashlib.md5(png).hexdigest()[:8]
+                img_path = (
+                    self.figures_dir
+                    / f"{stem}_page_{page_num - 1}_{digest}.png"
+                )
+                img_path.write_bytes(png)
+                ocr_text = ""
+                if self.enable_ocr:
+                    ocr_text = ocr_image_bytes(png)
+                images.append(
+                    {
+                        "id": f"page_{page_num - 1}",
+                        "path": str(img_path),
+                        "base64": base64.b64encode(png).decode(),
+                        "metadata": {
+                            "source": filename,
+                            "page": page_num,
+                            "type": "page_screenshot",
+                            "format": "PNG",
+                            "dpi": PDF_PAGE_DPI,
+                            "ocr_text": ocr_text or None,
+                        },
+                    }
+                )
+                if ocr_text:
+                    ocr_chunks.extend(
+                        chunk_simple(
+                            ocr_text,
+                            {
+                                "filename": filename,
+                                "doc_type": "pdf",
+                                "page": page_num,
+                                "total_pages": total_pages,
+                                "from_ocr": True,
+                            },
+                            self.splitter,
+                        )
+                    )
+        if images:
+            logger.info(
+                "Rendered %d page screenshots for %s (%d OCR chunks)",
+                len(images), filename, len(ocr_chunks),
+            )
+        return images, ocr_chunks
+
+    async def _summarize_tables_llm(
+        self, tables: List[Dict[str, Any]], cap: int = MAX_TABLE_SUMMARIES
+    ) -> None:
+        """Optional parallel LLM table summaries through the ctor adapter
+        (reference parser.py:689-711): first ``cap`` tables, semaphore 5,
+        failures keep the heuristic summary from ``build_table_obj``."""
+        if self.llm_adapter is None or not tables:
+            return
+        sem = asyncio.Semaphore(5)
+
+        async def one(table: Dict[str, Any]) -> None:
+            async with sem:
+                try:
+                    summary = await self.llm_adapter.summarize(
+                        table["content"], content_type="table"
+                    )
+                    if summary and summary.strip():
+                        table["summary"] = summary.strip()
+                        table.setdefault("metadata", {})["llm_summary"] = True
+                except Exception as e:  # noqa: BLE001 — keep heuristic
+                    logger.debug("LLM table summary failed: %s", e)
+
+        await asyncio.gather(*(one(t) for t in tables[:cap]))
 
     # ------------------------------------------------------------------
     # DOCX (reference parser.py:960-1119)

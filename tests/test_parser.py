@@ -3,6 +3,7 @@
 import asyncio
 import io
 import zipfile
+from pathlib import Path
 
 import pytest
 
@@ -320,3 +321,231 @@ class TestImage:
         img = res["images"][0]
         assert img["metadata"]["size"] == (64, 64)
         assert img["id"] == "image_0"
+
+
+# ---------------------------------------------------------------------------
+# PDF page rasterization + OCR gating (VERDICT r1 #1, #10) and parser-level
+# LLM table summaries (VERDICT r1 #7)
+# ---------------------------------------------------------------------------
+
+
+def _fake_pdftoppm(tmp_path) -> str:
+    """Executable stand-in for poppler's pdftoppm: honors -f/-l and writes
+    a valid PNG per page to <prefix>-<n>.png."""
+    script = tmp_path / "pdftoppm"
+    script.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "from PIL import Image\n"
+        "args = sys.argv[1:]\n"
+        "lo = int(args[args.index('-f') + 1])\n"
+        "hi = int(args[args.index('-l') + 1])\n"
+        "prefix = args[-1]\n"
+        "for n in range(lo, hi + 1):\n"
+        "    Image.new('RGB', (60, 60), (255, 255, 255)).save(\n"
+        "        f'{prefix}-{n}.png')\n"
+    )
+    script.chmod(0o755)
+    return str(script)
+
+
+def _fake_tesseract(tmp_path) -> str:
+    script = tmp_path / "tesseract"
+    script.write_text("#!/bin/sh\necho 'scanned page text'\n")
+    script.chmod(0o755)
+    return str(script)
+
+
+class TestPdfPageRasterization:
+    def test_pages_rendered_and_ocrd(self, tmp_path, monkeypatch):
+        from multimodal_rag_tpu.ingest import parser as parser_mod
+
+        monkeypatch.setattr(parser_mod, "PDFTOPPM", _fake_pdftoppm(tmp_path))
+        monkeypatch.setattr(parser_mod, "TESSERACT", _fake_tesseract(tmp_path))
+        p = parser_mod.DocumentParser(
+            figures_dir=tmp_path / "figs",
+            convert_pdf_pages_to_images=True,
+            enable_ocr=True,
+        )
+        res = run(p.parse_document(make_pdf(), "scan.pdf"))
+        page_imgs = [
+            i for i in res["images"]
+            if i["metadata"].get("type") == "page_screenshot"
+        ]
+        assert len(page_imgs) == 2  # both pages of the fixture PDF
+        # Reference naming flavor: {stem}_page_{n}_{hash8}.png
+        import re as _re
+
+        for img in page_imgs:
+            assert _re.search(r"scan_page_\d+_[0-9a-f]{8}\.png$", img["path"])
+            assert (tmp_path / "figs" / Path(img["path"]).name).exists()
+        # Per-page OCR became text chunks (the only text path for scans).
+        ocr_chunks = [
+            c for c in res["text_chunks"] if c["metadata"].get("from_ocr")
+        ]
+        assert len(ocr_chunks) == 2
+        assert "scanned page text" in ocr_chunks[0]["content"]
+
+    def test_page_cap_respected(self, tmp_path, monkeypatch):
+        from multimodal_rag_tpu.ingest import parser as parser_mod
+
+        monkeypatch.setattr(parser_mod, "PDFTOPPM", _fake_pdftoppm(tmp_path))
+        p = parser_mod.DocumentParser(
+            figures_dir=tmp_path / "figs",
+            convert_pdf_pages_to_images=True,
+            max_pdf_pages_as_images=1,
+            enable_ocr=False,
+        )
+        res = run(p.parse_document(make_pdf(), "scan.pdf"))
+        page_imgs = [
+            i for i in res["images"]
+            if i["metadata"].get("type") == "page_screenshot"
+        ]
+        assert len(page_imgs) == 1
+
+    def test_no_binary_gates_cleanly(self, tmp_path, monkeypatch):
+        from multimodal_rag_tpu.ingest import parser as parser_mod
+
+        monkeypatch.setattr(parser_mod, "PDFTOPPM", None)
+        p = parser_mod.DocumentParser(
+            figures_dir=tmp_path / "figs",
+            convert_pdf_pages_to_images=True,
+            enable_ocr=False,
+        )
+        res = run(p.parse_document(make_pdf(), "doc.pdf"))
+        assert not [
+            i for i in res["images"]
+            if i["metadata"].get("type") == "page_screenshot"
+        ]
+        assert res["text_chunks"]  # embedded text still extracted
+
+    def test_knob_off_skips_rendering(self, tmp_path, monkeypatch):
+        from multimodal_rag_tpu.ingest import parser as parser_mod
+
+        calls = []
+
+        def boom(*a, **k):
+            calls.append(a)
+            return []
+
+        monkeypatch.setattr(parser_mod, "PDFTOPPM", "/usr/bin/true")
+        monkeypatch.setattr(parser_mod, "render_pdf_pages", boom)
+        p = parser_mod.DocumentParser(
+            figures_dir=tmp_path / "figs",
+            convert_pdf_pages_to_images=False,
+            enable_ocr=False,
+        )
+        run(p.parse_document(make_pdf(), "doc.pdf"))
+        assert calls == []
+
+
+class TestOcrEdgeGate:
+    def _png(self, arr) -> bytes:
+        import numpy as np
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr.astype("uint8"), "L").save(buf, "PNG")
+        return buf.getvalue()
+
+    def test_texty_image_passes(self):
+        import numpy as np
+
+        from multimodal_rag_tpu.ingest.parser import image_has_text
+
+        # High-frequency stripes ≈ dense text edges.
+        arr = np.zeros((120, 120))
+        arr[:, ::3] = 255
+        assert image_has_text(self._png(arr))
+
+    def test_smooth_photo_skipped(self):
+        import numpy as np
+
+        from multimodal_rag_tpu.ingest.parser import image_has_text
+
+        # Smooth gradient ≈ photo with no text.
+        arr = np.linspace(0, 255, 120)[None, :].repeat(120, axis=0)
+        assert not image_has_text(self._png(arr))
+
+    def test_embedded_ocr_gated(self, tmp_path, monkeypatch):
+        """A smooth embedded image must not reach tesseract."""
+        from multimodal_rag_tpu.ingest import parser as parser_mod
+
+        ocr_calls = []
+        monkeypatch.setattr(parser_mod, "TESSERACT", "/usr/bin/true")
+        monkeypatch.setattr(
+            parser_mod, "ocr_image_bytes",
+            lambda data: ocr_calls.append(1) or "",
+        )
+        monkeypatch.setattr(
+            parser_mod, "image_has_text", lambda data: False
+        )
+        p = parser_mod.DocumentParser(
+            figures_dir=tmp_path / "figs",
+            convert_pdf_pages_to_images=False,
+            enable_ocr=True,
+        )
+        run(p.parse_document(make_pdf(), "doc.pdf"))
+        assert ocr_calls == []
+
+
+class TestParserTableSummaries:
+    def _md_tables(self, n) -> bytes:
+        parts = ["# Doc\n"]
+        for i in range(n):
+            parts.append(
+                f"| h{i} | v |\n|----|----|\n| a{i} | {i} |\n| b{i} | {i} |\n"
+            )
+        return "\n".join(parts).encode()
+
+    def test_adapter_summarizes_tables(self, tmp_path):
+        from multimodal_rag_tpu.ingest.parser import DocumentParser
+        from multimodal_rag_tpu.models.adapters.fake import FakeLLMAdapter
+
+        fake = FakeLLMAdapter()
+        p = DocumentParser(
+            figures_dir=tmp_path / "figs", llm_adapter=fake, enable_ocr=False
+        )
+        res = run(p.parse_document(self._md_tables(3), "t.md"))
+        assert len(res["tables"]) == 3
+        summarize_calls = [
+            c for c in fake.calls if c["kind"] == "summarize"
+        ]
+        assert len(summarize_calls) == 3
+        assert all(
+            t["metadata"].get("llm_summary") for t in res["tables"]
+        )
+
+    def test_cap_at_20(self, tmp_path):
+        from multimodal_rag_tpu.ingest.parser import DocumentParser
+        from multimodal_rag_tpu.models.adapters.fake import FakeLLMAdapter
+
+        fake = FakeLLMAdapter()
+        p = DocumentParser(
+            figures_dir=tmp_path / "figs", llm_adapter=fake, enable_ocr=False
+        )
+        res = run(p.parse_document(self._md_tables(25), "t.md"))
+        assert len(res["tables"]) == 25
+        summarize_calls = [
+            c for c in fake.calls if c["kind"] == "summarize"
+        ]
+        assert len(summarize_calls) == 20  # reference cap (parser.py:689)
+
+    def test_no_adapter_keeps_heuristic(self, tmp_path):
+        from multimodal_rag_tpu.ingest.parser import DocumentParser
+
+        p = DocumentParser(figures_dir=tmp_path / "figs", enable_ocr=False)
+        res = run(p.parse_document(self._md_tables(1), "t.md"))
+        assert res["tables"][0]["summary"]  # heuristic summary present
+        assert not res["tables"][0]["metadata"].get("llm_summary")
+
+    def test_adapter_failure_keeps_heuristic(self, tmp_path):
+        from multimodal_rag_tpu.ingest.parser import DocumentParser
+        from multimodal_rag_tpu.models.adapters.fake import FakeLLMAdapter
+
+        fake = FakeLLMAdapter(fail_times=99)  # every call raises
+        p = DocumentParser(
+            figures_dir=tmp_path / "figs", llm_adapter=fake, enable_ocr=False
+        )
+        res = run(p.parse_document(self._md_tables(2), "t.md"))
+        assert all(t["summary"] for t in res["tables"])
