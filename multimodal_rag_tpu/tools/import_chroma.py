@@ -16,9 +16,13 @@ Two sources, matching chroma's two-tier persistence:
   vectors live in the hnswlib files; ``data_level0.bin`` stores
   ``cur_element_count`` records of ``size_data_per_element`` bytes laid
   out as [4B link_count + maxM0·4B links][dim·4B float32 vector]
-  [8B label]; ``header.bin`` is the 100-byte hnswlib header. Labels join
-  ``embeddings.id`` → ``embedding_id`` (the chroma record id) and
-  ``embedding_metadata`` (document + metadata).
+  [8B label]; ``header.bin`` is the 100-byte hnswlib header. hnswlib
+  labels are assigned by the segment's ``index_metadata.pickle``
+  ``id_to_label`` map (0-based insertion order) — NOT by the sqlite
+  ``embeddings.id`` rowid. The pickle references chromadb classes; a
+  stubbing Unpickler reads it without chromadb installed. When the
+  pickle is absent, labels fall back to insertion order (ascending
+  rowid) within the segment.
 
 Usage:
     python -m multimodal_rag_tpu.tools.import_chroma CHROMA_DIR OUT_DIR
@@ -102,6 +106,55 @@ def read_hnsw_vectors(
     return out
 
 
+class _ChromaStub:
+    """Absorbs any chromadb class during unpickling: instance state lands
+    in ``__dict__`` whether pickled via __reduce__, __setstate__, or plain
+    attribute dicts."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+
+def read_segment_labels(segment_dir: str) -> Optional[Dict[str, int]]:
+    """``index_metadata.pickle`` → {embedding_id: hnswlib label}, read
+    without chromadb installed (its ``PersistentData`` class is stubbed).
+    None when the pickle is absent or carries no usable map."""
+    import io
+    import pickle
+
+    path = os.path.join(segment_dir, "index_metadata.pickle")
+    if not os.path.exists(path):
+        return None
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] == "chromadb":
+                return _ChromaStub
+            return super().find_class(module, name)
+
+    try:
+        with open(path, "rb") as f:
+            data = _Unpickler(io.BufferedReader(f)).load()
+    except Exception:  # noqa: BLE001 — fall back to insertion order
+        return None
+    mapping = None
+    if isinstance(data, dict):
+        mapping = data.get("id_to_label")
+    else:
+        mapping = getattr(data, "id_to_label", None)
+    if isinstance(mapping, dict) and all(
+        isinstance(v, int) for v in mapping.values()
+    ):
+        return mapping
+    return None
+
+
 def load_chroma_records(
     chroma_dir: str,
 ) -> List[Tuple[str, np.ndarray, Optional[str], Optional[dict]]]:
@@ -158,19 +211,37 @@ def load_chroma_records(
                     meta_by_rowid.setdefault(rowid, {})[key] = value
         except sqlite3.OperationalError:
             pass
+        # One parse per segment (a per-row re-read of data_level0.bin is
+        # O(N²) I/O and unusable beyond toy corpora).
+        by_segment: Dict[str, List[Tuple[int, str]]] = {}
         for rowid, embedding_id, segment_id in rows:
-            seg_dir = os.path.join(chroma_dir, str(segment_id))
+            by_segment.setdefault(str(segment_id), []).append(
+                (rowid, embedding_id)
+            )
+        for segment_id, seg_rows in by_segment.items():
+            seg_dir = os.path.join(chroma_dir, segment_id)
             if not os.path.isdir(seg_dir):
                 continue
             vectors = read_hnsw_vectors(seg_dir)
-            vec = vectors.get(rowid)
-            if vec is None:
-                continue
-            records[embedding_id] = (
-                vec,
-                doc_by_rowid.get(rowid),
-                meta_by_rowid.get(rowid),
-            )
+            labels = read_segment_labels(seg_dir)
+            if labels is None:
+                # No index_metadata.pickle: chroma assigns labels in
+                # insertion order starting at 0; rowids are autoincrement,
+                # so ascending rowid reproduces that order.
+                labels = {
+                    eid: i
+                    for i, (_rid, eid) in enumerate(sorted(seg_rows))
+                }
+            for rowid, embedding_id in seg_rows:
+                label = labels.get(embedding_id)
+                vec = vectors.get(label) if label is not None else None
+                if vec is None:
+                    continue
+                records[embedding_id] = (
+                    vec,
+                    doc_by_rowid.get(rowid),
+                    meta_by_rowid.get(rowid),
+                )
     db.close()
     return [(rid, v, d, m) for rid, (v, d, m) in records.items()]
 

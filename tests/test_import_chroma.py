@@ -128,6 +128,9 @@ class TestHnswSegment:
         np.testing.assert_allclose(got[7], vectors[7])
 
     def test_compacted_records_join(self, tmp_path):
+        """Chroma assigns hnswlib labels 0-based in insertion order, NOT
+        by sqlite rowid (which is 1-based autoincrement and can be offset
+        arbitrarily after deletes/compactions)."""
         d = tmp_path / "chroma"
         d.mkdir()
         make_queue_db(d / "chroma.sqlite3", [])
@@ -147,7 +150,7 @@ class TestHnswSegment:
         db.commit()
         db.close()
         make_hnsw_segment(
-            d / "seg01", {1: np.full((8,), 0.5, np.float32)}
+            d / "seg01", {0: np.full((8,), 0.5, np.float32)}
         )
         records = load_chroma_records(str(d))
         assert len(records) == 1
@@ -156,6 +159,109 @@ class TestHnswSegment:
         assert doc == "compacted summary"
         assert meta == {"doc_id": "doc_z"}
         np.testing.assert_allclose(vec, 0.5)
+
+    def _compacted_db(self, tmp_path, rowid_offset=7):
+        """Three compacted records whose rowids do NOT equal their labels
+        (offset autoincrement after prior deletes — the real-corpus shape
+        that broke the rowid==label join)."""
+        d = tmp_path / "chroma"
+        d.mkdir()
+        make_queue_db(d / "chroma.sqlite3", [])
+        db = sqlite3.connect(d / "chroma.sqlite3")
+        for i in range(3):
+            rowid = rowid_offset + i
+            db.execute(
+                "INSERT INTO embeddings VALUES (?, 'seg01', ?, NULL, '')",
+                (rowid, f"doc_{i}_text_0"),
+            )
+            db.execute(
+                "INSERT INTO embedding_metadata VALUES"
+                " (?, 'chroma:document', ?, NULL, NULL, NULL)",
+                (rowid, f"summary {i}"),
+            )
+        db.commit()
+        db.close()
+        # labels 0..2 in insertion order
+        make_hnsw_segment(
+            d / "seg01",
+            {i: np.full((8,), float(i) + 0.5, np.float32) for i in range(3)},
+        )
+        return d
+
+    def test_offset_rowids_fallback_order(self, tmp_path):
+        """No index_metadata.pickle → labels inferred from insertion
+        order, so offset rowids still map to the right vectors."""
+        d = self._compacted_db(tmp_path)
+        records = {r[0]: r for r in load_chroma_records(str(d))}
+        assert set(records) == {f"doc_{i}_text_0" for i in range(3)}
+        for i in range(3):
+            np.testing.assert_allclose(
+                records[f"doc_{i}_text_0"][1], float(i) + 0.5
+            )
+            assert records[f"doc_{i}_text_0"][2] == f"summary {i}"
+
+    def test_id_to_label_pickle_wins(self, tmp_path):
+        """A chroma-style index_metadata.pickle (chromadb class refs,
+        read via the stubbing Unpickler) overrides insertion order —
+        here labels are deliberately permuted."""
+        import pickle
+        import sys
+        import types
+
+        d = self._compacted_db(tmp_path)
+
+        # Fabricate the pickle exactly as chromadb would: an instance of
+        # chromadb...PersistentData with an id_to_label attribute.
+        mod_name = "chromadb.segment.impl.vector.local_persistent_hnsw"
+        mod = types.ModuleType(mod_name)
+
+        class PersistentData:
+            pass
+
+        PersistentData.__module__ = mod_name
+        PersistentData.__qualname__ = "PersistentData"
+        mod.PersistentData = PersistentData
+        parts = mod_name.split(".")
+        for i in range(1, len(parts)):
+            sys.modules.setdefault(
+                ".".join(parts[:i]), types.ModuleType(".".join(parts[:i]))
+            )
+        sys.modules[mod_name] = mod
+        try:
+            pd = PersistentData()
+            pd.dimensionality = 8
+            pd.total_elements_added = 3
+            # Permuted: doc_0 → label 2, doc_1 → label 0, doc_2 → label 1
+            pd.id_to_label = {
+                "doc_0_text_0": 2, "doc_1_text_0": 0, "doc_2_text_0": 1,
+            }
+            (d / "seg01" / "index_metadata.pickle").write_bytes(
+                pickle.dumps(pd)
+            )
+        finally:
+            for i in range(1, len(parts) + 1):
+                sys.modules.pop(".".join(parts[:i]), None)
+
+        records = {r[0]: r for r in load_chroma_records(str(d))}
+        np.testing.assert_allclose(records["doc_0_text_0"][1], 2.5)
+        np.testing.assert_allclose(records["doc_1_text_0"][1], 0.5)
+        np.testing.assert_allclose(records["doc_2_text_0"][1], 1.5)
+
+    def test_segment_parsed_once(self, tmp_path, monkeypatch):
+        """The segment binary is read once per segment, not once per row."""
+        from multimodal_rag_tpu.tools import import_chroma as ic
+
+        d = self._compacted_db(tmp_path)
+        calls = []
+        real = ic.read_hnsw_vectors
+
+        def counting(seg_dir):
+            calls.append(seg_dir)
+            return real(seg_dir)
+
+        monkeypatch.setattr(ic, "read_hnsw_vectors", counting)
+        ic.load_chroma_records(str(d))
+        assert len(calls) == 1
 
 
 @pytest.mark.skipif(
