@@ -72,7 +72,8 @@ class FakeLLMAdapter(BaseLLMAdapter):
         await self._maybe_fail()
         self.calls.append(
             {"kind": "multimodal", "text": text,
-             "n_images": len(images or []), "n_tables": len(tables or [])}
+             "n_images": len(images or []), "n_tables": len(tables or []),
+             "images": list(images or [])}
         )
         return f"Multimodal answer to: {text[:80]}"
 

@@ -330,12 +330,22 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             tables = raw["table_chunks"]
             images = raw["image_chunks"]
 
+            # Chat-attached image (data URL or raw base64) joins the
+            # retrieved figures for multimodal generation, attached first.
+            attached = None
+            if req.image:
+                attached = (
+                    req.image.split(",", 1)[1]
+                    if req.image.startswith("data:")
+                    else req.image
+                )
+
             try:
-                if req.use_multimodal and (images or tables):
+                if req.use_multimodal and (images or tables or attached):
                     answer = await comps.mllm_adapter.generate_multimodal(
                         text=text_context,
                         tables=tables,
-                        images=images,
+                        images=([attached] if attached else []) + images,
                         max_tokens=1000,
                         temperature=0.7,
                     )

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pydantic import BaseModel, Field
 
@@ -11,6 +11,11 @@ class QueryRequest(BaseModel):
     query: str = Field(..., min_length=1, max_length=2000)
     top_k: int = Field(5, ge=1, le=20)
     use_multimodal: bool = Field(False)
+    # Attached image (data URL or raw base64) — the reference chat UI
+    # sends this with the query body (reference static/app.js:375) and
+    # the MLLM sees it during multimodal generation. ~14 MB base64 cap
+    # mirrors the 10 MB UI image limit.
+    image: Optional[str] = Field(None, max_length=15_000_000)
     # Additive over the reference schema: enable the TPU cross-encoder
     # rerank stage (the reference's placeholder made real).
     rerank: bool = Field(False)

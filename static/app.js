@@ -36,6 +36,65 @@ function renderMarkdown(text) {
   return html;
 }
 
+/* ---------------- image attach (reference app.js:276-340) ---------------- */
+
+const MAX_IMAGE_BYTES = 10 * 1024 * 1024;
+const IMAGE_TYPES = ["image/png", "image/jpeg", "image/gif", "image/webp"];
+const imageInput = document.getElementById("image-input");
+const imagePreview = document.getElementById("image-preview");
+const attachBtn = document.getElementById("attach-btn");
+let currentImage = null;      // data URL for the query body / bubble
+let currentImageFile = null;  // File for image→image /search/images
+
+attachBtn.addEventListener("click", () => imageInput.click());
+imageInput.addEventListener("change", () => {
+  const file = imageInput.files && imageInput.files[0];
+  if (!file) return;
+  if (file.size > MAX_IMAGE_BYTES) {
+    addMessage("bot", "⚠️ Ảnh quá lớn (tối đa 10 MB).");
+    imageInput.value = "";
+    return;
+  }
+  if (!IMAGE_TYPES.includes(file.type)) {
+    addMessage("bot", "⚠️ Định dạng ảnh không được hỗ trợ (PNG/JPEG/GIF/WebP).");
+    imageInput.value = "";
+    return;
+  }
+  const reader = new FileReader();
+  reader.onload = (e) => {
+    currentImage = e.target.result;
+    currentImageFile = file;
+    imagePreview.innerHTML = "";
+    const img = document.createElement("img");
+    img.src = currentImage;
+    img.alt = "preview";
+    const clear = document.createElement("button");
+    clear.type = "button";
+    clear.className = "clear-image";
+    clear.title = "Xóa ảnh";
+    clear.textContent = "✕";
+    clear.addEventListener("click", clearImage);
+    imagePreview.appendChild(img);
+    imagePreview.appendChild(clear);
+    imagePreview.hidden = false;
+    attachBtn.classList.add("active");
+  };
+  reader.onerror = () => {
+    addMessage("bot", "⚠️ Không đọc được file ảnh.");
+    imageInput.value = "";
+  };
+  reader.readAsDataURL(file);
+});
+
+function clearImage() {
+  currentImage = null;
+  currentImageFile = null;
+  imagePreview.innerHTML = "";
+  imagePreview.hidden = true;
+  imageInput.value = "";
+  attachBtn.classList.remove("active");
+}
+
 /* ---------------- chat ---------------- */
 
 function addMessage(role, html, sources) {
@@ -75,20 +134,32 @@ chatForm.addEventListener("submit", async (e) => {
   e.preventDefault();
   const query = queryInput.value.trim();
   if (!query) return;
-  addMessage("user", escapeHtml(query));
+  const sentImage = currentImage;
+  const sentImageFile = currentImageFile;
+  // Image renders inside the user bubble (reference app.js:474-484).
+  let userHtml = "";
+  if (sentImage) {
+    userHtml += `<img class="message-image" src="${sentImage}" alt="ảnh đính kèm">`;
+  }
+  userHtml += escapeHtml(query);
+  addMessage("user", userHtml);
   queryInput.value = "";
+  clearImage();
   sendBtn.disabled = true;
   const typing = addTyping();
   try {
+    const body = {
+      query,
+      top_k: 5,
+      use_multimodal: document.getElementById("multimodal-toggle").checked
+        || !!sentImage,
+      rerank: document.getElementById("rerank-toggle").checked,
+    };
+    if (sentImage) body.image = sentImage;
     const resp = await fetch(`${API}/query`, {
       method: "POST",
       headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({
-        query,
-        top_k: 5,
-        use_multimodal: document.getElementById("multimodal-toggle").checked,
-        rerank: document.getElementById("rerank-toggle").checked,
-      }),
+      body: JSON.stringify(body),
     });
     const data = await resp.json();
     typing.remove();
@@ -100,7 +171,11 @@ chatForm.addEventListener("submit", async (e) => {
         renderMarkdown(data.answer) +
         `<div class="meta">⏱ ${t}s</div>`,
         data.sources);
-      attachFigures(msg, query);
+      if (sentImageFile) {
+        attachSimilarFigures(msg, sentImageFile);  // image → image
+      } else {
+        attachFigures(msg, query);                 // text → image
+      }
     }
   } catch (err) {
     typing.remove();
@@ -130,6 +205,42 @@ async function attachFigures(msgEl, query) {
     if (!hits.length) return;
     const row = document.createElement("div");
     row.className = "figure-row";
+    for (const h of hits) {
+      const name = h.path.split("/").pop();
+      const img = document.createElement("img");
+      img.src = `${API}/figures/${encodeURIComponent(name)}`;
+      img.title = `${h.doc_id} · ${(h.relevance * 100).toFixed(0)}%`;
+      img.loading = "lazy";
+      img.onerror = () => img.remove();
+      row.appendChild(img);
+    }
+    msgEl.appendChild(row);
+    chatLog.scrollTop = chatLog.scrollHeight;
+  } catch (_) { /* non-fatal */ }
+}
+
+async function attachSimilarFigures(msgEl, file) {
+  /* image → image retrieval via the multipart /search/images route */
+  if (!figuresAvailable) return;
+  try {
+    const form = new FormData();
+    form.append("file", file);
+    form.append("top_k", "4");
+    const resp = await fetch(`${API}/search/images`, {
+      method: "POST",
+      body: form,
+    });
+    if (resp.status === 503) { figuresAvailable = false; return; }
+    if (!resp.ok) return;
+    const data = await resp.json();
+    const hits = (data.results || []).filter((h) => h.path);
+    if (!hits.length) return;
+    const row = document.createElement("div");
+    row.className = "figure-row";
+    const label = document.createElement("div");
+    label.className = "meta";
+    label.textContent = "Hình tương tự:";
+    msgEl.appendChild(label);
     for (const h of hits) {
       const name = h.path.split("/").pop();
       const img = document.createElement("img");

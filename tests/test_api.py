@@ -322,3 +322,61 @@ class TestConcurrentTraffic:
         docs, stats = loop.run_until_complete(final_state())
         assert docs["total"] == 7
         assert stats["documents"]["total_chunks"] == 7
+
+
+class TestAttachedImage:
+    """Chat-attached image in the /query body (reference app.js:375,
+    474-484): the MLLM must see it first in the images list."""
+
+    def test_image_strips_data_url_prefix(self, tmp_path):
+        loop = asyncio.new_event_loop()
+        comps = make_components(tmp_path)
+        loop.run_until_complete(comps.initialize())
+        app = create_app(components=comps)
+        client = TestClient(TestServer(app, loop=loop), loop=loop)
+        loop.run_until_complete(client.start_server())
+        try:
+            upload_file(client, loop)
+            resp = loop.run_until_complete(
+                client.post("/query", json={
+                    "query": "describe the attached image",
+                    "use_multimodal": True,
+                    "image": "data:image/png;base64,aGVsbG8=",
+                })
+            )
+            assert resp.status == 200
+            mm_calls = [
+                call for call in comps.mllm_adapter.calls
+                if call["kind"] == "multimodal"
+            ]
+            assert mm_calls, "multimodal generation was not invoked"
+            assert mm_calls[-1]["images"][0] == "aGVsbG8="
+        finally:
+            loop.run_until_complete(client.close())
+            loop.close()
+
+    def test_raw_base64_accepted(self, tmp_path):
+        loop = asyncio.new_event_loop()
+        comps = make_components(tmp_path)
+        loop.run_until_complete(comps.initialize())
+        app = create_app(components=comps)
+        client = TestClient(TestServer(app, loop=loop), loop=loop)
+        loop.run_until_complete(client.start_server())
+        try:
+            upload_file(client, loop)
+            resp = loop.run_until_complete(
+                client.post("/query", json={
+                    "query": "describe",
+                    "use_multimodal": True,
+                    "image": "aGVsbG8=",
+                })
+            )
+            assert resp.status == 200
+            mm_calls = [
+                call for call in comps.mllm_adapter.calls
+                if call["kind"] == "multimodal"
+            ]
+            assert mm_calls and mm_calls[-1]["images"][0] == "aGVsbG8="
+        finally:
+            loop.run_until_complete(client.close())
+            loop.close()
