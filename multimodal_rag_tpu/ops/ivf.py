@@ -416,8 +416,8 @@ def ivf_fine_search(
         grid=(1,),
         in_specs=[
             pl.BlockSpec((b_pad, D), lambda i, ids, meta: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vectors stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mask stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # vectors stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # mask stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((b_pad, out_k), lambda i, ids, meta: (0, 0)),

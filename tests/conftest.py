@@ -1,23 +1,44 @@
 """Test configuration.
 
-Tests run on the CPU backend with 8 virtual devices so multi-chip sharding
-logic (mesh layouts, collectives-based top-k merge) is exercised without TPU
-hardware (SURVEY.md §4). Must run before the first ``import jax``.
+Default tier: tests run on the CPU backend with 8 virtual devices so
+multi-chip sharding logic (mesh layouts, collectives-based top-k merge) is
+exercised without TPU hardware (SURVEY.md §4). Must run before the first
+``import jax``.
+
+Real-TPU tier (VERDICT r1 #5): ``MMRAG_TPU_TESTS=1`` skips the CPU forcing
+so ``tests/test_tpu_kernels.py`` runs the same kernel-vs-oracle contracts
+COMPILED on the chip (``interpret=False``) — interpret mode cannot catch
+VMEM-budget, layout, or CompilerParams regressions. Usage on a TPU host:
+
+    MMRAG_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -v
+    # or: make tpu-test
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_TIER = os.environ.get("MMRAG_TPU_TESTS") == "1"
+
+if not TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("MMRAG_BASE_DIR", "/tmp/mmrag_tests")
 
-# The hosting environment may pre-register a TPU plugin that overrides
-# JAX_PLATFORMS from the environment; force the CPU backend explicitly.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not TPU_TIER:
+    # The hosting environment may pre-register a TPU plugin that overrides
+    # JAX_PLATFORMS from the environment; force the CPU backend explicitly.
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: compiled-on-TPU kernel tests (set MMRAG_TPU_TESTS=1 on a "
+        "TPU host; skipped elsewhere)",
+    )
