@@ -157,10 +157,16 @@ def _pre_ln_block(x, pos_bias, lp, heads, cfg):
     from multimodal_rag_tpu.ops import fused_attention as fa
 
     key_bias = jnp.zeros((B, S), jnp.float32)
-    if getattr(cfg, "fused_attention", True) and fa.fused_attention_supported(
-        B, S, hd
+    if getattr(
+        cfg, "fused_attention", True
+    ) and fa.fused_attention_supported_padded(
+        B, S, hd, has_pos_bias=pos_bias is not None
     ):
-        ctx = fa.fused_attention_ad(
+        # CLIP's causal text tower (S=77) is sublane-unaligned; the padded
+        # entry masks the pad keys and slices pad rows off after the
+        # kernel (3x vs XLA at B=128). The mask-free vision tower (S=50)
+        # stays on the XLA path, where it's faster.
+        ctx = fa.fused_attention_padded(
             q, k, v, key_bias, sm_scale, heads, S, pos_bias
         )
     else:

@@ -151,10 +151,14 @@ def _gelu_block(x, pos_bias, lp, heads, cfg):
     from multimodal_rag_tpu.ops import fused_attention as fa
 
     key_bias = jnp.zeros((B, S), jnp.float32)
-    if getattr(cfg, "fused_attention", True) and fa.fused_attention_supported(
-        B, S, hd
+    if getattr(
+        cfg, "fused_attention", True
+    ) and fa.fused_attention_supported_padded(
+        B, S, hd, has_pos_bias=pos_bias is not None
     ):
-        ctx = fa.fused_attention_ad(
+        # SigLIP's S=196/64 are aligned (no-op pad), but the padded entry
+        # also covers retuned causal/context configs that aren't.
+        ctx = fa.fused_attention_padded(
             q, k, v, key_bias, sm_scale, heads, S, pos_bias
         )
     else:

@@ -133,3 +133,59 @@ class TestEncoder:
     def test_default_config(self):
         assert CLIP_B32.embed_dim == 512
         assert CLIP_B32.n_patches == 49
+
+
+class TestPaddedFusedAttention:
+    """The S-padding wrapper that routes CLIP's unaligned towers (S=77/50)
+    onto the VMEM kernel must be a numerical no-op: pad keys are masked,
+    pad query rows sliced off."""
+
+    def test_pad_mask_slice_is_identity(self, monkeypatch):
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from multimodal_rag_tpu.ops import fused_attention as fa
+
+        B, S, H, nh = 8, 77, 64, 4
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((B * S, H)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B * S, H)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B * S, H)), jnp.float32)
+        key_bias = jnp.zeros((B, S), jnp.float32)
+        causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)
+        sm = float(1.0 / np.sqrt(H // nh))
+
+        # Route the inner kernel through the XLA formula so the wrapper's
+        # pad/mask/slice logic is exercised hermetically on CPU.
+        monkeypatch.setattr(
+            fa, "fused_attention_ad",
+            lambda q_, k_, v_, kb_, sm_, nh_, S_, pb_=None: fa.attention_xla(
+                q_, k_, v_, kb_, sm_, nh_, S_, pb_
+            ),
+        )
+        padded = fa.fused_attention_padded(
+            q, k, v, key_bias, sm, nh, S, causal
+        )
+        direct = fa.attention_xla(q, k, v, key_bias, sm, nh, S, causal)
+        np.testing.assert_allclose(
+            np.asarray(padded), np.asarray(direct), atol=1e-5, rtol=1e-5
+        )
+
+    def test_supported_covers_clip_shapes(self, monkeypatch):
+        import jax
+
+        from multimodal_rag_tpu.ops import fused_attention as fa
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        # CLIP causal text (unaligned + pos_bias): qualifies
+        assert fa.fused_attention_supported_padded(8, 77, 64, True)
+        # CLIP mask-free vision (unaligned, no bias): measured slower fused
+        assert not fa.fused_attention_supported_padded(8, 50, 64, False)
+        # aligned shapes always qualify (SigLIP text S=64, MiniLM S=128)
+        assert fa.fused_attention_supported_padded(8, 64, 64, False)
+        assert fa.fused_attention_supported_padded(8, 128, 32, False)
+        # SigLIP vision S=196 is unaligned and mask-free: stays on XLA
+        assert not fa.fused_attention_supported_padded(8, 196, 64, False)
+        assert not fa.fused_attention_supported_padded(7, 77, 64, True)
+        assert not fa.fused_attention_supported_padded(8, 400, 64, True)

@@ -212,3 +212,31 @@ class TestFusedAttentionCompiled:
             np.asarray(out_xla).astype(np.float32),
             atol=3e-2, rtol=3e-2,
         )
+
+
+class TestPaddedFusedAttentionCompiled:
+    def _cmp(self, S, nh=4, H=128, B=8):
+        from multimodal_rag_tpu.ops.fused_attention import (
+            attention_xla,
+            fused_attention_padded,
+        )
+
+        q = jnp.asarray(rand((B * S, H), 31), jnp.bfloat16)
+        k = jnp.asarray(rand((B * S, H), 32), jnp.bfloat16)
+        v = jnp.asarray(rand((B * S, H), 33), jnp.bfloat16)
+        key_bias = jnp.zeros((B, S), jnp.float32)
+        sm = float(1.0 / np.sqrt(H // nh))
+        causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)
+        out_p = fused_attention_padded(q, k, v, key_bias, sm, nh, S, causal)
+        out_x = attention_xla(q, k, v, key_bias, sm, nh, S, causal)
+        np.testing.assert_allclose(
+            np.asarray(out_p).astype(np.float32),
+            np.asarray(out_x).astype(np.float32),
+            atol=3e-2, rtol=3e-2,
+        )
+
+    def test_clip_text_shape(self):
+        self._cmp(S=77)
+
+    def test_clip_vision_shape(self):
+        self._cmp(S=50)
