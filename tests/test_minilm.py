@@ -268,3 +268,103 @@ class TestQuantizedPath:
         monkeypatch.delenv("MMRAG_TOKENIZER_PATH")
         tok2 = tok_mod.get_tokenizer(tok_mod.VOCAB_SIZE)
         assert tok2.name in ("hashing-wordpiece", "hf-wordpiece", "wordpiece")
+
+
+class TestHFTokenizerFraming:
+    """Real tokenizer.json (via the `tokenizers` lib) through HFTokenizer:
+    the CLS/SEP framing fix-ups must interact correctly at exactly-max-
+    length inputs (VERDICT r1 weak #7)."""
+
+    @staticmethod
+    def make_tokenizer_json(tmp_path, with_postprocessor):
+        tokenizers = pytest.importorskip("tokenizers")
+        from tokenizers import Tokenizer
+        from tokenizers.models import WordPiece
+        from tokenizers.pre_tokenizers import Whitespace
+        from tokenizers.processors import TemplateProcessing
+
+        from multimodal_rag_tpu.models.tokenizer import (
+            CLS_ID,
+            PAD_ID,
+            SEP_ID,
+        )
+
+        words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        vocab = {"[PAD]": PAD_ID, "[UNK]": 100, "[CLS]": CLS_ID,
+                 "[SEP]": SEP_ID}
+        for i, w in enumerate(words):
+            vocab[w] = 200 + i
+        tok = Tokenizer(WordPiece(vocab, unk_token="[UNK]"))
+        tok.pre_tokenizer = Whitespace()
+        if with_postprocessor:
+            tok.post_processor = TemplateProcessing(
+                single="[CLS] $A [SEP]",
+                special_tokens=[("[CLS]", CLS_ID), ("[SEP]", SEP_ID)],
+            )
+        path = str(tmp_path / "tokenizer.json")
+        tok.save(path)
+        return path
+
+    @pytest.mark.parametrize("with_pp", [True, False])
+    def test_short_text_framed(self, tmp_path, with_pp):
+        from multimodal_rag_tpu.models.tokenizer import (
+            CLS_ID,
+            HFTokenizer,
+            SEP_ID,
+        )
+
+        tok = HFTokenizer(self.make_tokenizer_json(tmp_path, with_pp))
+        ids, mask = tok.encode_batch(["alpha beta gamma"], 16)
+        n = int(mask[0].sum())
+        row = ids[0, :n].tolist()
+        assert row[0] == CLS_ID
+        assert row[-1] == SEP_ID
+        assert row[1:-1] == [200, 201, 202]
+
+    @pytest.mark.parametrize("with_pp", [True, False])
+    @pytest.mark.parametrize("n_words", [5, 6, 7, 8, 9, 10])
+    def test_exact_max_len_boundary(self, tmp_path, with_pp, n_words):
+        """Sweep lengths across the max_len boundary: every row must fit,
+        start with CLS, end with SEP, and never lose the framing."""
+        from multimodal_rag_tpu.models.tokenizer import (
+            CLS_ID,
+            HFTokenizer,
+            SEP_ID,
+        )
+
+        max_len = 8
+        tok = HFTokenizer(self.make_tokenizer_json(tmp_path, with_pp))
+        text = " ".join(["alpha"] * n_words)
+        ids, mask = tok.encode_batch([text], max_len)
+        n = int(mask[0].sum())
+        row = ids[0, :n].tolist()
+        assert n <= max_len
+        assert row[0] == CLS_ID
+        assert row[-1] == SEP_ID
+        # Interior tokens are all real (no CLS/SEP duplicates mid-row).
+        assert all(t == 200 for t in row[1:-1])
+        # At or past the cap the row must use the whole budget.
+        if n_words >= max_len - 2:
+            assert n == max_len
+
+    @pytest.mark.parametrize("with_pp", [True, False])
+    def test_empty_text(self, tmp_path, with_pp):
+        from multimodal_rag_tpu.models.tokenizer import (
+            CLS_ID,
+            HFTokenizer,
+            SEP_ID,
+        )
+
+        tok = HFTokenizer(self.make_tokenizer_json(tmp_path, with_pp))
+        ids, mask = tok.encode_batch([""], 8)
+        n = int(mask[0].sum())
+        row = ids[0, :n].tolist()
+        assert row[0] == CLS_ID and row[-1] == SEP_ID
+
+    def test_get_tokenizer_picks_tokenizer_json(self, tmp_path, monkeypatch):
+        from multimodal_rag_tpu.models import tokenizer as tok_mod
+
+        path = self.make_tokenizer_json(tmp_path, True)
+        monkeypatch.setenv("MMRAG_TOKENIZER_PATH", path)
+        tok = tok_mod.get_tokenizer(tok_mod.VOCAB_SIZE)
+        assert tok.name == "hf-wordpiece"
