@@ -36,6 +36,45 @@ function renderMarkdown(text) {
   return html;
 }
 
+/* ---------------- toasts / input ergonomics ---------------- */
+
+const toastArea = document.getElementById("toast-area");
+
+function showToast(message, type = "info") {
+  if (!toastArea) return;
+  const el = document.createElement("div");
+  el.className = `toast ${type}`;
+  el.textContent = message;
+  toastArea.appendChild(el);
+  setTimeout(() => el.classList.add("visible"), 10);
+  setTimeout(() => {
+    el.classList.remove("visible");
+    setTimeout(() => el.remove(), 300);
+  }, 4000);
+}
+
+function adjustTextareaHeight() {
+  queryInput.style.height = "auto";
+  queryInput.style.height = Math.min(queryInput.scrollHeight, 120) + "px";
+}
+
+queryInput.addEventListener("input", adjustTextareaHeight);
+queryInput.addEventListener("keydown", (e) => {
+  if (e.key === "Enter" && !e.shiftKey) {
+    e.preventDefault();
+    chatForm.requestSubmit();
+  }
+});
+
+window.addEventListener("error", (e) => {
+  showToast(`Lỗi: ${e.message}`, "error");
+});
+window.addEventListener("unhandledrejection", () => {
+  showToast("Có lỗi không mong muốn xảy ra", "error");
+});
+
+const TYPE_ICONS = { text: "📄", table: "📊", image: "🖼️" };
+
 /* ---------------- image attach (reference app.js:276-340) ---------------- */
 
 const MAX_IMAGE_BYTES = 10 * 1024 * 1024;
@@ -112,8 +151,9 @@ function addMessage(role, html, sources) {
       chip.className = "chip";
       chip.title = s.doc_id;
       const pct = Math.round(s.relevance_score * 100);
+      const icon = TYPE_ICONS[s.type] || "📎";
       chip.textContent =
-        `#${s.rank} ${s.type} · ${pct}%`;
+        `${icon} #${s.rank} ${s.type} · ${pct}%`;
       chips.appendChild(chip);
     }
     wrap.appendChild(chips);
@@ -121,6 +161,20 @@ function addMessage(role, html, sources) {
   chatLog.appendChild(wrap);
   chatLog.scrollTop = chatLog.scrollHeight;
   return wrap;
+}
+
+async function typeMessage(bubble, text, suffixHtml) {
+  /* Typewriter reveal (reference app.js:538-556): plain text streams in,
+   * then the final markdown render swaps in. Long answers accelerate so
+   * the reveal never exceeds ~2.5s. */
+  const step = Math.max(3, Math.ceil(text.length / 150));
+  for (let i = 0; i < text.length; i += step) {
+    bubble.textContent = text.slice(0, i + step);
+    chatLog.scrollTop = chatLog.scrollHeight;
+    await new Promise((r) => setTimeout(r, 16));
+  }
+  bubble.innerHTML = renderMarkdown(text) + (suffixHtml || "");
+  chatLog.scrollTop = chatLog.scrollHeight;
 }
 
 function addTyping() {
@@ -144,6 +198,7 @@ chatForm.addEventListener("submit", async (e) => {
   userHtml += escapeHtml(query);
   addMessage("user", userHtml);
   queryInput.value = "";
+  adjustTextareaHeight();
   clearImage();
   sendBtn.disabled = true;
   const typing = addTyping();
@@ -167,10 +222,10 @@ chatForm.addEventListener("submit", async (e) => {
       addMessage("bot", `⚠️ Lỗi: ${escapeHtml(data.detail || resp.status)}`);
     } else {
       const t = data.processing_time ? data.processing_time.toFixed(1) : "?";
-      const msg = addMessage("bot",
-        renderMarkdown(data.answer) +
-        `<div class="meta">⏱ ${t}s</div>`,
-        data.sources);
+      const msg = addMessage("bot", "", data.sources);
+      await typeMessage(
+        msg.querySelector(".bubble"), data.answer,
+        `<div class="meta">⏱ ${t}s</div>`);
       if (sentImageFile) {
         attachSimilarFigures(msg, sentImageFile);  // image → image
       } else {
@@ -279,9 +334,11 @@ async function uploadFiles(files) {
           `${c.table} bảng, ${c.image} ảnh.`);
       } else {
         row.textContent = `❌ ${file.name}: ${data.detail || resp.status}`;
+        showToast(`Tải lên thất bại: ${file.name}`, "error");
       }
     } catch (err) {
       row.textContent = `❌ ${file.name}: ${err}`;
+      showToast(`Tải lên thất bại: ${file.name}`, "error");
     }
     setTimeout(() => row.remove(), 8000);
     refreshDocs();
