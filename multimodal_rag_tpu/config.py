@@ -114,6 +114,11 @@ class Settings:
     # first compile stalls the first image-bearing upload; flip on for
     # deployments that use /search/images.
     CROSS_MODAL_ENABLED: bool = False
+    # rerank=true implementation: "cross" = cross-encoder pair scoring
+    # (needs MMRAG_CROSS_ENCODER_PATH); "maxsim" = ColBERT-style late
+    # interaction sharing the bi-encoder weights (needs only
+    # MMRAG_CHECKPOINT_PATH).
+    RERANK_MODE: str = "cross"
 
     # --- Storage (reference config.py:111-112) ---
     DATA_DIR: Path = field(default_factory=lambda: BASE_DIR / "data")

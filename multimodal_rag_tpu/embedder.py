@@ -359,20 +359,31 @@ class EmbeddingManager:
         results: Dict[str, Any],
         top_k: Optional[int] = None,
     ) -> Dict[str, Any]:
-        """Cross-encoder rerank of a flattened query-result dict. The
-        reference shipped this as a placeholder (``embedder.py:834-859``);
-        here it runs a real pairwise model on the TPU (lazily built)."""
+        """Rerank of a flattened query-result dict. The reference shipped
+        this as a placeholder (``embedder.py:834-859``); here it runs a
+        real model on the TPU (lazily built): a cross-encoder
+        (``RERANK_MODE=cross``) or a ColBERT-style MaxSim late-interaction
+        stage sharing the bi-encoder weights (``RERANK_MODE=maxsim``)."""
         if not results.get("documents"):
             return results
         if self._reranker is None:
-            from multimodal_rag_tpu.models.cross_encoder import (
-                CrossEncoderReranker,
-            )
+            if settings.RERANK_MODE == "maxsim":
+                from multimodal_rag_tpu.models.late_interaction import (
+                    LateInteractionReranker,
+                )
 
-            self._reranker = await asyncio.to_thread(
-                CrossEncoderReranker,
-                checkpoint_path=settings.MMRAG_CROSS_ENCODER_PATH or None,
-            )
+                if not self.is_initialized:
+                    await self.initialize()
+                self._reranker = LateInteractionReranker(self._encoder)
+            else:
+                from multimodal_rag_tpu.models.cross_encoder import (
+                    CrossEncoderReranker,
+                )
+
+                self._reranker = await asyncio.to_thread(
+                    CrossEncoderReranker,
+                    checkpoint_path=settings.MMRAG_CROSS_ENCODER_PATH or None,
+                )
         return await asyncio.to_thread(
             self._reranker.rerank, query_text, results, top_k
         )
