@@ -28,6 +28,7 @@ from multimodal_rag_tpu.ops.mips_topk import (
     mips_topk,
     mips_topk_xla,
 )
+from multimodal_rag_tpu.ops.mips_topk_q8 import mips_topk_q8, mips_topk_q8_xla
 from multimodal_rag_tpu.parallel.sharding import DATA_AXIS
 
 
@@ -81,6 +82,70 @@ def _build_sharded(mesh: Mesh, k: int, tile_n: int, use_pallas: bool):
         ),
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, None), P(None, DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _local_then_merge_q8(
+    q, v_shard, scale_shard, mask_shard, *, k, tile_n, use_pallas
+):
+    """Int8 per-shard candidate pass + ICI candidate merge. Same structure
+    as :func:`_local_then_merge`; scores carry quantization noise, so the
+    caller rescores the merged candidates against the f32 host mirror."""
+    n_local = v_shard.shape[0]
+    shard = jax.lax.axis_index(DATA_AXIS)
+    if use_pallas:
+        vals, idx = mips_topk_q8(
+            q, v_shard, scale_shard, mask_shard, k=k, tile_n=tile_n
+        )
+    else:
+        vals, idx = mips_topk_q8_xla(q, v_shard, scale_shard, mask_shard, k)
+    gidx = idx + shard * n_local
+
+    all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+    all_idx = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+
+    merged_vals, pos = jax.lax.top_k(all_vals, k)
+    merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+    return merged_vals, merged_idx
+
+
+def sharded_mips_topk_q8(
+    queries: jax.Array,
+    db_q8: jax.Array,
+    scales: jax.Array,
+    mask: jax.Array,
+    *,
+    mesh: Mesh,
+    k: int,
+    tile_n: int = 1024,
+    use_pallas: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantized candidate top-k over a row-sharded int8 database: half the
+    per-chip HBM stream of the bf16 path. db_q8 (N, D) int8 sharded on
+    rows; scales/mask (1, N) f32 sharded on columns; returns replicated
+    ((B, k) approx scores, (B, k) global indices) for exact rescoring."""
+    if use_pallas is None:
+        use_pallas = default_use_pallas()
+    fn = _build_sharded_q8(mesh, k, tile_n, use_pallas)
+    return fn(queries, db_q8, scales, mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_q8(mesh: Mesh, k: int, tile_n: int, use_pallas: bool):
+    fn = shard_map(
+        functools.partial(
+            _local_then_merge_q8, k=k, tile_n=tile_n, use_pallas=use_pallas
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(DATA_AXIS, None),
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS),
+        ),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -87,7 +87,7 @@ class VectorStore:
         name: str = "multimodal_rag",
         mesh=None,
         tile_n: int = 1024,
-        dtype=jnp.bfloat16,
+        dtype=None,
         initial_capacity: int = 1 << 14,
         compact_threshold: float = 0.5,
         use_pallas: Optional[bool] = None,
@@ -99,7 +99,20 @@ class VectorStore:
         self.mesh = mesh if mesh is not None else get_mesh()
         self.n_devices = self.mesh.size
         self.tile_n = tile_n
-        self.dtype = dtype
+        # Device dtype for the search stream. "int8" selects the quantized
+        # exact path: per-row int8 + f32 scales on device (half the bf16
+        # HBM traffic), candidates exactly rescored against the f32 host
+        # mirror. IVF layouts / the tail buffer / persistence then use bf16.
+        if dtype is None:
+            from multimodal_rag_tpu.config import settings as _cfg
+
+            dtype = _cfg.VECTOR_DTYPE
+        named = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                 "int8": jnp.int8}
+        if isinstance(dtype, str):
+            dtype = named[dtype]
+        self.quantized = dtype == jnp.int8
+        self.dtype = jnp.bfloat16 if self.quantized else dtype
         self.compact_threshold = compact_threshold
         self.use_pallas = (
             use_pallas if use_pallas is not None else default_use_pallas()
@@ -150,6 +163,8 @@ class VectorStore:
         # Device arrays (lazily refreshed).
         self._dev_vecs = None
         self._dev_mask = None
+        self._dev_q8 = None  # quantized mode: int8 rows
+        self._dev_scales = None  # quantized mode: (1, capacity) f32
         self._dirty = True
 
         # IVF planner state.
@@ -175,12 +190,25 @@ class VectorStore:
     def _sync(self) -> None:
         if not self._dirty:
             return
-        vecs = jnp.asarray(self._vecs, self.dtype)
         mask = jnp.asarray(self._mask)
         if self.n_devices > 1:
-            vecs = jax.device_put(vecs, row_sharding(self.mesh))
             mask = jax.device_put(mask, col_sharding(self.mesh))
-        self._dev_vecs = vecs
+        if self.quantized:
+            from multimodal_rag_tpu.ops.mips_topk_q8 import quantize_rows
+
+            q8_host, scales_host = quantize_rows(self._vecs)
+            q8 = jnp.asarray(q8_host)
+            scales = jnp.asarray(scales_host)
+            if self.n_devices > 1:
+                q8 = jax.device_put(q8, row_sharding(self.mesh))
+                scales = jax.device_put(scales, col_sharding(self.mesh))
+            self._dev_q8, self._dev_scales = q8, scales
+            self._dev_vecs = None  # HBM holds int8 only, not a bf16 copy
+        else:
+            vecs = jnp.asarray(self._vecs, self.dtype)
+            if self.n_devices > 1:
+                vecs = jax.device_put(vecs, row_sharding(self.mesh))
+            self._dev_vecs = vecs
         self._dev_mask = mask
         self._dirty = False
 
@@ -495,6 +523,41 @@ class VectorStore:
             k_eff = min(n_results, live)
             tile = self._query_tile()
             use_pallas = self.use_pallas
+            if self.quantized:
+                from multimodal_rag_tpu.ops.mips_topk_q8 import (
+                    mips_topk_q8,
+                    mips_topk_q8_xla,
+                    rescore_exact,
+                    rescore_margin,
+                )
+
+                kc = rescore_margin(k_eff, live)
+                key = (embed_fn, "q8", kc, tile, use_pallas)
+                fn = self._fused_fns.get(key)
+                if fn is None:
+                    def chain_q8(args, Vq, S, M):
+                        emb = embed_fn(*args)
+                        q = emb.astype(jnp.float32)
+                        if use_pallas:
+                            vals, idx = mips_topk_q8(
+                                q, Vq, S, M, k=kc, tile_n=tile
+                            )
+                        else:
+                            vals, idx = mips_topk_q8_xla(q, Vq, S, M, kc)
+                        return vals, idx, emb
+
+                    fn = jax.jit(chain_q8)
+                    self._fused_fns[key] = fn
+                vals, idx, emb = fn(
+                    tuple(embed_args), self._dev_q8, self._dev_scales,
+                    self._dev_mask,
+                )
+                emb = np.asarray(emb)
+                vals, idx = rescore_exact(
+                    np.asarray(emb, np.float32), self._vecs,
+                    np.asarray(vals), np.asarray(idx), k_eff,
+                )
+                return self._format_rows(vals, idx, include), emb
             key = (embed_fn, k_eff, tile, use_pallas)
             fn = self._fused_fns.get(key)
             if fn is None:
@@ -745,6 +808,8 @@ class VectorStore:
                 return result
         self._sync()
         qd = jnp.asarray(q)
+        if self.quantized:
+            return self._search_masked_q8(q, qd, mask, k)
         if self.n_devices > 1:
             from multimodal_rag_tpu.parallel.distributed_search import (
                 sharded_mips_topk,
@@ -766,6 +831,47 @@ class VectorStore:
             )
         valid = mask[0] > NEG_INF / 2
         return mips_topk_xla(qd, self._dev_vecs, k, valid=valid)
+
+    def _search_masked_q8(self, q: np.ndarray, qd, mask, k: int):
+        """Quantized exact path: int8 candidate pass (kc = rescore_margin)
+        on device, exact f32 rescore of the candidates against the host
+        mirror. Caller holds the lock; ``_sync`` already ran."""
+        from multimodal_rag_tpu.ops.mips_topk_q8 import (
+            mips_topk_q8,
+            mips_topk_q8_xla,
+            rescore_exact,
+            rescore_margin,
+        )
+
+        kc = rescore_margin(k, self.count())
+        if self.n_devices > 1:
+            from multimodal_rag_tpu.parallel.distributed_search import (
+                sharded_mips_topk_q8,
+            )
+
+            if mask is None:
+                mask = self._dev_mask
+            else:
+                mask = jax.device_put(mask, col_sharding(self.mesh))
+            vals, idx = sharded_mips_topk_q8(
+                qd, self._dev_q8, self._dev_scales, mask, mesh=self.mesh,
+                k=kc, tile_n=self._query_tile(), use_pallas=self.use_pallas,
+            )
+        else:
+            if mask is None:
+                mask = self._dev_mask
+            if self.use_pallas:
+                vals, idx = mips_topk_q8(
+                    qd, self._dev_q8, self._dev_scales, mask, k=kc,
+                    tile_n=self._query_tile(),
+                )
+            else:
+                vals, idx = mips_topk_q8_xla(
+                    qd, self._dev_q8, self._dev_scales, mask, kc
+                )
+        return rescore_exact(
+            q, self._vecs, np.asarray(vals), np.asarray(idx), k
+        )
 
     # ------------------------------------------------------------------
     # Persistence (reference Chroma persist-dir semantics, SURVEY.md §5.4)
@@ -897,7 +1003,13 @@ class VectorStore:
             "dead": self._dead,
             "devices": self.n_devices,
             "dim": self.dim,
-            "dtype": str(self.dtype.__name__ if hasattr(self.dtype, "__name__") else self.dtype),
+            "dtype": "int8"
+            if self.quantized
+            else str(
+                self.dtype.__name__
+                if hasattr(self.dtype, "__name__")
+                else self.dtype
+            ),
             "counters": dict(self.counters),
             "ivf_built_count": self._ivf_built_count,
             "ivf_tail_rows": max(0, self._size - self._ivf_built_size)

@@ -38,6 +38,12 @@ from multimodal_rag_tpu.ops.ivf import (  # noqa: E402
 from multimodal_rag_tpu.ops.mips_topk import (  # noqa: E402
     mips_topk_padded,
 )
+from multimodal_rag_tpu.ops.mips_topk_q8 import (  # noqa: E402
+    mips_topk_q8,
+    quantize_rows,
+    rescore_exact,
+    rescore_margin,
+)
 from multimodal_rag_tpu.ops.oracle import mips_topk_oracle  # noqa: E402
 
 
@@ -90,6 +96,42 @@ class TestMipsTopkCompiled:
         # The serving tile (8192) — the shape bench.py runs.
         self.check(rand((8, 384), 1), rand((16384, 384), 4), k=5,
                    tile_n=8192)
+
+
+class TestMipsTopkQ8Compiled:
+    """Int8 candidate pass compiled on the chip + exact f32 rescore must
+    equal the oracle (the quantized store's end-to-end contract)."""
+
+    def check(self, Q, V, k, tile_n=256):
+        from multimodal_rag_tpu.ops.mips_topk import NEG_INF as NINF
+
+        N, D = V.shape
+        n_pad = ((N + tile_n - 1) // tile_n) * tile_n
+        mask = np.full((1, n_pad), NINF, np.float32)
+        mask[0, :N] = 0.0
+        Vp = np.concatenate([V, np.zeros((n_pad - N, D), V.dtype)])
+        q8, scales = quantize_rows(Vp)
+        kc = rescore_margin(k, N)
+        vals, idx = mips_topk_q8(
+            jnp.asarray(Q), jnp.asarray(q8), jnp.asarray(scales),
+            jnp.asarray(mask), k=kc, tile_n=tile_n,
+        )
+        rvals, ridx = rescore_exact(Q, V, np.asarray(vals), np.asarray(idx), k)
+        ovals, oidx = mips_topk_oracle(Q, V, k)
+        np.testing.assert_array_equal(ridx, oidx)
+        np.testing.assert_allclose(rvals, ovals, atol=1e-4)
+
+    def test_multi_tile_384(self):
+        self.check(unit(rand((8, 384), 21)), unit(rand((8192, 384), 22)), k=5,
+                   tile_n=1024)
+
+    def test_large_tile_serving_shape(self):
+        self.check(unit(rand((8, 384), 23)), unit(rand((16384, 384), 24)),
+                   k=5, tile_n=8192)
+
+    def test_k20(self):
+        self.check(unit(rand((4, 384), 25)), unit(rand((4096, 384), 26)),
+                   k=20, tile_n=1024)
 
 
 class TestIvfCompiled:
