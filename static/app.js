@@ -75,6 +75,20 @@ window.addEventListener("unhandledrejection", () => {
 
 const TYPE_ICONS = { text: "📄", table: "📊", image: "🖼️" };
 
+const MAX_UPLOAD_MB = 50;
+const UPLOAD_EXT = new Set([
+  "pdf", "docx", "pptx", "html", "htm", "txt", "md", "markdown",
+  "png", "jpg", "jpeg", "gif", "bmp", "webp",
+]);
+
+function formatFileSize(bytes) {
+  if (!Number.isFinite(bytes)) return "";
+  const units = ["B", "KB", "MB", "GB"];
+  let i = 0;
+  while (bytes >= 1024 && i < units.length - 1) { bytes /= 1024; i++; }
+  return `${bytes.toFixed(i ? 1 : 0)} ${units[i]}`;
+}
+
 /* ---------------- image attach (reference app.js:276-340) ---------------- */
 
 const MAX_IMAGE_BYTES = 10 * 1024 * 1024;
@@ -184,6 +198,35 @@ function addTyping() {
   return wrap;
 }
 
+function addSystemMessage(text) {
+  const el = document.createElement("div");
+  el.className = "msg system";
+  el.textContent = text;
+  chatLog.appendChild(el);
+  chatLog.scrollTop = chatLog.scrollHeight;
+}
+
+/* Staggered welcome (reference app.js:100-113). */
+function addWelcomeMessages() {
+  const msgs = [
+    "👋 Xin chào! Tôi là trợ lý AI của bạn.",
+    "📚 Hãy upload tài liệu và đặt câu hỏi cho tôi!",
+    "💡 Tôi có thể tìm kiếm trong PDF, DOCX, PPTX, HTML, Markdown và cả hình ảnh.",
+  ];
+  msgs.forEach((m, i) => setTimeout(() => addMessage("bot", m), i * 450));
+}
+
+/* Failed queries get a retry button instead of a dead end. */
+function addErrorWithRetry(text, retry) {
+  const msg = addMessage("bot", `⚠️ ${escapeHtml(text)} `);
+  const btn = document.createElement("button");
+  btn.type = "button";
+  btn.className = "retry-btn";
+  btn.textContent = "↻ Thử lại";
+  btn.onclick = () => { msg.remove(); retry(); };
+  msg.querySelector(".bubble").appendChild(btn);
+}
+
 chatForm.addEventListener("submit", async (e) => {
   e.preventDefault();
   const query = queryInput.value.trim();
@@ -200,8 +243,13 @@ chatForm.addEventListener("submit", async (e) => {
   queryInput.value = "";
   adjustTextareaHeight();
   clearImage();
+  await runQuery(query, sentImage, sentImageFile);
+});
+
+async function runQuery(query, sentImage, sentImageFile) {
   sendBtn.disabled = true;
   const typing = addTyping();
+  const retry = () => runQuery(query, sentImage, sentImageFile);
   try {
     const body = {
       query,
@@ -219,7 +267,7 @@ chatForm.addEventListener("submit", async (e) => {
     const data = await resp.json();
     typing.remove();
     if (!resp.ok) {
-      addMessage("bot", `⚠️ Lỗi: ${escapeHtml(data.detail || resp.status)}`);
+      addErrorWithRetry(`Lỗi: ${data.detail || resp.status}`, retry);
     } else {
       const t = data.processing_time ? data.processing_time.toFixed(1) : "?";
       const msg = addMessage("bot", "", data.sources);
@@ -234,12 +282,12 @@ chatForm.addEventListener("submit", async (e) => {
     }
   } catch (err) {
     typing.remove();
-    addMessage("bot", `⚠️ Không kết nối được máy chủ: ${escapeHtml(String(err))}`);
+    addErrorWithRetry(`Không kết nối được máy chủ: ${String(err)}`, retry);
   } finally {
     sendBtn.disabled = false;
     queryInput.focus();
   }
-});
+}
 
 /* ---------------- cross-modal figures ---------------- */
 
@@ -316,9 +364,21 @@ fileInput.addEventListener("change", () => uploadFiles([...fileInput.files]));
 
 async function uploadFiles(files) {
   for (const file of files) {
+    // Client-side gates mirroring the server's (reference app.js:140-150).
+    const ext = (/\.([A-Za-z0-9]+)$/.exec(file.name) || [])[1]?.toLowerCase();
+    if (file.size > MAX_UPLOAD_MB * 1024 * 1024) {
+      showToast(
+        `${file.name} quá lớn (${formatFileSize(file.size)} > ` +
+        `${MAX_UPLOAD_MB} MB)`, "error");
+      continue;
+    }
+    if (!ext || !UPLOAD_EXT.has(ext)) {
+      showToast(`${file.name}: định dạng không hỗ trợ`, "error");
+      continue;
+    }
     const row = document.createElement("div");
     row.className = "progress-row";
-    row.textContent = `⏳ ${file.name}`;
+    row.textContent = `⏳ ${file.name} (${formatFileSize(file.size)})`;
     uploadProgress.appendChild(row);
     try {
       const form = new FormData();
@@ -379,4 +439,5 @@ async function pollHealth() {
 
 refreshDocs();
 pollHealth();
+addWelcomeMessages();
 setInterval(pollHealth, 30000);
