@@ -52,6 +52,13 @@ class Settings:
 
     # --- LLM configuration (reference config.py:24-33) ---
     USE_LOCAL_LLM: bool = True
+    # On-TPU generation (models/decoder.py): overrides USE_LOCAL_LLM's
+    # backend pick for the text adapter; answers/summaries are generated
+    # on the chip instead of over HTTP. Needs MMRAG_LLM_CHECKPOINT_PATH
+    # (a local Llama/Qwen2/Gemma safetensors snapshot) for meaningful
+    # text; runs random-init with a loud warning otherwise.
+    USE_TPU_LLM: bool = False
+    MMRAG_LLM_CHECKPOINT_PATH: str = ""
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None

@@ -1,4 +1,4 @@
-"""LLM adapters: Ollama / OpenAI HTTP backends + fake for tests."""
+"""LLM adapters: Ollama / OpenAI HTTP backends, on-TPU decoder, fake."""
 
 from multimodal_rag_tpu.models.adapters.base import (
     BaseLLMAdapter,
@@ -7,11 +7,13 @@ from multimodal_rag_tpu.models.adapters.base import (
 from multimodal_rag_tpu.models.adapters.fake import FakeLLMAdapter
 from multimodal_rag_tpu.models.adapters.llm import LLMAdapter
 from multimodal_rag_tpu.models.adapters.mllm import MLLMAdapter
+from multimodal_rag_tpu.models.adapters.tpu_llm import TPULLMAdapter
 
 __all__ = [
     "BaseLLMAdapter",
     "ModelCapability",
     "LLMAdapter",
     "MLLMAdapter",
+    "TPULLMAdapter",
     "FakeLLMAdapter",
 ]

@@ -1,0 +1,256 @@
+"""On-TPU text-generation adapter.
+
+Same ``BaseLLMAdapter`` contract as the HTTP adapters (reference
+``app/models/llm_adapter.py``), but generation runs on the chip this
+framework already owns instead of round-tripping to Ollama/OpenAI —
+removing the reference's dominant latency term (SURVEY.md §3.2: one HTTP
+LLM call per chunk/table/image is THE ingest hot loop, and answer
+generation dominates ``/query``).
+
+Enable with ``USE_TPU_LLM=true``. Weights come from a local Llama/Qwen2/
+Gemma safetensors snapshot (``MMRAG_LLM_CHECKPOINT_PATH``); without one
+the adapter still serves — with seeded random weights and a loud warning —
+so the full pipeline stays drivable offline.
+
+Concurrency: generation is synchronous device work. Calls enqueue into a
+coalescing worker — requests that arrive while a batch is in flight are
+grouped by generation preset (max-token bucket, temperature, top_k) and
+run as ONE left-padded device batch, so the summarizer's semaphore-5
+fan-out (reference ``summarizer.py:125``) becomes batched decode instead
+of five serialized single-row generations. Decode is weight-streaming
+bound, so rows are nearly free: batching N requests costs ~1x latency,
+not Nx.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Any, Dict, List, Optional
+
+from multimodal_rag_tpu.models.adapters.base import (
+    BaseLLMAdapter,
+    ModelCapability,
+)
+
+logger = logging.getLogger(__name__)
+
+SUMMARY_PROMPTS = {
+    # Mirrors LLMAdapter.summarize's templates (reference
+    # llm_adapter.py:225-290) so summaries are backend-independent.
+    "table": (
+        "Summarize the key information and trends in this table "
+        "concisely (max {max_length} characters):\n\n{content}\n\nSummary:"
+    ),
+    "text": (
+        "Summarize the following text concisely, focusing on key "
+        "concepts and information (max {max_length} characters):\n\n"
+        "{content}\n\nSummary:"
+    ),
+}
+
+
+class TPULLMAdapter(BaseLLMAdapter):
+    """Serves ``generate_text``/``summarize`` from an on-device decoder."""
+
+    # Batch ceiling for coalesced decode; matches TextDecoder's largest
+    # batch bucket so a full batch still hits a compiled shape.
+    MAX_COALESCE = 8
+
+    def __init__(self, model_name: str = None, decoder=None, **kwargs):
+        super().__init__(model_name or "tpu-local", **kwargs)
+        self.backend = "tpu"
+        self._decoder = decoder  # tests inject a tiny TextDecoder
+        self._queue: Optional[asyncio.Queue] = None
+        self._worker: Optional[asyncio.Task] = None
+        self.batches_run = 0
+        self.requests_served = 0
+
+    async def initialize(self):
+        if self.is_initialized:
+            return
+        if self._decoder is None:
+            from multimodal_rag_tpu.config import settings
+            from multimodal_rag_tpu.models.decoder import TextDecoder
+
+            self._decoder = await asyncio.to_thread(
+                TextDecoder,
+                checkpoint_path=settings.MMRAG_LLM_CHECKPOINT_PATH or None,
+            )
+        self._queue = asyncio.Queue()
+        self._worker = asyncio.create_task(self._drain())
+        if self._decoder.pretrained:
+            self.model_name = "tpu-local (pretrained)"
+        self.is_initialized = True
+        logger.info(
+            "TPULLMAdapter initialized (pretrained=%s, vocab=%d, layers=%d)",
+            self._decoder.pretrained,
+            self._decoder.cfg.vocab_size,
+            self._decoder.cfg.num_layers,
+        )
+
+    async def cleanup(self):
+        self.is_initialized = False
+        if self._worker is not None:
+            self._worker.cancel()
+            self._worker = None
+
+    async def _drain(self) -> None:
+        """Coalescing worker: take the oldest pending request, opportunistically
+        absorb queued requests with the same generation preset, run one
+        batched generate, fan results back out."""
+        while True:
+            first = await self._queue.get()
+            batch = [first]
+            room = self.MAX_COALESCE - len(first[0])
+            skipped = []
+            while room > 0 and not self._queue.empty():
+                req = self._queue.get_nowait()
+                if req[1] == first[1] and len(req[0]) <= room:
+                    batch.append(req)
+                    room -= len(req[0])
+                else:
+                    skipped.append(req)
+            for req in skipped:  # different preset → next round
+                self._queue.put_nowait(req)
+            prompts = [p for req in batch for p in req[0]]
+            max_tokens, temperature, top_k = first[1]
+            try:
+                outs = await asyncio.to_thread(
+                    self._decoder.generate,
+                    prompts,
+                    max_new_tokens=max_tokens,
+                    temperature=temperature,
+                    top_k=top_k,
+                )
+                i = 0
+                for req_prompts, _key, fut in batch:
+                    if not fut.done():
+                        fut.set_result(outs[i:i + len(req_prompts)])
+                    i += len(req_prompts)
+                self.batches_run += 1
+                self.requests_served += len(batch)
+            except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
+                for _p, _key, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    async def _generate_batch(
+        self, prompts: List[str], max_tokens: int, temperature: float, **kw
+    ) -> List[str]:
+        if not self.is_initialized:
+            await self.initialize()
+        # Key must match TextDecoder's executable-selecting statics so a
+        # coalesced batch compiles to one shape.
+        key = (int(max_tokens), float(temperature), int(kw.get("top_k", 64)))
+        fut = asyncio.get_running_loop().create_future()
+        await self._queue.put((list(prompts), key, fut))
+        return await fut
+
+    async def generate_text(
+        self,
+        prompt: str,
+        max_tokens: int = 1000,
+        temperature: float = 0.7,
+        **kwargs,
+    ) -> str:
+        self._validate_input(prompt)
+        full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
+        out = await self._generate_batch(
+            [full], max_tokens, temperature, **kwargs
+        )
+        return out[0].strip()
+
+    async def generate_multimodal(
+        self,
+        text: str,
+        images: Optional[List[str]] = None,
+        tables: Optional[List[str]] = None,
+        max_tokens: int = 1000,
+        temperature: float = 0.7,
+        **kwargs,
+    ) -> str:
+        """Text-only degradation, same shape as LLMAdapter's (reference
+        ``llm_adapter.py:196-223``): tables fold into the prompt, images
+        are dropped with a warning."""
+        combined = text
+        if tables:
+            combined += "\n\nTables:\n" + "\n\n".join(tables)
+        if images:
+            logger.warning(
+                "Images provided but TPULLMAdapter is text-only; "
+                "enable the MLLM adapter for vision."
+            )
+        return await self.generate_text(
+            combined, max_tokens, temperature, **kwargs
+        )
+
+    def _summary_prompt(
+        self, content: str, content_type: str, max_length: int
+    ) -> str:
+        tmpl = SUMMARY_PROMPTS.get(content_type, SUMMARY_PROMPTS["text"])
+        return tmpl.format(max_length=max_length, content=content)
+
+    async def summarize(
+        self,
+        content: str,
+        content_type: str = "text",
+        max_length: int = 300,
+        **kwargs,
+    ) -> str:
+        self._validate_input(content)
+        out = await self._generate_batch(
+            [self._summary_prompt(content, content_type, max_length)],
+            max_tokens=max(32, int(max_length / 2)),
+            temperature=0.3,
+            **kwargs,
+        )
+        summary = out[0].strip()
+        if len(summary) > max_length:
+            summary = summary[: max_length - 3] + "..."
+        return summary
+
+    async def summarize_batch(
+        self,
+        contents: List[str],
+        content_type: str = "text",
+        max_length: int = 300,
+        **kwargs,
+    ) -> List[str]:
+        """Batched variant: N prompts in one left-padded device batch —
+        the decode loop amortizes weight streaming across rows, which is
+        the whole point of owning the generation path."""
+        prompts = [
+            self._summary_prompt(c, content_type, max_length)
+            for c in contents
+        ]
+        outs = await self._generate_batch(
+            prompts,
+            max_tokens=max(32, int(max_length / 2)),
+            temperature=0.3,
+            **kwargs,
+        )
+        return [
+            (s.strip()[: max_length - 3] + "...")
+            if len(s.strip()) > max_length
+            else s.strip()
+            for s in outs
+        ]
+
+    def get_capabilities(self) -> List[ModelCapability]:
+        return [ModelCapability.TEXT_GENERATION]
+
+    async def health_check(self) -> Dict[str, Any]:
+        health = await super().health_check()
+        health.update(
+            {
+                "backend": "tpu",
+                "pretrained": bool(
+                    self._decoder is not None and self._decoder.pretrained
+                ),
+                "batches_run": self.batches_run,
+                "requests_served": self.requests_served,
+            }
+        )
+        health["connection"] = "ok" if self.is_initialized else "not_initialized"
+        return health

@@ -1,0 +1,660 @@
+"""Decoder-only causal LM for on-TPU answer generation.
+
+The reference delegates every generation call to an external runtime over
+HTTP — Ollama ``/api/generate`` (``app/models/llm_adapter.py:130-167``) or
+OpenAI chat completions (``:169-223``) — which makes LLM latency the
+dominant term of both ``/query`` and ingest summarization (SURVEY.md §3.2:
+"one LLM call per chunk/table/image" is THE latency hot loop). This module
+gives the framework its own generation path on the chip it already owns:
+a Llama/Gemma-family decoder (RMSNorm, RoPE, GQA, gated MLP) with a
+fixed-shape KV cache, jit-compiled prefill + a single-token decode step,
+and a ``lax.while_loop`` generation loop with per-row EOS early exit.
+
+TPU-first design notes:
+
+* Per-layer weights are stacked on a leading layer axis and both prefill
+  and decode walk them with one ``lax.scan`` — the KV cache (leading layer
+  axis) is threaded through the same scan, so the whole decode step is one
+  traced layer regardless of depth.
+* The cache is a static ``(L, B, S_max, n_kv, hd)`` bf16 buffer updated
+  with ``lax.dynamic_update_slice_in_dim`` — no dynamic shapes anywhere;
+  ``S_max = prompt_bucket + max_new_tokens`` picks the executable.
+* Prompts are LEFT-padded to the bucket so every row shares one scalar
+  write position; RoPE uses per-row *semantic* positions (cumsum of the
+  attention mask), so left-pad slots are rotation-garbage but masked out.
+* Matmuls run in bf16 with f32 accumulation; norms/softmax/logits stay f32.
+* GQA: K/V heads are stored once and queries are grouped on a reshape —
+  no repeat_kv materialization.
+
+Weights load from a local HF safetensors snapshot via
+:func:`load_hf_causal_lm` (Llama, Qwen2, and Gemma naming/config are
+handled, including Gemma's tied embeddings, (1+w) RMSNorm, embedding
+scaling, and logit softcap). Without a checkpoint the decoder runs with
+seeded random init — same graph and cost, which is what perf work needs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden_dim: int = 2048
+    num_layers: int = 16
+    num_heads: int = 16
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    ff_dim: int = 5632
+    max_position: int = 4096
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-6
+    act: str = "silu"  # silu (Llama/Qwen) | gelu_tanh (Gemma)
+    tie_embeddings: bool = True
+    # Gemma conventions (all False/0 for Llama-family):
+    rms_one_offset: bool = False  # RMSNorm scale is (1 + w)
+    scale_embeddings: bool = False  # x *= sqrt(hidden_dim) after embed
+    final_logit_softcap: float = 0.0  # cap * tanh(logits / cap) when > 0
+    attn_logit_softcap: float = 0.0
+    query_pre_attn_scalar: float = 0.0  # 0 → 1/sqrt(head_dim)
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    @property
+    def sm_scale(self) -> float:
+        if self.query_pre_attn_scalar:
+            return float(1.0 / np.sqrt(self.query_pre_attn_scalar))
+        return float(1.0 / np.sqrt(self.head_dim))
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
+    """Seeded truncated-normal init; per-layer tensors stacked on axis 0."""
+    keys = jax.random.split(rng, 10)
+    h, f, L = cfg.hidden_dim, cfg.ff_dim, cfg.num_layers
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+
+    def tn(key, shape, std=0.02):
+        return (jax.random.truncated_normal(key, -2.0, 2.0, shape) * std).astype(
+            jnp.float32
+        )
+
+    params = {
+        "embed": tn(keys[0], (cfg.vocab_size, h)),
+        "final_norm": jnp.zeros((h,), jnp.float32)
+        if cfg.rms_one_offset
+        else jnp.ones((h,), jnp.float32),
+        "layers": {
+            "wq": tn(keys[1], (L, h, qd)),
+            "wk": tn(keys[2], (L, h, kvd)),
+            "wv": tn(keys[3], (L, h, kvd)),
+            "wo": tn(keys[4], (L, qd, h)),
+            "w_gate": tn(keys[5], (L, h, f)),
+            "w_up": tn(keys[6], (L, h, f)),
+            "w_down": tn(keys[7], (L, f, h)),
+            "ln_attn": jnp.zeros((L, h), jnp.float32)
+            if cfg.rms_one_offset
+            else jnp.ones((L, h), jnp.float32),
+            "ln_mlp": jnp.zeros((L, h), jnp.float32)
+            if cfg.rms_one_offset
+            else jnp.ones((L, h), jnp.float32),
+        },
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = tn(keys[8], (h, cfg.vocab_size))
+    return params
+
+
+def _read_hf_config(path: str) -> Optional[dict]:
+    cand = os.path.join(path, "config.json") if os.path.isdir(path) else None
+    if cand is None:
+        cand = os.path.join(os.path.dirname(path), "config.json")
+    try:
+        with open(cand) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
+def config_from_hf(hf: dict) -> DecoderConfig:
+    """Map an HF ``config.json`` onto :class:`DecoderConfig`. Handles
+    llama / qwen2 / gemma / gemma2 model types."""
+    mtype = hf.get("model_type", "llama")
+    gemma = mtype.startswith("gemma")
+    heads = hf["num_attention_heads"]
+    return DecoderConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_dim=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=hf.get("num_key_value_heads", heads),
+        head_dim=hf.get("head_dim", hf["hidden_size"] // heads),
+        ff_dim=hf["intermediate_size"],
+        max_position=hf.get("max_position_embeddings", 4096),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        norm_eps=hf.get("rms_norm_eps", 1e-6),
+        act="gelu_tanh" if gemma else "silu",
+        tie_embeddings=hf.get("tie_word_embeddings", gemma),
+        rms_one_offset=gemma,
+        scale_embeddings=gemma,
+        final_logit_softcap=hf.get("final_logit_softcapping") or 0.0,
+        attn_logit_softcap=hf.get("attn_logit_softcapping") or 0.0,
+        query_pre_attn_scalar=hf.get("query_pre_attn_scalar") or 0.0,
+    )
+
+
+def load_hf_causal_lm(
+    path: str, cfg: Optional[DecoderConfig] = None
+) -> Tuple[Dict, DecoderConfig]:
+    """Load a Llama/Qwen2/Gemma-family safetensors snapshot (file or
+    directory, sharded or single-file) into the stacked pytree.
+
+    HF ``nn.Linear`` stores (out, in); our matmuls are (in, out) → every
+    projection is transposed on load (golden-tested against the torch
+    forward in ``tests/test_decoder.py``).
+    """
+    from safetensors import safe_open
+
+    files = []
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".safetensors")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+
+    tensors: Dict[str, np.ndarray] = {}
+    for fp in files:
+        with safe_open(fp, framework="np") as f:
+            for key in f.keys():
+                tensors[key] = f.get_tensor(key)
+
+    if cfg is None:
+        hf_cfg = _read_hf_config(path)
+        if hf_cfg is None:
+            raise ValueError(
+                f"no config.json next to {path}; pass cfg= explicitly"
+            )
+        cfg = config_from_hf(hf_cfg)
+
+    def t(name):
+        return jnp.asarray(np.asarray(tensors[name], np.float32))
+
+    def stacked(fmt, transpose=True):
+        mats = [np.asarray(tensors[fmt.format(i)], np.float32)
+                for i in range(cfg.num_layers)]
+        arr = np.stack([m.T if transpose else m for m in mats])
+        return jnp.asarray(arr)
+
+    p = "model.layers.{}."
+    params = {
+        "embed": t("model.embed_tokens.weight"),
+        "final_norm": t("model.norm.weight"),
+        "layers": {
+            "wq": stacked(p + "self_attn.q_proj.weight"),
+            "wk": stacked(p + "self_attn.k_proj.weight"),
+            "wv": stacked(p + "self_attn.v_proj.weight"),
+            "wo": stacked(p + "self_attn.o_proj.weight"),
+            "w_gate": stacked(p + "mlp.gate_proj.weight"),
+            "w_up": stacked(p + "mlp.up_proj.weight"),
+            "w_down": stacked(p + "mlp.down_proj.weight"),
+            "ln_attn": stacked(p + "input_layernorm.weight", False),
+            "ln_mlp": stacked(p + "post_attention_layernorm.weight", False),
+        },
+    }
+    if not cfg.tie_embeddings:
+        if "lm_head.weight" in tensors:
+            params["lm_head"] = t("lm_head.weight").T
+        else:  # checkpoint ties even though config didn't say so
+            cfg = replace(cfg, tie_embeddings=True)
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+
+def _rmsnorm(x: jax.Array, w: jax.Array, cfg: DecoderConfig) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) + cfg.norm_eps
+    )
+    w = (1.0 + w) if cfg.rms_one_offset else w
+    return x32 * scale * w
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, HF half-split convention. x: (..., T, n, hd);
+    positions: broadcastable to (..., T)."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions[..., None].astype(jnp.float32) * freqs  # (..., T, half)
+    cos = jnp.cos(ang)[..., None, :]  # (..., T, 1, half)
+    sin = jnp.sin(ang)[..., None, :]
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., :half], x32[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _act(x: jax.Array, name: str) -> jax.Array:
+    if name == "silu":
+        return jax.nn.silu(x)
+    return jax.nn.gelu(x, approximate=True)  # gemma gelu_pytorch_tanh
+
+
+def _softcap(x: jax.Array, cap: float) -> jax.Array:
+    return jnp.tanh(x / cap) * cap if cap else x
+
+
+def _attn_scores(q, k, mask, cfg: DecoderConfig):
+    """q: (B, T, n_kv, g, hd) f32-accumulated scores vs k: (B, S, n_kv, hd);
+    mask: (B, T, S) additive f32. Returns probs (B, T, n_kv, g, S) f32."""
+    logits = jnp.einsum(
+        "btngh,bsnh->btngs", q, k, preferred_element_type=jnp.float32
+    ) * cfg.sm_scale
+    logits = _softcap(logits, cfg.attn_logit_softcap)
+    logits = logits + mask[:, :, None, None, :]
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
+    """One pre-norm block over a (possibly length-1) query chunk.
+
+    x: (B, T, H); k_cache/v_cache: (B, S, n_kv, hd) — already containing
+    this chunk's keys/values (caller updates the cache first); positions:
+    (B, T) semantic positions for RoPE on queries; mask: (B, T, S).
+    """
+    cd = cfg.compute_dtype
+    B, T, H = x.shape
+    n_kv, g, hd = cfg.num_kv_heads, cfg.q_per_kv, cfg.head_dim
+
+    h = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
+    q = (h @ lp["wq"].astype(cd)).reshape(B, T, n_kv, g, hd)
+    q = _rope(
+        q.reshape(B, T, n_kv * g, hd), positions, cfg.rope_theta
+    ).reshape(B, T, n_kv, g, hd)
+    probs = _attn_scores(q, k_cache, mask, cfg).astype(cd)
+    ctx = jnp.einsum(
+        "btngs,bsnh->btngh", probs, v_cache,
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    attn = ctx.reshape(B, T, n_kv * g * hd) @ lp["wo"].astype(cd)
+    x = x + attn.astype(x.dtype)
+
+    h = _rmsnorm(x, lp["ln_mlp"], cfg).astype(cd)
+    gate = _act(h @ lp["w_gate"].astype(cd), cfg.act)
+    up = h @ lp["w_up"].astype(cd)
+    down = (gate * up) @ lp["w_down"].astype(cd)
+    return x + down.astype(x.dtype)
+
+
+def _project_kv(h_norm, lp, positions, cfg):
+    """Normed hidden (B, T, H) → rotated k, v (B, T, n_kv, hd) in bf16."""
+    cd = cfg.compute_dtype
+    B, T, _ = h_norm.shape
+    k = (h_norm @ lp["wk"].astype(cd)).reshape(B, T, cfg.num_kv_heads,
+                                               cfg.head_dim)
+    v = (h_norm @ lp["wv"].astype(cd)).reshape(B, T, cfg.num_kv_heads,
+                                               cfg.head_dim)
+    k = _rope(k, positions, cfg.rope_theta)
+    return k.astype(cd), v.astype(cd)
+
+
+def _embed_tokens(params, ids, cfg):
+    x = params["embed"][ids].astype(jnp.float32)
+    if cfg.scale_embeddings:
+        x = x * np.sqrt(cfg.hidden_dim)
+    return x.astype(cfg.compute_dtype)
+
+
+def _logits(params, x, cfg):
+    head = (
+        params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    ).astype(cfg.compute_dtype)
+    logits = (x.astype(cfg.compute_dtype) @ head).astype(jnp.float32)
+    return _softcap(logits, cfg.final_logit_softcap)
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_seq: int) -> Dict:
+    """Fixed-shape KV cache: (L, B, S_max, n_kv, hd) bf16 per tensor."""
+    shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, cfg.compute_dtype),
+        "v": jnp.zeros(shape, cfg.compute_dtype),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_seq"))
+def prefill(
+    params: Dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg: DecoderConfig,
+    max_seq: int,
+) -> Tuple[jax.Array, Dict]:
+    """Run the prompt (LEFT-padded to its bucket) through the decoder.
+
+    ids/mask: (B, P) — mask 0 marks left padding. Returns the next-token
+    logits (B, vocab) at the last position and a cache of size ``max_seq``
+    with positions [0, P) filled.
+    """
+    B, P = ids.shape
+    x = _embed_tokens(params, ids, cfg)
+    # Semantic positions: left pads clamp to 0 and are masked anyway.
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)  # (B, P)
+    # Causal + pad mask over the prompt: query i sees keys j <= i with
+    # mask[j] = 1.
+    causal = jnp.tril(jnp.ones((P, P), jnp.bool_))
+    visible = causal[None, :, :] & (mask[:, None, :] > 0)
+    add_mask = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
+
+    cache = init_cache(cfg, B, max_seq)
+
+    def body(x, scanned):
+        lp, kc, vc = scanned
+        h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
+        k, v = _project_kv(h_norm, lp, positions, cfg)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, 0, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, 0, axis=1)
+        x = _layer_forward(x, lp, k, v, positions, add_mask, cfg)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    x = _rmsnorm(x[:, -1:, :], params["final_norm"], cfg)
+    logits = _logits(params, x[:, 0, :], cfg)
+    return logits, {"k": k_new, "v": v_new}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: Dict,
+    cache: Dict,
+    token: jax.Array,
+    pos: jax.Array,
+    key_mask: jax.Array,
+    positions: jax.Array,
+    cfg: DecoderConfig,
+) -> Tuple[jax.Array, Dict]:
+    """One token for every row. token: (B,) int32; pos: scalar cache write
+    index; key_mask: (B, S_max) 1 for attendable slots (updated by the
+    caller to include this token); positions: (B,) semantic RoPE positions.
+    Returns (B, vocab) logits and the updated cache."""
+    B = token.shape[0]
+    x = _embed_tokens(params, token[:, None], cfg)  # (B, 1, H)
+    add_mask = jnp.where(key_mask > 0, 0.0, -1e9).astype(jnp.float32)[:, None, :]
+    pos_q = positions[:, None]  # (B, 1)
+
+    def body(x, scanned):
+        lp, kc, vc = scanned
+        h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
+        k, v = _project_kv(h_norm, lp, pos_q, cfg)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=1)
+        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    x = _rmsnorm(x, params["final_norm"], cfg)
+    logits = _logits(params, x[:, 0, :], cfg)
+    return logits, {"k": k_new, "v": v_new}
+
+
+# ---------------------------------------------------------------------------
+# Generation loop
+# ---------------------------------------------------------------------------
+
+
+def _sample(logits, key, temperature: float, top_k: int):
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        vals, _ = jax.lax.top_k(logits, top_k)
+        cutoff = vals[:, -1:]
+        logits = jnp.where(logits < cutoff, -1e9, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "eos_id"),
+)
+def generate_tokens(
+    params: Dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    key: jax.Array,
+    cfg: DecoderConfig,
+    max_new_tokens: int,
+    temperature: float = 0.7,
+    top_k: int = 64,
+    eos_id: int = -1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Prefill + sample up to ``max_new_tokens``. ids/mask (B, P) left-
+    padded. Returns (tokens (B, max_new_tokens) int32, lengths (B,) int32);
+    rows stop at ``eos_id`` (their tail is PAD=eos) and the loop exits
+    early once every row has finished."""
+    B, P = ids.shape
+    S_max = P + max_new_tokens
+    logits, cache = prefill(params, ids, mask, cfg, S_max)
+    prompt_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,)
+    key_mask0 = jnp.concatenate(
+        [mask.astype(jnp.int32), jnp.zeros((B, max_new_tokens), jnp.int32)],
+        axis=1,
+    )
+
+    first = _sample(logits, key, temperature, top_k)
+    done0 = jnp.zeros((B,), jnp.bool_) | (first == eos_id)
+    out0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    out0 = out0.at[:, 0].set(first)
+
+    def cond(state):
+        t, done, *_ = state
+        return (t < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        t, done, cur, out, key_mask, cache, key = state
+        key, sub = jax.random.split(key)
+        pos = P + t - 1  # cache slot for the token sampled at step t-1
+        key_mask = jax.lax.dynamic_update_slice_in_dim(
+            key_mask, jnp.ones((B, 1), jnp.int32), pos, axis=1
+        )
+        positions = prompt_len + t - 1
+        logits, cache = decode_step(
+            params, cache, cur, pos, key_mask, positions, cfg
+        )
+        nxt = _sample(logits, sub, temperature, top_k)
+        nxt = jnp.where(done, eos_id, nxt)
+        out = out.at[:, t].set(jnp.where(done, out[:, t], nxt))
+        done = done | (nxt == eos_id)
+        return (t + 1, done, nxt, out, key_mask, cache, key)
+
+    state = (jnp.int32(1), done0, first, out0, key_mask0, cache, key)
+    _, done, _, out, _, _, _ = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum(
+        jnp.cumprod((out != eos_id).astype(jnp.int32), axis=1), axis=1
+    )
+    return out, lengths
+
+
+# ---------------------------------------------------------------------------
+# Host-facing wrapper
+# ---------------------------------------------------------------------------
+
+
+def find_local_lm_checkpoint() -> Optional[str]:
+    """Same no-network discovery posture as the encoder checkpoints:
+    MMRAG_LLM_CHECKPOINT_PATH wins; else scan the HF hub cache for a
+    causal-LM snapshot (a config.json with a known decoder model_type)."""
+    cand = os.environ.get("MMRAG_LLM_CHECKPOINT_PATH")
+    if cand and os.path.exists(cand):
+        return cand
+    hub = os.path.expanduser("~/.cache/huggingface/hub")
+    if not os.path.isdir(hub):
+        return None
+    for root, _dirs, files in os.walk(hub):
+        if "config.json" in files and any(
+            f.endswith(".safetensors") for f in files
+        ):
+            try:
+                with open(os.path.join(root, "config.json")) as f:
+                    mtype = json.load(f).get("model_type", "")
+            except OSError:
+                continue
+            if mtype in ("llama", "qwen2", "gemma", "gemma2"):
+                return root
+    return None
+
+
+class TextDecoder:
+    """Tokenize → left-pad to a prompt bucket → jitted generate → text.
+
+    One executable per (batch_bucket, prompt_bucket, max_new, temperature,
+    top_k) tuple; serving uses a handful of fixed generation presets so
+    the set stays small.
+    """
+
+    def __init__(
+        self,
+        params: Dict | None = None,
+        cfg: DecoderConfig | None = None,
+        tokenizer=None,
+        checkpoint_path: str | None = None,
+        prompt_buckets: Sequence[int] = (128, 256, 512, 1024),
+        batch_buckets: Sequence[int] = (1, 4, 8),
+        seed: int = 0,
+    ) -> None:
+        from multimodal_rag_tpu.models.tokenizer import (
+            ByteTokenizer,
+            load_decoder_tokenizer,
+        )
+
+        self.pretrained = False
+        if params is None:
+            checkpoint_path = checkpoint_path or find_local_lm_checkpoint()
+            if checkpoint_path:
+                try:
+                    params, cfg = load_hf_causal_lm(checkpoint_path, cfg)
+                    self.pretrained = True
+                    logger.info("Loaded LM checkpoint from %s", checkpoint_path)
+                except Exception as e:  # noqa: BLE001 — degrade, don't die
+                    logger.error(
+                        "Failed to load LM checkpoint %s (%s); "
+                        "falling back to random init", checkpoint_path, e,
+                    )
+                    params = None
+        if tokenizer is None and self.pretrained:
+            tokenizer = load_decoder_tokenizer(checkpoint_path)
+        if tokenizer is None:
+            tokenizer = ByteTokenizer()
+        self.tokenizer = tokenizer
+        if cfg is None:
+            # Offline default: byte-vocab toy decoder — real graph, real
+            # cost model, deterministic output; serving warns loudly.
+            cfg = DecoderConfig(
+                vocab_size=max(512, tokenizer.vocab_size),
+                hidden_dim=512, num_layers=4, num_heads=8, num_kv_heads=2,
+                head_dim=64, ff_dim=1536,
+            )
+        if params is None:
+            logger.warning(
+                "Serving with RANDOM-INIT decoder weights: generated text "
+                "will be gibberish. Point MMRAG_LLM_CHECKPOINT_PATH at a "
+                "local Llama/Qwen2/Gemma safetensors snapshot."
+            )
+            params = init_params(jax.random.key(seed), cfg)
+        self.cfg = cfg
+        self.params = params
+        self.prompt_buckets = tuple(prompt_buckets)
+        self.batch_buckets = tuple(batch_buckets)
+        self.eos_id = getattr(tokenizer, "eos_id", 2)
+
+    def _bucket(self, n: int, buckets: Sequence[int]) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    def prepare(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Encode + LEFT-pad into the smallest (batch, prompt) bucket."""
+        encoded = [
+            self.tokenizer.encode(p)[-self.prompt_buckets[-1]:]
+            for p in prompts
+        ]
+        P = self._bucket(max(len(e) for e in encoded), self.prompt_buckets)
+        B = self._bucket(len(prompts), self.batch_buckets)
+        ids = np.zeros((B, P), np.int32)
+        mask = np.zeros((B, P), np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, P - len(e):] = e
+            mask[i, P - len(e):] = 1
+        # Pad rows carry a degenerate 1-token prompt so cumsum/rope math
+        # stays well-defined; their output is sliced off.
+        mask[len(prompts):, -1] = 1
+        return ids, mask
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        max_new_tokens: int = 256,
+        temperature: float = 0.7,
+        top_k: int = 64,
+        seed: int = 0,
+    ) -> list[str]:
+        if not prompts:
+            return []
+        ids, mask = self.prepare(prompts)
+        # Bucket max_new so the executable set stays small.
+        max_new = self._bucket(
+            max_new_tokens, (64, 128, 256, 512, 1024)
+        )
+        toks, lengths = generate_tokens(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            jax.random.key(seed),
+            self.cfg,
+            max_new_tokens=max_new,
+            temperature=float(temperature),
+            top_k=int(top_k),
+            eos_id=int(self.eos_id),
+        )
+        toks = np.asarray(toks)
+        lengths = np.asarray(lengths)
+        out = []
+        for i in range(len(prompts)):
+            n = min(int(lengths[i]), max_new_tokens)
+            out.append(self.tokenizer.decode(toks[i, :n].tolist()))
+        return out

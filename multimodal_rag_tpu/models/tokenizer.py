@@ -244,6 +244,98 @@ class HFTokenizer:
         return ids, mask
 
 
+class ByteTokenizer:
+    """Reversible UTF-8 byte tokenizer for the decoder's offline fallback.
+
+    The encoder-side ``HashingTokenizer`` is deliberately one-way (ids only
+    feed an embedding gather); generation needs to map ids *back* to text,
+    so this vocabulary is the 256 byte values plus PAD/BOS/EOS. Real
+    deployments load the checkpoint's own BPE via
+    :func:`load_decoder_tokenizer`; this keeps tests and random-init perf
+    runs hermetic and round-trippable.
+    """
+
+    name = "byte"
+    pad_id, bos_id, eos_id = 0, 1, 2
+    _OFFSET = 3
+
+    def __init__(self) -> None:
+        self.vocab_size = 256 + self._OFFSET
+
+    def encode(self, text: str) -> List[int]:
+        return [self.bos_id] + [
+            b + self._OFFSET for b in text.encode("utf-8")
+        ]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        # Ids past the byte range (a random-init model padded to a larger
+        # vocab can sample them) are dropped like specials.
+        data = bytes(
+            i - self._OFFSET
+            for i in ids
+            if self._OFFSET <= i < self._OFFSET + 256
+        )
+        return data.decode("utf-8", errors="replace")
+
+
+class HFDecoderTokenizer:
+    """Checkpoint-exact BPE for generation via the ``tokenizers`` library
+    (present through the baked-in transformers install). Provides the
+    ``encode``/``decode``/``eos_id`` surface :class:`TextDecoder` expects."""
+
+    name = "hf-bpe"
+
+    def __init__(self, tokenizer_file: str, bos_id=None, eos_id=None):
+        from tokenizers import Tokenizer  # local import: optional path
+
+        self._tok = Tokenizer.from_file(tokenizer_file)
+        self.vocab_size = self._tok.get_vocab_size()
+        vocab = self._tok.get_vocab()
+
+        def find(*names):
+            for n in names:
+                if n in vocab:
+                    return vocab[n]
+            return None
+
+        self.bos_id = bos_id if bos_id is not None else find(
+            "<s>", "<bos>", "<|begin_of_text|>", "<|endoftext|>"
+        )
+        self.eos_id = eos_id if eos_id is not None else find(
+            "</s>", "<eos>", "<|end_of_text|>", "<|endoftext|>", "<|im_end|>"
+        )
+        if self.eos_id is None:
+            self.eos_id = -1  # generation runs to the token budget
+
+    def encode(self, text: str) -> List[int]:
+        ids = self._tok.encode(text, add_special_tokens=False).ids
+        if self.bos_id is not None and (not ids or ids[0] != self.bos_id):
+            ids = [self.bos_id] + ids
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._tok.decode(list(ids), skip_special_tokens=True)
+
+
+def load_decoder_tokenizer(checkpoint_path: str):
+    """Find the tokenizer.json shipped with a decoder checkpoint (same
+    directory, or its parent for a bare safetensors file). Returns an
+    :class:`HFDecoderTokenizer`, or ``None`` when the snapshot has no
+    tokenizer — the caller falls back to :class:`ByteTokenizer`."""
+    base = (
+        checkpoint_path
+        if os.path.isdir(checkpoint_path)
+        else os.path.dirname(checkpoint_path)
+    )
+    cand = os.path.join(base, "tokenizer.json")
+    if not os.path.exists(cand):
+        return None
+    try:
+        return HFDecoderTokenizer(cand)
+    except Exception:  # noqa: BLE001 — malformed file → hermetic fallback
+        return None
+
+
 def find_local_tokenizer() -> Optional[str]:
     """Look for a tokenizer.json or vocab.txt without touching the network."""
     cand = os.environ.get("MMRAG_TOKENIZER_PATH")

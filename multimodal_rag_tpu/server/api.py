@@ -77,7 +77,12 @@ class Components:
         from multimodal_rag_tpu.models.adapters import LLMAdapter, MLLMAdapter
         from multimodal_rag_tpu.storage.retriever import MultiVectorRetriever
 
-        llm = LLMAdapter()
+        if settings.USE_TPU_LLM:
+            from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+
+            llm = TPULLMAdapter()
+        else:
+            llm = LLMAdapter()
         mllm = MLLMAdapter()
         crossmodal = None
         if settings.CROSS_MODAL_ENABLED:

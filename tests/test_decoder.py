@@ -1,0 +1,398 @@
+"""Decoder LM tests: KV-cache consistency, generation loop semantics,
+tokenizer round-trip, HF golden loads (Llama + Gemma), and the TPU
+adapter contract.
+
+The cache-consistency test is the load-bearing one: a wrong RoPE
+position, mask slot, or dynamic-update index produces logits that
+silently diverge from the full forward — nothing else would catch it.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_rag_tpu.models.decoder import (
+    DecoderConfig,
+    TextDecoder,
+    decode_step,
+    generate_tokens,
+    init_cache,
+    init_params,
+    prefill,
+)
+
+TINY = DecoderConfig(
+    vocab_size=97,
+    hidden_dim=32,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=8,
+    ff_dim=64,
+    max_position=64,
+    compute_dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_params(jax.random.key(0), TINY)
+
+
+class TestCacheConsistency:
+    def test_decode_matches_prefill(self, tiny_params):
+        """Prefilling [t0..tn] must give the same next-token logits as
+        prefilling [t0..tk] and decoding tk+1..tn one at a time."""
+        rng = np.random.default_rng(0)
+        B, P, EXTRA = 2, 8, 5
+        full = rng.integers(3, TINY.vocab_size, (B, P + EXTRA)).astype(np.int32)
+        S_max = P + EXTRA + 1
+
+        # Oracle: full prefill over the whole sequence (right-aligned
+        # left-pad of zero → mask all ones here).
+        ones = jnp.ones((B, P + EXTRA), jnp.int32)
+        logits_full, _ = prefill(
+            tiny_params, jnp.asarray(full), ones, TINY, S_max
+        )
+
+        # Incremental: prefill the first P, then decode the rest.
+        mask = jnp.ones((B, P), jnp.int32)
+        logits, cache = prefill(
+            tiny_params,
+            jnp.asarray(full[:, :P]),
+            mask,
+            TINY,
+            S_max,
+        )
+        key_mask = jnp.concatenate(
+            [mask, jnp.zeros((B, S_max - P), jnp.int32)], axis=1
+        )
+        for t in range(EXTRA):
+            pos = P + t
+            key_mask = key_mask.at[:, pos].set(1)
+            positions = jnp.full((B,), pos, jnp.int32)
+            logits, cache = decode_step(
+                tiny_params,
+                cache,
+                jnp.asarray(full[:, pos]),
+                pos,
+                key_mask,
+                positions,
+                TINY,
+            )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_full), rtol=2e-4, atol=2e-4
+        )
+
+    def test_left_padding_is_inert(self, tiny_params):
+        """A left-padded prompt must produce the same last-position logits
+        as the unpadded prompt (pad slots masked, semantic positions)."""
+        rng = np.random.default_rng(1)
+        toks = rng.integers(3, TINY.vocab_size, (1, 6)).astype(np.int32)
+        logits_a, _ = prefill(
+            tiny_params, jnp.asarray(toks), jnp.ones((1, 6), jnp.int32),
+            TINY, 16,
+        )
+        PAD = 4
+        padded = np.concatenate(
+            [np.zeros((1, PAD), np.int32), toks], axis=1
+        )
+        mask = np.concatenate(
+            [np.zeros((1, PAD), np.int32), np.ones((1, 6), np.int32)], axis=1
+        )
+        logits_b, _ = prefill(
+            tiny_params, jnp.asarray(padded), jnp.asarray(mask), TINY, 16
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_a), np.asarray(logits_b), rtol=2e-4, atol=2e-4
+        )
+
+
+class TestGenerate:
+    def test_greedy_deterministic(self, tiny_params):
+        ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+        mask = jnp.ones((1, 4), jnp.int32)
+        out1, len1 = generate_tokens(
+            tiny_params, ids, mask, jax.random.key(0), TINY,
+            max_new_tokens=8, temperature=0.0, eos_id=1,
+        )
+        out2, len2 = generate_tokens(
+            tiny_params, ids, mask, jax.random.key(9), TINY,
+            max_new_tokens=8, temperature=0.0, eos_id=1,
+        )
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        assert int(len1[0]) == int(len2[0])
+
+    def test_greedy_matches_stepwise_argmax(self, tiny_params):
+        """The fused while_loop generation must equal naive re-prefill
+        argmax decoding."""
+        prompt = [5, 6, 7]
+        N = 4
+        seq = list(prompt)
+        for _ in range(N):
+            logits, _ = prefill(
+                tiny_params,
+                jnp.asarray([seq], jnp.int32),
+                jnp.ones((1, len(seq)), jnp.int32),
+                TINY,
+                len(seq) + 1,
+            )
+            seq.append(int(jnp.argmax(logits[0])))
+        out, _ = generate_tokens(
+            tiny_params,
+            jnp.asarray([prompt], jnp.int32),
+            jnp.ones((1, 3), jnp.int32),
+            jax.random.key(0),
+            TINY,
+            max_new_tokens=N,
+            temperature=0.0,
+            eos_id=-7,  # never sampled
+        )
+        assert np.asarray(out)[0, :N].tolist() == seq[len(prompt):]
+
+    def test_eos_stops_row(self, tiny_params):
+        """Find the greedy first token, declare it EOS: length must be 0
+        tokens of output after it and the tail filled with eos."""
+        ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+        mask = jnp.ones((1, 4), jnp.int32)
+        out, _ = generate_tokens(
+            tiny_params, ids, mask, jax.random.key(0), TINY,
+            max_new_tokens=4, temperature=0.0, eos_id=-7,
+        )
+        first = int(np.asarray(out)[0, 0])
+        out2, lengths = generate_tokens(
+            tiny_params, ids, mask, jax.random.key(0), TINY,
+            max_new_tokens=4, temperature=0.0, eos_id=first,
+        )
+        assert int(lengths[0]) == 0
+        assert np.asarray(out2)[0].tolist() == [first] * 4
+
+
+class TestByteTokenizer:
+    def test_roundtrip(self):
+        from multimodal_rag_tpu.models.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        text = "Hello, xin chào thế giới! 123"
+        ids = tok.encode(text)
+        assert ids[0] == tok.bos_id
+        assert tok.decode(ids) == text
+
+    def test_specials_dropped(self):
+        from multimodal_rag_tpu.models.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        ids = [tok.bos_id, *tok.encode("ab")[1:], tok.eos_id, tok.pad_id]
+        assert tok.decode(ids) == "ab"
+
+
+class TestTextDecoder:
+    def test_generate_batch(self):
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        outs = dec.generate(
+            ["hello", "a longer prompt here"],
+            max_new_tokens=8, temperature=0.0,
+        )
+        assert len(outs) == 2
+        assert all(isinstance(o, str) for o in outs)
+
+    def test_batch_row_isolation(self):
+        """Row content must not leak across the batch: the same prompt
+        generates the same greedy text alone and next to another row."""
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        solo = dec.generate(["same prompt"], max_new_tokens=8,
+                            temperature=0.0)[0]
+        pair = dec.generate(["same prompt", "other words entirely"],
+                            max_new_tokens=8, temperature=0.0)[0]
+        assert solo == pair
+
+
+TINY_BYTE = DecoderConfig(
+    vocab_size=512,
+    hidden_dim=32,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=8,
+    ff_dim=64,
+    max_position=2048,
+    compute_dtype=jnp.float32,
+)
+
+
+class TestTPUAdapter:
+    def _adapter(self):
+        from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+
+        dec = TextDecoder(
+            params=init_params(jax.random.key(0), TINY_BYTE), cfg=TINY_BYTE
+        )
+        return TPULLMAdapter(decoder=dec)
+
+    def test_generate_and_summarize(self):
+        async def run():
+            a = self._adapter()
+            await a.initialize()
+            text = await a.generate_text("What is RAG?", max_tokens=8)
+            assert isinstance(text, str)
+            s = await a.summarize("Some content " * 20, max_length=64)
+            assert isinstance(s, str) and len(s) <= 64
+            batch = await a.summarize_batch(
+                ["first doc", "second doc"], max_length=64
+            )
+            assert len(batch) == 2
+            h = await a.health_check()
+            assert h["backend"] == "tpu" and h["connection"] == "ok"
+            caps = a.get_capabilities()
+            from multimodal_rag_tpu.models.adapters import ModelCapability
+
+            assert ModelCapability.TEXT_GENERATION in caps
+
+        asyncio.run(run())
+
+    def test_concurrent_calls_coalesce(self):
+        """Five concurrent summarize() calls with the same preset must run
+        in fewer device batches than requests (the coalescer groups them
+        while the first batch is in flight)."""
+
+        class CountingDecoder:
+            pretrained = False
+            cfg = TINY_BYTE
+
+            def __init__(self):
+                self.calls = []
+
+            def generate(self, prompts, max_new_tokens, temperature, top_k):
+                import time
+
+                self.calls.append(len(prompts))
+                time.sleep(0.05)  # hold the worker so the queue backs up
+                return [f"summary {p[:8]}" for p in prompts]
+
+        from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+
+        dec = CountingDecoder()
+        a = TPULLMAdapter(decoder=dec)
+
+        async def run():
+            await a.initialize()
+            outs = await asyncio.gather(
+                *(a.summarize(f"content {i} " * 5, max_length=64)
+                  for i in range(5))
+            )
+            assert len(outs) == 5
+            assert all(o.startswith("summary") for o in outs)
+
+        asyncio.run(run())
+        assert sum(dec.calls) == 5
+        # First call runs solo; the remaining four coalesce (typically 1-2
+        # batches depending on scheduling).
+        assert len(dec.calls) < 5
+        assert max(dec.calls) > 1
+
+    def test_multimodal_degrades_to_text(self):
+        async def run():
+            a = self._adapter()
+            await a.initialize()
+            out = await a.generate_multimodal(
+                "question", images=["b64"], tables=["|a|b|"], max_tokens=8
+            )
+            assert isinstance(out, str)
+
+        asyncio.run(run())
+
+
+# ---------------------------------------------------------------------------
+# HF golden tests (torch cpu): transpose/stacking/convention proofs
+# ---------------------------------------------------------------------------
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _offline():
+    import os
+
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    torch.manual_seed(0)
+
+
+def _golden(model, path, rtol=2e-4, atol=2e-4):
+    from multimodal_rag_tpu.models.decoder import load_hf_causal_lm
+
+    model.eval()
+    params, cfg = load_hf_causal_lm(path)
+    cfg = DecoderConfig(**{
+        **cfg.__dict__, "compute_dtype": jnp.float32,
+    })
+    ids = np.array([[3, 14, 15, 9, 2, 6]], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(ids, dtype=torch.long)).logits.numpy()
+    logits, _ = prefill(
+        params, jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)), cfg,
+        ids.shape[1] + 1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref[:, -1, :], rtol=rtol, atol=atol
+    )
+
+
+class TestHFGolden:
+    def test_llama(self, tmp_path):
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rope_theta=10000.0, tie_word_embeddings=False,
+        )
+        model = LlamaForCausalLM(cfg)
+        path = str(tmp_path / "llama")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path)
+
+    def test_gemma(self, tmp_path):
+        from transformers import GemmaConfig, GemmaForCausalLM
+
+        cfg = GemmaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64, hidden_act="gelu_pytorch_tanh",
+        )
+        model = GemmaForCausalLM(cfg)
+        path = str(tmp_path / "gemma")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path, rtol=5e-4, atol=5e-4)
+
+    def test_hf_decoder_tokenizer_roundtrip(self, tmp_path):
+        """A real tokenizer.json (BPE) loads and round-trips text."""
+        tokenizers = pytest.importorskip("tokenizers")
+        from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+        tok = Tokenizer(models.BPE(unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        trainer = trainers.BpeTrainer(
+            vocab_size=200, special_tokens=["<unk>", "<s>", "</s>"]
+        )
+        tok.train_from_iterator(
+            ["hello world", "the quick brown fox", "xin chao"], trainer
+        )
+        f = str(tmp_path / "tokenizer.json")
+        tok.save(f)
+
+        from multimodal_rag_tpu.models.tokenizer import load_decoder_tokenizer
+
+        dt = load_decoder_tokenizer(str(tmp_path / "model.safetensors"))
+        assert dt is not None
+        ids = dt.encode("hello world")
+        assert ids[0] == dt.bos_id
+        assert "hello world" in dt.decode(ids)
