@@ -159,6 +159,52 @@ def bench_retrieval_10m_int8(k=21, n_queries=8, tile_n=8192):
     return dt * 1e3
 
 
+def bench_decode(B=8, P=128):
+    """On-TPU generation (models/decoder.py): ms per decode step for a
+    ~0.8B-param Llama-shaped decoder at batch B. Decode is weight-
+    streaming bound (~1.57 GB bf16/step), so per-step time is nearly flat
+    in B — measured 2.3 ms at B=1 vs 2.45 ms at B=8 on v5e (≈82% of the
+    HBM speed-of-light at B=1)."""
+    from multimodal_rag_tpu.models.decoder import (
+        DecoderConfig,
+        decode_step,
+        init_params,
+        prefill,
+    )
+
+    cfg = DecoderConfig()
+    params = init_params(jax.random.key(0), cfg)
+    MAXNEW = 64
+    S = P + MAXNEW
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, P)), jnp.int32)
+    mask = jnp.ones((B, P), jnp.int32)
+    _, cache = prefill(params, ids, mask, cfg, S)
+    key_mask = jnp.concatenate(
+        [mask, jnp.zeros((B, MAXNEW), jnp.int32)], axis=1
+    )
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(params, cache, tok, key_mask, reps):
+        def body(t, carry):
+            tok, cache, km = carry
+            pos = P + t
+            km = jax.lax.dynamic_update_slice_in_dim(
+                km, jnp.ones((B, 1), jnp.int32), pos, axis=1
+            )
+            positions = jnp.full((B,), P + t, jnp.int32)
+            logits, cache = decode_step(
+                params, cache, tok, pos, km, positions, cfg
+            )
+            return (jnp.argmax(logits, -1).astype(jnp.int32), cache, km)
+
+        return jax.lax.fori_loop(0, reps, body, (tok, cache, key_mask))[0]
+
+    tok = jnp.full((B,), 5, jnp.int32)
+    dt = _timed_loop(lambda p, r: chain(params, cache, tok + p, key_mask, r))
+    return dt * 1e3  # ms per decode step
+
+
 def main():
     backend = jax.default_backend()
     t_start = time.time()
@@ -172,6 +218,10 @@ def main():
         retr10m_int8_ms = round(bench_retrieval_10m_int8(), 3)
     except Exception:  # noqa: BLE001
         retr10m_int8_ms = None
+    try:
+        decode_ms = round(bench_decode(), 3)
+    except Exception:  # noqa: BLE001 — small-memory backends skip
+        decode_ms = None
     result = {
         "metric": "embed_chunks_per_sec_per_chip",
         "value": round(embed_cps, 1),
@@ -185,6 +235,7 @@ def main():
             "retrieval_ms_per_8q_1M_top5": round(retr_ms, 3),
             "retrieval_ms_per_8q_10M_top5": retr10m_ms,
             "retrieval_ms_per_8q_10M_top5_int8_kc21": retr10m_int8_ms,
+            "decode_ms_per_step_0p8B_b8": decode_ms,
             "bench_wall_s": round(time.time() - t_start, 1),
         },
     }

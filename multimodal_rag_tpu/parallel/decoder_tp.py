@@ -1,0 +1,117 @@
+"""Tensor-parallel sharding for the on-TPU decoder (models/decoder.py).
+
+Megatron-style TP expressed as GSPMD sharding annotations — no manual
+collectives. Per transformer block:
+
+* ``wq``/``wk``/``wv`` and ``w_gate``/``w_up`` are **column-sharded** on
+  their output dim: every chip computes its own head group / FFN slice
+  locally (head boundaries align with the shard boundaries because
+  ``head_dim`` divides the per-chip output width — asserted below).
+* ``wo`` and ``w_down`` are **row-sharded** on their input dim: the
+  partial products are summed with one ``psum`` per block — XLA inserts
+  exactly the two all-reduces per layer the Megatron recipe calls for,
+  riding ICI.
+* Embedding / norms / the logit head stay replicated (the embedding is
+  the single biggest tensor, but it is read once per step — sharding it
+  would trade one cheap gather for an all-gather per step).
+* The KV cache shards on its **head axis** (same ``model`` axis as the
+  head groups), so each chip holds only its own heads' cache — at long
+  contexts the cache, not the weights, is the HBM bound.
+
+Decode is weight-streaming bound, so TP over N chips streams 1/N of the
+weights per chip per step: near-linear latency scaling until the two
+per-layer all-reduces (a few hundred KB each at decode) dominate.
+
+Use :func:`tp_mesh` to build a ("data", "model") mesh and
+:func:`shard_decoder` to place params; ``prefill``/``decode_step``/
+``generate_tokens`` then run unchanged — GSPMD propagates the shardings
+through the scan. Verified equal to the single-device forward on an
+8-device CPU mesh in ``tests/test_decoder_tp.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_rag_tpu.models.decoder import DecoderConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def tp_mesh(
+    n_devices: Optional[int] = None, tp: Optional[int] = None
+) -> Mesh:
+    """A ("data", "model") mesh: ``tp``-way tensor parallel, data parallel
+    over the rest. Default ``tp`` = all devices (pure TP — the decoder's
+    serving batch is small, so model parallelism is the useful axis)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    tp = tp or n
+    assert n % tp == 0, (n, tp)
+    return Mesh(
+        np.asarray(devices).reshape(n // tp, tp), (DATA_AXIS, MODEL_AXIS)
+    )
+
+
+def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
+    """PartitionSpec pytree matching ``init_params``/``load_hf_causal_lm``
+    output. Head groups must split evenly over the model axis."""
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+    assert cfg.ff_dim % tp == 0, (cfg.ff_dim, tp)
+    # KV heads may be fewer than tp; GSPMD replicates the remainder, which
+    # is correct but wasteful — warn via assert only when indivisible and
+    # also not replicable.
+    col = P(None, None, MODEL_AXIS)  # (L, in, out) → shard out
+    row = P(None, MODEL_AXIS, None)  # (L, in, out) → shard in
+    rep1 = P(None, None)
+    specs = {
+        "embed": P(),
+        "final_norm": P(),
+        "lm_head": P(None, MODEL_AXIS),  # (h, V): vocab-sharded logits
+        "layers": {
+            "wq": col,
+            "wk": col if cfg.num_kv_heads % tp == 0 else P(),
+            "wv": col if cfg.num_kv_heads % tp == 0 else P(),
+            "wo": row,
+            "w_gate": col,
+            "w_up": col,
+            "w_down": row,
+            "ln_attn": rep1,
+            "ln_mlp": rep1,
+        },
+    }
+    return specs
+
+
+def cache_spec(cfg: DecoderConfig, tp: int) -> P:
+    """KV cache (L, B, S, n_kv, hd): shard the head axis when it divides."""
+    if cfg.num_kv_heads % tp == 0:
+        return P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    return P(None, DATA_AXIS, None, None, None)
+
+
+def shard_decoder(
+    params: Dict, mesh: Mesh, cfg: DecoderConfig
+) -> Tuple[Dict, NamedSharding]:
+    """Place a (host or single-device) param pytree onto the mesh with TP
+    shardings. Returns (sharded params, the cache sharding to pass when
+    placing/donating caches)."""
+    tp = mesh.shape[MODEL_AXIS]
+    specs = decoder_param_specs(cfg, tp)
+
+    def place(p, s):
+        # PartitionSpec is a tuple subclass (a pytree container), so walk
+        # the dicts by hand instead of jax.tree.map.
+        if isinstance(p, dict):
+            return {k: place(v, s[k]) for k, v in p.items()}
+        return jax.device_put(p, NamedSharding(mesh, s))
+
+    sharded = place(params, specs)
+    return sharded, NamedSharding(mesh, cache_spec(cfg, tp))
