@@ -59,6 +59,11 @@ class Settings:
     # text; runs random-init with a loud warning otherwise.
     USE_TPU_LLM: bool = False
     MMRAG_LLM_CHECKPOINT_PATH: str = ""
+    # int8 weight quantization for the on-TPU decoder: decode is weight-
+    # streaming bound, so halving the HBM bytes is ~1.6x faster decode
+    # (measured 2.45 -> 1.53 ms/step at B=8 on v5e) at a small (w8a8
+    # per-channel) quality cost.
+    TPU_LLM_QUANTIZE: bool = False
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None

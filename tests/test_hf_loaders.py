@@ -71,6 +71,9 @@ def _bert_tiny_cfg():
     return EncoderConfig(
         vocab_size=100, hidden_dim=32, num_layers=2, num_heads=4, ff_dim=64,
         max_position=64, compute_dtype=jnp.float32, fused_attention=False,
+        # HF BERT uses exact-erf GELU; pin it so the golden comparison
+        # proves the weight mapping, not the activation approximation.
+        gelu="exact",
     )
 
 

@@ -94,6 +94,24 @@ class TestEncoder:
         solo = np.asarray(embed(params, ids[1:2], mask[1:2], TINY))
         np.testing.assert_allclose(full[1], solo[0], atol=1e-5)
 
+    def test_gelu_tanh_cosine(self):
+        """The serving default uses tanh-approximated GELU (the TPU VPU has
+        no fast erf; exact costs a third of the forward — see
+        EncoderConfig.gelu). Document the approximation: unit-norm
+        embeddings from the two flavors must agree to cosine > 1-1e-5 at
+        full MiniLM scale."""
+        from dataclasses import replace
+
+        full = EncoderConfig(compute_dtype=jnp.float32, fused_attention=False)
+        params = init_params(jax.random.key(0), full)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(999, 30522, (4, 64)), jnp.uint32)
+        mask = jnp.ones((4, 64), jnp.int32)
+        e_tanh = np.asarray(embed(params, ids, mask, replace(full, gelu="tanh")))
+        e_exact = np.asarray(embed(params, ids, mask, replace(full, gelu="exact")))
+        cos = (e_tanh * e_exact).sum(axis=1)  # both unit-norm
+        assert (cos > 1 - 1e-5).all(), cos
+
     def test_deterministic_init(self):
         a = init_params(jax.random.key(7), TINY)
         b = init_params(jax.random.key(7), TINY)
