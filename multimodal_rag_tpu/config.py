@@ -59,6 +59,11 @@ class Settings:
     # text; runs random-init with a loud warning otherwise.
     USE_TPU_LLM: bool = False
     MMRAG_LLM_CHECKPOINT_PATH: str = ""
+    # On-TPU multimodal generation (models/llava.py): llava-architecture
+    # vision+text on the chip instead of an Ollama-hosted llava. Needs
+    # MMRAG_MLLM_CHECKPOINT_PATH (a local HF llava safetensors snapshot).
+    USE_TPU_MLLM: bool = False
+    MMRAG_MLLM_CHECKPOINT_PATH: str = ""
     # int8 weight quantization for the on-TPU decoder: decode is weight-
     # streaming bound, so halving the HBM bytes is ~1.6x faster decode
     # (measured 2.45 -> 1.53 ms/step at B=8 on v5e) at a small (w8a8

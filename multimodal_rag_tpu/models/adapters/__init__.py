@@ -8,6 +8,7 @@ from multimodal_rag_tpu.models.adapters.fake import FakeLLMAdapter
 from multimodal_rag_tpu.models.adapters.llm import LLMAdapter
 from multimodal_rag_tpu.models.adapters.mllm import MLLMAdapter
 from multimodal_rag_tpu.models.adapters.tpu_llm import TPULLMAdapter
+from multimodal_rag_tpu.models.adapters.tpu_mllm import TPUMLLMAdapter
 
 __all__ = [
     "BaseLLMAdapter",
@@ -15,5 +16,6 @@ __all__ = [
     "LLMAdapter",
     "MLLMAdapter",
     "TPULLMAdapter",
+    "TPUMLLMAdapter",
     "FakeLLMAdapter",
 ]

@@ -254,6 +254,45 @@ def encode_image(
     )
 
 
+def encode_image_patches(
+    params: Dict,
+    pixels: jax.Array,
+    cfg: CLIPConfig = CLIP_B32,
+    feature_layer: int = -2,
+    drop_cls: bool = True,
+) -> jax.Array:
+    """Patch-level hidden states for LLaVA-style multimodal prefixes
+    (models/llava.py): run the vision tower up to ``feature_layer`` (HF
+    ``hidden_states`` indexing: -2 = output of the penultimate block, the
+    LLaVA default) and return (B, n_patches[, +1], vision_width) WITHOUT
+    the post-layernorm/CLS pooling that :func:`encode_image` applies —
+    matching HF's ``vision_feature_select_strategy`` ("default" drops the
+    CLS slot, "full" keeps it)."""
+    vp = params["vision"]
+    B, H, W, _ = pixels.shape
+    P = cfg.patch_size
+    gh, gw = H // P, W // P
+    patches = pixels.reshape(B, gh, P, gw, P, 3)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, -1)
+    x = jnp.dot(
+        patches.astype(cfg.compute_dtype),
+        vp["patch_embed"].astype(cfg.compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    cls = jnp.broadcast_to(vp["class_embed"], (B, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1) + vp["pos_embed"][None]
+    x = _layernorm(x, vp["ln_pre_scale"], vp["ln_pre_bias"], cfg.ln_eps)
+    # hidden_states[-1] is the last block's output → feature_layer=-2 runs
+    # all but the last block.
+    n_blocks = cfg.vision_layers + 1 + feature_layer
+    assert 0 < n_blocks <= cfg.vision_layers, (feature_layer, cfg.vision_layers)
+    blocks = jax.tree.map(lambda a: a[:n_blocks], vp["blocks"])
+    x = _run_tower(x, None, blocks, cfg.vision_heads, cfg)
+    if drop_cls:
+        x = x[:, 1:]
+    return x.astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Host-side preprocessing + convenience encoder
 # ---------------------------------------------------------------------------
@@ -409,6 +448,66 @@ class CLIPEncoder:
         return out[: len(images)]
 
 
+def map_hf_clip_tower(tensors: Dict[str, np.ndarray], prefix: str, layers: int) -> Dict:
+    """Stack an HF CLIP encoder tower (``{prefix}.layers.N...``) into the
+    scan pytree. Shared by the CLIP loader and the LLaVA vision-tower
+    loader (models/llava.py, prefix ``vision_tower.vision_model.encoder``)."""
+
+    def stacked(fmt, transpose=False):
+        mats = [np.asarray(tensors[fmt.format(i)]) for i in range(layers)]
+        return jnp.asarray(
+            np.stack([m.T if transpose else m for m in mats]), jnp.float32
+        )
+
+    p = prefix + ".layers.{}."
+    return {
+        "wq": stacked(p + "self_attn.q_proj.weight", True),
+        "bq": stacked(p + "self_attn.q_proj.bias"),
+        "wk": stacked(p + "self_attn.k_proj.weight", True),
+        "bk": stacked(p + "self_attn.k_proj.bias"),
+        "wv": stacked(p + "self_attn.v_proj.weight", True),
+        "bv": stacked(p + "self_attn.v_proj.bias"),
+        "wo": stacked(p + "self_attn.out_proj.weight", True),
+        "bo": stacked(p + "self_attn.out_proj.bias"),
+        "ln1_scale": stacked(p + "layer_norm1.weight"),
+        "ln1_bias": stacked(p + "layer_norm1.bias"),
+        "w1": stacked(p + "mlp.fc1.weight", True),
+        "b1": stacked(p + "mlp.fc1.bias"),
+        "w2": stacked(p + "mlp.fc2.weight", True),
+        "b2": stacked(p + "mlp.fc2.bias"),
+        "ln2_scale": stacked(p + "layer_norm2.weight"),
+        "ln2_bias": stacked(p + "layer_norm2.bias"),
+    }
+
+
+def map_hf_vision_model(
+    tensors: Dict[str, np.ndarray], layers: int, prefix: str = "vision_model."
+) -> Dict:
+    """Map an HF ``CLIPVisionModel`` subtree (embeddings + encoder + pre/
+    post layernorms) — everything in the ``vision`` pytree except the
+    joint-space ``projection`` (CLIP-only)."""
+
+    def t(name):
+        return jnp.asarray(tensors[prefix + name], jnp.float32)
+
+    # HF conv patch embed: (vw, 3, P, P) → our (3·P², vw) with matching
+    # patch flatten order (P, P, 3): transpose to (P, P, 3, vw).
+    conv = np.asarray(tensors[prefix + "embeddings.patch_embedding.weight"])
+    patch = jnp.asarray(
+        conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0]), jnp.float32
+    )
+    return {
+        "patch_embed": patch,
+        "class_embed": t("embeddings.class_embedding"),
+        "pos_embed": t("embeddings.position_embedding.weight"),
+        "ln_pre_scale": t("pre_layrnorm.weight"),
+        "ln_pre_bias": t("pre_layrnorm.bias"),
+        "blocks": map_hf_clip_tower(tensors, prefix + "encoder", layers),
+        "ln_post_scale": t("post_layernorm.weight"),
+        "ln_post_bias": t("post_layernorm.bias"),
+    }
+
+
 def load_hf_clip_params(path: str, cfg: CLIPConfig = CLIP_B32) -> Dict:
     """Map an openai/clip-vit-base-patch32 safetensors checkpoint into the
     stacked pytree (HF ``CLIPModel`` naming)."""
@@ -429,42 +528,9 @@ def load_hf_clip_params(path: str, cfg: CLIPConfig = CLIP_B32) -> Dict:
     def t(name):
         return jnp.asarray(tensors[name], jnp.float32)
 
-    def tower(prefix, layers):
-        def stacked(fmt, transpose=False):
-            mats = [
-                np.asarray(tensors[fmt.format(i)]) for i in range(layers)
-            ]
-            return jnp.asarray(
-                np.stack([m.T if transpose else m for m in mats]), jnp.float32
-            )
-
-        p = prefix + ".layers.{}."
-        return {
-            "wq": stacked(p + "self_attn.q_proj.weight", True),
-            "bq": stacked(p + "self_attn.q_proj.bias"),
-            "wk": stacked(p + "self_attn.k_proj.weight", True),
-            "bk": stacked(p + "self_attn.k_proj.bias"),
-            "wv": stacked(p + "self_attn.v_proj.weight", True),
-            "bv": stacked(p + "self_attn.v_proj.bias"),
-            "wo": stacked(p + "self_attn.out_proj.weight", True),
-            "bo": stacked(p + "self_attn.out_proj.bias"),
-            "ln1_scale": stacked(p + "layer_norm1.weight"),
-            "ln1_bias": stacked(p + "layer_norm1.bias"),
-            "w1": stacked(p + "mlp.fc1.weight", True),
-            "b1": stacked(p + "mlp.fc1.bias"),
-            "w2": stacked(p + "mlp.fc2.weight", True),
-            "b2": stacked(p + "mlp.fc2.bias"),
-            "ln2_scale": stacked(p + "layer_norm2.weight"),
-            "ln2_bias": stacked(p + "layer_norm2.bias"),
-        }
-
-    # HF conv patch embed: (vw, 3, P, P) → our (3·P², vw) with matching
-    # patch flatten order (P, P, 3): transpose to (P, P, 3, vw).
-    conv = np.asarray(
-        tensors["vision_model.embeddings.patch_embedding.weight"]
-    )
-    patch = jnp.asarray(
-        conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0]), jnp.float32
+    vision = map_hf_vision_model(tensors, cfg.vision_layers)
+    vision["projection"] = jnp.asarray(
+        np.asarray(tensors["visual_projection.weight"]).T, jnp.float32
     )
     return {
         "text": {
@@ -474,28 +540,15 @@ def load_hf_clip_params(path: str, cfg: CLIPConfig = CLIP_B32) -> Dict:
             "pos_embed": t(
                 "text_model.embeddings.position_embedding.weight"
             ),
-            "blocks": tower("text_model.encoder", cfg.text_layers),
+            "blocks": map_hf_clip_tower(
+                tensors, "text_model.encoder", cfg.text_layers
+            ),
             "ln_final_scale": t("text_model.final_layer_norm.weight"),
             "ln_final_bias": t("text_model.final_layer_norm.bias"),
             "projection": jnp.asarray(
                 np.asarray(tensors["text_projection.weight"]).T, jnp.float32
             ),
         },
-        "vision": {
-            "patch_embed": patch,
-            "class_embed": t("vision_model.embeddings.class_embedding"),
-            "pos_embed": t(
-                "vision_model.embeddings.position_embedding.weight"
-            ),
-            "ln_pre_scale": t("vision_model.pre_layrnorm.weight"),
-            "ln_pre_bias": t("vision_model.pre_layrnorm.bias"),
-            "blocks": tower("vision_model.encoder", cfg.vision_layers),
-            "ln_post_scale": t("vision_model.post_layernorm.weight"),
-            "ln_post_bias": t("vision_model.post_layernorm.bias"),
-            "projection": jnp.asarray(
-                np.asarray(tensors["visual_projection.weight"]).T,
-                jnp.float32,
-            ),
-        },
+        "vision": vision,
         "logit_scale": t("logit_scale"),
     }

@@ -200,12 +200,20 @@ def load_hf_causal_lm(
                 f"no config.json next to {path}; pass cfg= explicitly"
             )
         cfg = config_from_hf(hf_cfg)
+    return map_hf_causal_lm(tensors, cfg)
+
+
+def map_hf_causal_lm(
+    tensors: Dict[str, np.ndarray], cfg: DecoderConfig, prefix: str = ""
+) -> Tuple[Dict, DecoderConfig]:
+    """Map already-read HF tensors (optionally under ``prefix``, e.g.
+    LLaVA's ``language_model.``) into the stacked pytree."""
 
     def t(name):
-        return jnp.asarray(np.asarray(tensors[name], np.float32))
+        return jnp.asarray(np.asarray(tensors[prefix + name], np.float32))
 
     def stacked(fmt, transpose=True):
-        mats = [np.asarray(tensors[fmt.format(i)], np.float32)
+        mats = [np.asarray(tensors[prefix + fmt.format(i)], np.float32)
                 for i in range(cfg.num_layers)]
         arr = np.stack([m.T if transpose else m for m in mats])
         return jnp.asarray(arr)
@@ -227,7 +235,7 @@ def load_hf_causal_lm(
         },
     }
     if not cfg.tie_embeddings:
-        if "lm_head.weight" in tensors:
+        if prefix + "lm_head.weight" in tensors:
             params["lm_head"] = t("lm_head.weight").T
         else:  # checkpoint ties even though config didn't say so
             cfg = replace(cfg, tie_embeddings=True)
@@ -419,8 +427,27 @@ def prefill(
     logits (B, vocab) at the last position and a cache of size ``max_seq``
     with positions [0, P) filled.
     """
-    B, P = ids.shape
-    x = _embed_tokens(params, ids, cfg)
+    return _prefill_core(params, _embed_tokens(params, ids, cfg), mask,
+                         cfg, max_seq)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_seq"))
+def prefill_embeds(
+    params: Dict,
+    embeds: jax.Array,
+    mask: jax.Array,
+    cfg: DecoderConfig,
+    max_seq: int,
+) -> Tuple[jax.Array, Dict]:
+    """Like :func:`prefill` but over pre-computed input embeddings
+    (B, P, H) — the multimodal path (models/llava.py) splices projected
+    image-patch embeddings between token embeddings before prefill."""
+    return _prefill_core(params, embeds.astype(cfg.compute_dtype), mask,
+                         cfg, max_seq)
+
+
+def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int):
+    B, P = mask.shape
     # Semantic positions: left pads clamp to 0 and are masked anyway.
     positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)  # (B, P)
     # Causal + pad mask over the prompt: query i sees keys j <= i with
@@ -519,9 +546,44 @@ def generate_tokens(
     padded. Returns (tokens (B, max_new_tokens) int32, lengths (B,) int32);
     rows stop at ``eos_id`` (their tail is PAD=eos) and the loop exits
     early once every row has finished."""
-    B, P = ids.shape
-    S_max = P + max_new_tokens
+    S_max = ids.shape[1] + max_new_tokens
     logits, cache = prefill(params, ids, mask, cfg, S_max)
+    return _generate_loop(
+        params, logits, cache, mask, key, cfg,
+        max_new_tokens, temperature, top_k, eos_id,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "eos_id"),
+)
+def generate_tokens_embeds(
+    params: Dict,
+    embeds: jax.Array,
+    mask: jax.Array,
+    key: jax.Array,
+    cfg: DecoderConfig,
+    max_new_tokens: int,
+    temperature: float = 0.7,
+    top_k: int = 64,
+    eos_id: int = -1,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`generate_tokens` over pre-computed input embeddings (B,P,H)
+    — the multimodal entry point."""
+    S_max = embeds.shape[1] + max_new_tokens
+    logits, cache = prefill_embeds(params, embeds, mask, cfg, S_max)
+    return _generate_loop(
+        params, logits, cache, mask, key, cfg,
+        max_new_tokens, temperature, top_k, eos_id,
+    )
+
+
+def _generate_loop(
+    params, logits, cache, mask, key, cfg: DecoderConfig,
+    max_new_tokens: int, temperature: float, top_k: int, eos_id: int,
+):
+    B, P = mask.shape
     prompt_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,)
     key_mask0 = jnp.concatenate(
         [mask.astype(jnp.int32), jnp.zeros((B, max_new_tokens), jnp.int32)],
@@ -652,10 +714,35 @@ class TextDecoder:
         self.cfg = cfg
         if quantize and "wq_q" not in params["layers"]:
             params = quantize_decoder_params(params)
+        params = self._maybe_shard_tp(params, cfg)
         self.params = params
         self.prompt_buckets = tuple(prompt_buckets)
         self.batch_buckets = tuple(batch_buckets)
         self.eos_id = getattr(tokenizer, "eos_id", 2)
+
+    @staticmethod
+    def _maybe_shard_tp(params: Dict, cfg: DecoderConfig) -> Dict:
+        """Tensor-parallel placement over all local devices when the head
+        and FFN dims divide (Megatron-style; parallel/decoder_tp.py).
+        Decode streams the full weight set every step, so TP over N chips
+        is a near-linear decode speedup. Single-device and quantized
+        params (int8 layout not covered by the TP specs) stay put."""
+        n = len(jax.devices())
+        if (
+            n <= 1
+            or "wq_q" in params["layers"]
+            or cfg.num_heads % n
+            or cfg.ff_dim % n
+        ):
+            return params
+        from multimodal_rag_tpu.parallel.decoder_tp import (
+            shard_decoder,
+            tp_mesh,
+        )
+
+        sharded, _ = shard_decoder(params, tp_mesh(n), cfg)
+        logger.info("Decoder weights tensor-parallel over %d devices", n)
+        return sharded
 
     def _bucket(self, n: int, buckets: Sequence[int]) -> int:
         for b in buckets:

@@ -1,0 +1,353 @@
+"""LLaVA-style multimodal generation on TPU.
+
+The reference's vision path is an HTTP round-trip to an Ollama-hosted
+llava model (``app/models/mllm_adapter.py:211-263``: base64 images in the
+``/api/generate`` body). This module runs the same architecture natively:
+a CLIP vision tower (models/clip.py — already here for cross-modal
+search) feeds patch features through a 2-layer MLP projector into the
+decoder's embedding space (models/decoder.py), and generation proceeds
+over the spliced sequence — the HF ``LlavaForConditionalGeneration``
+recipe, TPU-first:
+
+* Vision features come from the penultimate tower block
+  (``vision_feature_layer=-2``) with the CLS slot dropped
+  (``vision_feature_select_strategy="default"``), matching llava-1.5.
+* Splicing happens host-side (ragged by nature), producing fixed-bucket
+  left-padded (B, P, H) embeddings for the jitted
+  ``generate_tokens_embeds`` — no dynamic shapes ever reach XLA.
+* All three stages (tower, projector, decoder prefill+decode) are the
+  existing jitted paths; the projector is two matmuls fused by XLA.
+
+Weights load from a local HF llava safetensors snapshot
+(``load_hf_llava``); the mapping is golden-tested against the torch
+forward in ``tests/test_llava.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_rag_tpu.models.clip import (
+    CLIPConfig,
+    encode_image_patches,
+    map_hf_vision_model,
+    preprocess_image,
+)
+from multimodal_rag_tpu.models.decoder import (
+    DecoderConfig,
+    _embed_tokens,
+    config_from_hf,
+    generate_tokens_embeds,
+    map_hf_causal_lm,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class LlavaConfig:
+    text: DecoderConfig
+    vision: CLIPConfig
+    image_token_id: int = 32000
+    vision_feature_layer: int = -2
+    drop_cls: bool = True  # "default" select strategy
+    projector_act: str = "gelu"
+
+    @property
+    def n_image_tokens(self) -> int:
+        return self.vision.n_patches + (0 if self.drop_cls else 1)
+
+
+def _vision_cfg_from_hf(hf: dict) -> CLIPConfig:
+    """HF ``vision_config`` → CLIPConfig (text-tower fields unused)."""
+    return CLIPConfig(
+        image_size=hf.get("image_size", 336),
+        patch_size=hf.get("patch_size", 14),
+        vision_width=hf.get("hidden_size", 1024),
+        vision_layers=hf.get("num_hidden_layers", 24),
+        vision_heads=hf.get("num_attention_heads", 16),
+        embed_dim=hf.get("projection_dim", 768),
+    )
+
+
+def load_hf_llava(path: str) -> Tuple[Dict, LlavaConfig]:
+    """Load an HF llava safetensors snapshot (directory with config.json).
+
+    Key spaces: ``language_model.model.*`` (Llama/Vicuna decoder),
+    ``vision_tower.vision_model.*`` (CLIPVisionModel),
+    ``multi_modal_projector.linear_{1,2}`` (the MLP projector).
+    """
+    from safetensors import safe_open
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    assert hf.get("model_type") == "llava", hf.get("model_type")
+
+    files = sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".safetensors")
+    )
+    tensors: Dict[str, np.ndarray] = {}
+    for fp in files:
+        with safe_open(fp, framework="np") as f:
+            for key in f.keys():
+                tensors[key] = f.get_tensor(key)
+
+    text_cfg = config_from_hf(hf["text_config"])
+    vision_cfg = _vision_cfg_from_hf(hf.get("vision_config", {}))
+    lm_params, text_cfg = map_hf_causal_lm(
+        tensors, text_cfg, prefix="language_model."
+    )
+    vision = map_hf_vision_model(
+        tensors,
+        vision_cfg.vision_layers,
+        prefix="vision_tower.vision_model.",
+    )
+
+    def t(name):
+        return jnp.asarray(tensors[name], jnp.float32)
+
+    params = {
+        "lm": lm_params,
+        "vision": vision,
+        "projector": {
+            # HF Linear (out, in) → (in, out).
+            "w1": t("multi_modal_projector.linear_1.weight").T,
+            "b1": t("multi_modal_projector.linear_1.bias"),
+            "w2": t("multi_modal_projector.linear_2.weight").T,
+            "b2": t("multi_modal_projector.linear_2.bias"),
+        },
+    }
+    cfg = LlavaConfig(
+        text=text_cfg,
+        vision=vision_cfg,
+        image_token_id=hf.get("image_token_index", 32000),
+        vision_feature_layer=hf.get("vision_feature_layer", -2),
+        drop_cls=hf.get("vision_feature_select_strategy", "default")
+        == "default",
+        projector_act=hf.get("projector_hidden_act", "gelu"),
+    )
+    return params, cfg
+
+
+def init_llava_params(rng: jax.Array, cfg: LlavaConfig) -> Dict:
+    """Seeded random init with the same pytree shape as the loader."""
+    from multimodal_rag_tpu.models import clip as clip_mod
+    from multimodal_rag_tpu.models.decoder import init_params as init_lm
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    clip_params = clip_mod.init_params(k2, cfg.vision)
+    vw, h = cfg.vision.vision_width, cfg.text.hidden_dim
+
+    def tn(key, shape, std=0.02):
+        return (
+            jax.random.truncated_normal(key, -2.0, 2.0, shape) * std
+        ).astype(jnp.float32)
+
+    ka, kb = jax.random.split(k3)
+    return {
+        "lm": init_lm(k1, cfg.text),
+        "vision": clip_params["vision"],
+        "projector": {
+            "w1": tn(ka, (vw, h)),
+            "b1": jnp.zeros((h,), jnp.float32),
+            "w2": tn(kb, (h, h)),
+            "b2": jnp.zeros((h,), jnp.float32),
+        },
+    }
+
+
+@jax.jit
+def _project(pp: Dict, feats: jax.Array) -> jax.Array:
+    h = feats @ pp["w1"] + pp["b1"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ pp["w2"] + pp["b2"]
+
+
+def encode_images_for_llm(
+    params: Dict, pixels: jax.Array, cfg: LlavaConfig
+) -> jax.Array:
+    """Preprocessed pixels (N, H, W, 3) → (N, n_image_tokens, text_hidden)
+    f32 embeddings ready to splice between token embeddings."""
+    feats = encode_image_patches(
+        {"vision": params["vision"]},
+        pixels,
+        cfg.vision,
+        feature_layer=cfg.vision_feature_layer,
+        drop_cls=cfg.drop_cls,
+    )
+    return _project(params["projector"], feats)
+
+
+def splice_multimodal(
+    params: Dict,
+    ids: Sequence[int],
+    image_embeds: Optional[jax.Array],
+    cfg: LlavaConfig,
+) -> np.ndarray:
+    """Host-side splice: token ids (with ``image_token_id`` placeholders)
+    + per-image embeddings → (T, H) f32 input embeddings. The i-th
+    placeholder expands to the i-th image's ``n_image_tokens`` rows."""
+    ids_arr = jnp.asarray([list(ids)], jnp.int32)
+    tok_embeds = np.asarray(
+        _embed_tokens(params["lm"], ids_arr, cfg.text).astype(jnp.float32)
+    )[0]
+    if image_embeds is None:
+        return tok_embeds
+    image_embeds = np.asarray(image_embeds, np.float32)
+    rows: List[np.ndarray] = []
+    img_i = 0
+    for pos, tid in enumerate(ids):
+        if tid == cfg.image_token_id and img_i < len(image_embeds):
+            rows.append(image_embeds[img_i])
+            img_i += 1
+        else:
+            rows.append(tok_embeds[pos: pos + 1])
+    return np.concatenate(rows, axis=0)
+
+
+class LlavaGenerator:
+    """Host-facing multimodal generation: tokenize + preprocess images +
+    splice + left-pad to a bucket + jitted generate."""
+
+    def __init__(
+        self,
+        params: Dict | None = None,
+        cfg: LlavaConfig | None = None,
+        tokenizer=None,
+        checkpoint_path: str | None = None,
+        prompt_buckets: Sequence[int] = (256, 512, 1024),
+        seed: int = 0,
+    ) -> None:
+        from multimodal_rag_tpu.models.tokenizer import (
+            ByteTokenizer,
+            load_decoder_tokenizer,
+        )
+
+        self.pretrained = False
+        if params is None and checkpoint_path:
+            try:
+                params, cfg = load_hf_llava(checkpoint_path)
+                self.pretrained = True
+                logger.info("Loaded llava checkpoint from %s", checkpoint_path)
+            except Exception as e:  # noqa: BLE001 — degrade, don't die
+                logger.error(
+                    "Failed to load llava checkpoint %s (%s); "
+                    "falling back to random init", checkpoint_path, e,
+                )
+                params = None
+        if tokenizer is None and self.pretrained:
+            tokenizer = load_decoder_tokenizer(checkpoint_path)
+        if tokenizer is None:
+            tokenizer = ByteTokenizer()
+        self.tokenizer = tokenizer
+        if cfg is None:
+            # Offline default: tiny towers, byte vocab — real graph/cost.
+            cfg = LlavaConfig(
+                text=DecoderConfig(
+                    vocab_size=max(512, tokenizer.vocab_size) + 1,
+                    hidden_dim=512, num_layers=4, num_heads=8,
+                    num_kv_heads=2, head_dim=64, ff_dim=1536,
+                ),
+                vision=CLIPConfig(
+                    image_size=224, patch_size=32, vision_width=256,
+                    vision_layers=4, vision_heads=8,
+                ),
+                image_token_id=max(512, tokenizer.vocab_size),
+            )
+        if params is None:
+            logger.warning(
+                "Serving with RANDOM-INIT llava weights: multimodal output "
+                "will be gibberish. Point MMRAG_MLLM_CHECKPOINT_PATH at a "
+                "local llava safetensors snapshot."
+            )
+            params = init_llava_params(jax.random.key(seed), cfg)
+        self.cfg = cfg
+        self.params = params
+        self.prompt_buckets = tuple(prompt_buckets)
+        self.eos_id = getattr(tokenizer, "eos_id", 2)
+
+    def _encode_prompt_with_images(self, prompt: str, n_images: int) -> List[int]:
+        """LLaVA-1.5 chat framing: one image placeholder per image before
+        the user text."""
+        ids: List[int] = []
+        img_tok = self.cfg.image_token_id
+        # Tokenizers with the placeholder in-vocab handle "<image>" inline;
+        # otherwise splice the id directly.
+        ids.extend(self.tokenizer.encode("USER: "))
+        ids.extend([img_tok] * n_images)
+        ids.extend(
+            self.tokenizer.encode("\n" + prompt + "\nASSISTANT:")[1:]
+            if getattr(self.tokenizer, "bos_id", None) is not None
+            else self.tokenizer.encode("\n" + prompt + "\nASSISTANT:")
+        )
+        return ids
+
+    def generate(
+        self,
+        prompt: str,
+        images: Sequence[Any] = (),
+        max_new_tokens: int = 256,
+        temperature: float = 0.7,
+        top_k: int = 64,
+        seed: int = 0,
+    ) -> str:
+        """``images``: PIL images / (H, W, 3) arrays; preprocessed with
+        CLIP normalization at the tower's native resolution."""
+        img_embeds = None
+        if images:
+            pixels = jnp.asarray(
+                np.stack(
+                    [
+                        preprocess_image(im, self.cfg.vision.image_size)
+                        for im in images
+                    ]
+                )
+            )
+            img_embeds = encode_images_for_llm(self.params, pixels, self.cfg)
+        ids = self._encode_prompt_with_images(prompt, len(images))
+        embeds = splice_multimodal(self.params, ids, img_embeds, self.cfg)
+
+        P = embeds.shape[0]
+        for b in self.prompt_buckets:
+            if P <= b:
+                P_pad = b
+                break
+        else:
+            P_pad = self.prompt_buckets[-1]
+            embeds = embeds[-P_pad:]
+        pad = P_pad - embeds.shape[0]
+        emb_p = np.zeros((1, P_pad, embeds.shape[1]), np.float32)
+        mask = np.zeros((1, P_pad), np.int32)
+        emb_p[0, pad:] = embeds
+        mask[0, pad:] = 1
+
+        max_new = 64
+        for b in (64, 128, 256, 512):
+            if max_new_tokens <= b:
+                max_new = b
+                break
+        else:
+            max_new = 512
+        toks, lengths = generate_tokens_embeds(
+            self.params["lm"],
+            jnp.asarray(emb_p),
+            jnp.asarray(mask),
+            jax.random.key(seed),
+            self.cfg.text,
+            max_new_tokens=max_new,
+            temperature=float(temperature),
+            top_k=int(top_k),
+            eos_id=int(self.eos_id),
+        )
+        n = min(int(np.asarray(lengths)[0]), max_new_tokens)
+        return self.tokenizer.decode(np.asarray(toks)[0, :n].tolist())

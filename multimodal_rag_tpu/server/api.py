@@ -83,7 +83,12 @@ class Components:
             llm = TPULLMAdapter()
         else:
             llm = LLMAdapter()
-        mllm = MLLMAdapter()
+        if settings.USE_TPU_MLLM:
+            from multimodal_rag_tpu.models.adapters import TPUMLLMAdapter
+
+            mllm = TPUMLLMAdapter()
+        else:
+            mllm = MLLMAdapter()
         crossmodal = None
         if settings.CROSS_MODAL_ENABLED:
             from multimodal_rag_tpu.crossmodal import CrossModalIndex

@@ -83,6 +83,20 @@ def test_greedy_generation_matches(mesh):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_textdecoder_auto_tp(mesh):
+    """TextDecoder shards over all local devices when dims divide."""
+    from multimodal_rag_tpu.models.decoder import TextDecoder
+
+    cfg = DecoderConfig(**{**CFG.__dict__, "vocab_size": 512})
+    params = init_params(jax.random.key(0), cfg)
+    dec = TextDecoder(params=params, cfg=cfg)
+    sh = dec.params["layers"]["wq"].sharding
+    shape = dec.params["layers"]["wq"].shape
+    assert sh.shard_shape(shape)[2] == shape[2] // 8
+    out = dec.generate(["hi"], max_new_tokens=4, temperature=0.0)
+    assert isinstance(out[0], str)
+
+
 def test_specs_cover_params():
     """Every param leaf has a spec (incl. untied lm_head)."""
     cfg = DecoderConfig(**{**CFG.__dict__, "tie_embeddings": False})
