@@ -69,6 +69,11 @@ class Settings:
     # (measured 2.45 -> 1.53 ms/step at B=8 on v5e) at a small (w8a8
     # per-channel) quality cost.
     TPU_LLM_QUANTIZE: bool = False
+    # Continuous batching (serving_decode.DecodeServer): requests join the
+    # running decode batch at token boundaries instead of waiting for the
+    # current batch to finish. Best under concurrent query load; the
+    # default coalescer is simpler and fine for ingest-style fan-out.
+    TPU_LLM_CONTINUOUS: bool = False
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None

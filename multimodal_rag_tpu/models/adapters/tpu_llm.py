@@ -57,12 +57,15 @@ class TPULLMAdapter(BaseLLMAdapter):
     # batch bucket so a full batch still hits a compiled shape.
     MAX_COALESCE = 8
 
-    def __init__(self, model_name: str = None, decoder=None, **kwargs):
+    def __init__(self, model_name: str = None, decoder=None,
+                 continuous: Optional[bool] = None, **kwargs):
         super().__init__(model_name or "tpu-local", **kwargs)
         self.backend = "tpu"
         self._decoder = decoder  # tests inject a tiny TextDecoder
         self._queue: Optional[asyncio.Queue] = None
         self._worker: Optional[asyncio.Task] = None
+        self._server = None  # DecodeServer when continuous batching is on
+        self._continuous = continuous
         self.batches_run = 0
         self.requests_served = 0
 
@@ -78,8 +81,17 @@ class TPULLMAdapter(BaseLLMAdapter):
                 checkpoint_path=settings.MMRAG_LLM_CHECKPOINT_PATH or None,
                 quantize=settings.TPU_LLM_QUANTIZE,
             )
-        self._queue = asyncio.Queue()
-        self._worker = asyncio.create_task(self._drain())
+        if self._continuous is None:
+            from multimodal_rag_tpu.config import settings
+
+            self._continuous = settings.TPU_LLM_CONTINUOUS
+        if self._continuous:
+            from multimodal_rag_tpu.serving_decode import DecodeServer
+
+            self._server = DecodeServer(self._decoder)
+        else:
+            self._queue = asyncio.Queue()
+            self._worker = asyncio.create_task(self._drain())
         if self._decoder.pretrained:
             self.model_name = "tpu-local (pretrained)"
         self.is_initialized = True
@@ -95,6 +107,9 @@ class TPULLMAdapter(BaseLLMAdapter):
         if self._worker is not None:
             self._worker.cancel()
             self._worker = None
+        if self._server is not None:
+            await self._server.stop()
+            self._server = None
 
     async def _drain(self) -> None:
         """Coalescing worker: take the oldest pending request, opportunistically
@@ -141,6 +156,17 @@ class TPULLMAdapter(BaseLLMAdapter):
     ) -> List[str]:
         if not self.is_initialized:
             await self.initialize()
+        if self._server is not None:
+            outs = await asyncio.gather(
+                *(
+                    self._server.submit(
+                        p, max_new_tokens=max_tokens, temperature=temperature
+                    )
+                    for p in prompts
+                )
+            )
+            self.requests_served += len(prompts)
+            return list(outs)
         # Key must match TextDecoder's executable-selecting statics so a
         # coalesced batch compiles to one shape.
         key = (int(max_tokens), float(temperature), int(kw.get("top_k", 64)))

@@ -511,6 +511,44 @@ def decode_step(
     return logits, {"k": k_new, "v": v_new}
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_step_rows(
+    params: Dict,
+    cache: Dict,
+    token: jax.Array,
+    pos: jax.Array,
+    key_mask: jax.Array,
+    positions: jax.Array,
+    cfg: DecoderConfig,
+) -> Tuple[jax.Array, Dict]:
+    """Continuous-batching variant of :func:`decode_step`: ``pos`` is a
+    per-row (B,) cache write index instead of one shared scalar, so rows
+    admitted at different times (different prompt lengths, different ages)
+    decode together in one batch (serving_decode.DecodeServer). The cache
+    write is a per-row scatter — tiny (B·n_kv·hd elements per layer)."""
+    B = token.shape[0]
+    x = _embed_tokens(params, token[:, None], cfg)  # (B, 1, H)
+    add_mask = jnp.where(key_mask > 0, 0.0, -1e9).astype(jnp.float32)[:, None, :]
+    pos_q = positions[:, None]  # (B, 1)
+    rows = jnp.arange(B)
+
+    def body(x, scanned):
+        lp, kc, vc = scanned
+        h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
+        k, v = _project_kv(h_norm, lp, pos_q, cfg)
+        kc = kc.at[rows, pos].set(k[:, 0])
+        vc = vc.at[rows, pos].set(v[:, 0])
+        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    x = _rmsnorm(x, params["final_norm"], cfg)
+    logits = _logits(params, x[:, 0, :], cfg)
+    return logits, {"k": k_new, "v": v_new}
+
+
 # ---------------------------------------------------------------------------
 # Generation loop
 # ---------------------------------------------------------------------------

@@ -1,0 +1,257 @@
+"""Continuous-batching decode server for the on-TPU LM.
+
+The coalescer in ``adapters/tpu_llm.py`` batches requests that arrive
+*before* a generation starts; once a batch is in flight, later arrivals
+wait for it to finish. Production decode loops don't wait: decode is
+weight-streaming bound, so an extra row is nearly free, and requests
+should join the running batch at the next token boundary. This module is
+that loop, built on ``decoder.decode_step_rows`` (per-row cache
+positions):
+
+* A fixed pool of **slots** (the compiled batch width) holds one request
+  each: its cache rows, per-row write position, per-row attention mask,
+  per-row semantic position, and sampling temperature.
+* ``submit()`` enqueues a request; between decode steps the scheduler
+  prefills pending requests one at a time (B=1 executable per prompt
+  bucket) and scatters the prefilled cache into a free slot
+  (``dynamic_update_slice`` on the batch axis).
+* One ``decode_step_rows`` dispatch advances EVERY active slot by one
+  token; finished rows (EOS or budget) retire immediately and free their
+  slot for the next pending request.
+* Sampling temperature rides as a traced (B,) vector (greedy rows mix
+  with sampled rows in the same dispatch), so one executable serves all
+  presets; ``top_k`` stays global/static.
+
+Wall-clock effect: under concurrent load, latency per request approaches
+(own tokens) x (step time) instead of (queue depth) x (batch time).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_rag_tpu.models.decoder import (
+    DecoderConfig,
+    decode_step_rows,
+    init_cache,
+    prefill,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, donate_argnames=("pool",))
+def _insert_row(pool: Dict, row: Dict, slot: jax.Array) -> Dict:
+    """Scatter a prefilled (L, 1, S, n, hd) cache into the pool's batch
+    axis at ``slot``."""
+    return {
+        "k": jax.lax.dynamic_update_slice_in_dim(
+            pool["k"], row["k"], slot, axis=1
+        ),
+        "v": jax.lax.dynamic_update_slice_in_dim(
+            pool["v"], row["v"], slot, axis=1
+        ),
+    }
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def _sample_rows(logits, key, temps, top_k: int):
+    """Per-row temperature: temp<=0 rows take argmax, others sample from
+    the top_k-filtered, temperature-scaled distribution."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    if top_k > 0:
+        vals, _ = jax.lax.top_k(scaled, top_k)
+        scaled = jnp.where(scaled < vals[:, -1:], -1e9, scaled)
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy, sampled)
+
+
+@dataclass
+class _Request:
+    prompt_ids: List[int]
+    max_new_tokens: int
+    temperature: float
+    future: asyncio.Future
+    tokens: List[int] = field(default_factory=list)
+    slot: int = -1
+
+
+class DecodeServer:
+    """Drives continuous-batched generation over one decoder.
+
+    ``decoder``: a ``TextDecoder`` (supplies params/cfg/tokenizer and the
+    prompt buckets). ``slots``: compiled batch width. ``max_new_cap``:
+    per-request token budget ceiling; with the largest prompt bucket it
+    fixes the cache length (one executable total for decode).
+    """
+
+    def __init__(self, decoder, slots: int = 8, max_new_cap: int = 512,
+                 top_k: int = 64, seed: int = 0):
+        self.dec = decoder
+        self.cfg: DecoderConfig = decoder.cfg
+        self.slots = slots
+        self.top_k = top_k
+        self.max_seq = decoder.prompt_buckets[-1] + max_new_cap
+        self.max_new_cap = max_new_cap
+        self.eos_id = int(decoder.eos_id)
+        self._key = jax.random.key(seed)
+
+        self.pool = init_cache(self.cfg, slots, self.max_seq)
+        self.requests: List[Optional[_Request]] = [None] * slots
+        # Host-side per-slot state, shipped each step.
+        self.key_mask = np.zeros((slots, self.max_seq), np.int32)
+        self.key_mask[:, 0] = 1  # idle rows attend to slot 0 (no NaN softmax)
+        self.pos = np.zeros((slots,), np.int32)
+        self.sem_pos = np.zeros((slots,), np.int32)
+        self.cur_tok = np.zeros((slots,), np.int32)
+        self.temps = np.full((slots,), -1.0, np.float32)
+
+        self.pending: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self.steps_run = 0
+        self.requests_done = 0
+
+    # -- public API -------------------------------------------------------
+
+    def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.get_running_loop().create_task(self._run())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            self._task = None
+
+    async def submit(
+        self, prompt: str, max_new_tokens: int = 256, temperature: float = 0.7
+    ) -> str:
+        """Generate text for ``prompt``; resolves when the row finishes."""
+        self.start()
+        ids = self.dec.tokenizer.encode(prompt)[-self.dec.prompt_buckets[-1]:]
+        fut = asyncio.get_running_loop().create_future()
+        req = _Request(
+            prompt_ids=list(ids),
+            max_new_tokens=min(int(max_new_tokens), self.max_new_cap),
+            temperature=float(temperature),
+            future=fut,
+        )
+        await self.pending.put(req)
+        return await fut
+
+    # -- scheduler --------------------------------------------------------
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self.requests) if r is None]
+
+    def _admit(self, req: _Request, slot: int) -> None:
+        """Prefill the request (B=1) and install it into ``slot``."""
+        ids = req.prompt_ids
+        P = next(
+            (b for b in self.dec.prompt_buckets if len(ids) <= b),
+            self.dec.prompt_buckets[-1],
+        )
+        row_ids = np.zeros((1, P), np.int32)
+        row_mask = np.zeros((1, P), np.int32)
+        row_ids[0, P - len(ids):] = ids
+        row_mask[0, P - len(ids):] = 1
+        logits, row_cache = prefill(
+            self.dec.params, jnp.asarray(row_ids), jnp.asarray(row_mask),
+            self.cfg, self.max_seq,
+        )
+        self.pool = _insert_row(self.pool, row_cache, jnp.int32(slot))
+        self._key, sub = jax.random.split(self._key)
+        first = int(
+            _sample_rows(
+                logits, sub,
+                jnp.asarray([req.temperature], jnp.float32), self.top_k,
+            )[0]
+        )
+        req.slot = slot
+        self.requests[slot] = req
+        self.key_mask[slot] = 0
+        self.key_mask[slot, :P] = row_mask[0]
+        self.pos[slot] = P
+        self.sem_pos[slot] = len(ids)
+        self.cur_tok[slot] = first
+        self.temps[slot] = req.temperature
+        if first == self.eos_id or req.max_new_tokens <= 1:
+            if first != self.eos_id:
+                req.tokens.append(first)
+            self._retire(slot)
+        else:
+            req.tokens.append(first)
+
+    def _retire(self, slot: int) -> None:
+        req = self.requests[slot]
+        self.requests[slot] = None
+        self.key_mask[slot] = 0
+        self.key_mask[slot, 0] = 1
+        self.temps[slot] = -1.0
+        self.requests_done += 1
+        if not req.future.done():
+            req.future.set_result(self.dec.tokenizer.decode(req.tokens))
+
+    def _step(self) -> None:
+        """One decode_step_rows dispatch for every active slot."""
+        active = [i for i, r in enumerate(self.requests) if r is not None]
+        if not active:
+            return
+        for i in active:
+            self.key_mask[i, self.pos[i]] = 1
+        self._key, sub = jax.random.split(self._key)
+        logits, self.pool = decode_step_rows(
+            self.dec.params,
+            self.pool,
+            jnp.asarray(self.cur_tok),
+            jnp.asarray(self.pos),
+            jnp.asarray(self.key_mask),
+            jnp.asarray(self.sem_pos),
+            self.cfg,
+        )
+        nxt = np.asarray(
+            _sample_rows(logits, sub, jnp.asarray(self.temps), self.top_k)
+        )
+        self.steps_run += 1
+        for i in active:
+            self.pos[i] += 1
+            self.sem_pos[i] += 1
+            req = self.requests[i]
+            tok = int(nxt[i])
+            if tok == self.eos_id:
+                self._retire(i)
+                continue
+            req.tokens.append(tok)
+            self.cur_tok[i] = tok
+            if len(req.tokens) >= req.max_new_tokens:
+                self._retire(i)
+
+    async def _run(self) -> None:
+        while True:
+            # Admit as many pending requests as there are free slots; if
+            # fully idle, park until a request arrives.
+            if all(r is None for r in self.requests) and self.pending.empty():
+                req = await self.pending.get()
+                await asyncio.to_thread(self._admit, req, self._free_slots()[0])
+            while not self.pending.empty() and self._free_slots():
+                req = self.pending.get_nowait()
+                await asyncio.to_thread(self._admit, req, self._free_slots()[0])
+            await asyncio.to_thread(self._step)
+            await asyncio.sleep(0)  # yield to submitters
+
+    def get_stats(self) -> Dict:
+        return {
+            "slots": self.slots,
+            "active": sum(r is not None for r in self.requests),
+            "pending": self.pending.qsize(),
+            "steps_run": self.steps_run,
+            "requests_done": self.requests_done,
+        }
