@@ -167,9 +167,16 @@ class TPULLMAdapter(BaseLLMAdapter):
             )
             self.requests_served += len(prompts)
             return list(outs)
-        # Key must match TextDecoder's executable-selecting statics so a
-        # coalesced batch compiles to one shape.
-        key = (int(max_tokens), float(temperature), int(kw.get("top_k", 64)))
+        # Key on the BUCKETED token budget — the executable-selecting
+        # static — so e.g. max_tokens 140 and 150 (both bucket 256)
+        # coalesce into one batch.
+        from multimodal_rag_tpu.models.decoder import GEN_BUCKETS, bucket_for
+
+        key = (
+            bucket_for(int(max_tokens), GEN_BUCKETS),
+            float(temperature),
+            int(kw.get("top_k", 64)),
+        )
         fut = asyncio.get_running_loop().create_future()
         await self._queue.put((list(prompts), key, fut))
         return await fut

@@ -63,12 +63,18 @@ class DecoderConfig:
     norm_eps: float = 1e-6
     act: str = "silu"  # silu (Llama/Qwen) | gelu_tanh (Gemma)
     tie_embeddings: bool = True
+    qkv_bias: bool = False  # Qwen2: q/k/v projections carry biases
     # Gemma conventions (all False/0 for Llama-family):
     rms_one_offset: bool = False  # RMSNorm scale is (1 + w)
     scale_embeddings: bool = False  # x *= sqrt(hidden_dim) after embed
     final_logit_softcap: float = 0.0  # cap * tanh(logits / cap) when > 0
     attn_logit_softcap: float = 0.0
     query_pre_attn_scalar: float = 0.0  # 0 → 1/sqrt(head_dim)
+    # Gemma2: extra norms on the attention/MLP OUTPUTS (four norms per
+    # block) in addition to the pre-norms. (Gemma2's 4096-token sliding
+    # window never binds at this framework's context caps, so the mask is
+    # the plain causal one.)
+    post_norms: bool = False
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -80,6 +86,20 @@ class DecoderConfig:
         if self.query_pre_attn_scalar:
             return float(1.0 / np.sqrt(self.query_pre_attn_scalar))
         return float(1.0 / np.sqrt(self.head_dim))
+
+
+# Shared max-new-token buckets: every generation entry point (TextDecoder,
+# LlavaGenerator, adapters' coalescing keys) buckets through this list so
+# the compiled-executable set stays small and consistent.
+GEN_BUCKETS = (64, 128, 256, 512, 1024)
+
+
+def bucket_for(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n, else the largest."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -99,26 +119,35 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
             jnp.float32
         )
 
+    def norm_init(shape):
+        return (
+            jnp.zeros(shape, jnp.float32)
+            if cfg.rms_one_offset
+            else jnp.ones(shape, jnp.float32)
+        )
+
+    layers = {
+        "wq": tn(keys[1], (L, h, qd)),
+        "wk": tn(keys[2], (L, h, kvd)),
+        "wv": tn(keys[3], (L, h, kvd)),
+        "wo": tn(keys[4], (L, qd, h)),
+        "w_gate": tn(keys[5], (L, h, f)),
+        "w_up": tn(keys[6], (L, h, f)),
+        "w_down": tn(keys[7], (L, f, h)),
+        "ln_attn": norm_init((L, h)),
+        "ln_mlp": norm_init((L, h)),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = jnp.zeros((L, qd), jnp.float32)
+        layers["bk"] = jnp.zeros((L, kvd), jnp.float32)
+        layers["bv"] = jnp.zeros((L, kvd), jnp.float32)
+    if cfg.post_norms:
+        layers["ln_attn_post"] = norm_init((L, h))
+        layers["ln_mlp_post"] = norm_init((L, h))
     params = {
         "embed": tn(keys[0], (cfg.vocab_size, h)),
-        "final_norm": jnp.zeros((h,), jnp.float32)
-        if cfg.rms_one_offset
-        else jnp.ones((h,), jnp.float32),
-        "layers": {
-            "wq": tn(keys[1], (L, h, qd)),
-            "wk": tn(keys[2], (L, h, kvd)),
-            "wv": tn(keys[3], (L, h, kvd)),
-            "wo": tn(keys[4], (L, qd, h)),
-            "w_gate": tn(keys[5], (L, h, f)),
-            "w_up": tn(keys[6], (L, h, f)),
-            "w_down": tn(keys[7], (L, f, h)),
-            "ln_attn": jnp.zeros((L, h), jnp.float32)
-            if cfg.rms_one_offset
-            else jnp.ones((L, h), jnp.float32),
-            "ln_mlp": jnp.zeros((L, h), jnp.float32)
-            if cfg.rms_one_offset
-            else jnp.ones((L, h), jnp.float32),
-        },
+        "final_norm": norm_init((h,)),
+        "layers": layers,
     }
     if not cfg.tie_embeddings:
         params["lm_head"] = tn(keys[8], (h, cfg.vocab_size))
@@ -138,11 +167,14 @@ def _read_hf_config(path: str) -> Optional[dict]:
 
 def config_from_hf(hf: dict) -> DecoderConfig:
     """Map an HF ``config.json`` onto :class:`DecoderConfig`. Handles
-    llama / qwen2 / gemma / gemma2 model types."""
+    llama / qwen2 / gemma / gemma2 model types (qwen2: qkv biases;
+    gemma2: four norms per block + softcaps)."""
     mtype = hf.get("model_type", "llama")
     gemma = mtype.startswith("gemma")
     heads = hf["num_attention_heads"]
     return DecoderConfig(
+        qkv_bias=(mtype == "qwen2"),
+        post_norms=(mtype == "gemma2"),
         vocab_size=hf["vocab_size"],
         hidden_dim=hf["hidden_size"],
         num_layers=hf["num_hidden_layers"],
@@ -219,20 +251,38 @@ def map_hf_causal_lm(
         return jnp.asarray(arr)
 
     p = "model.layers.{}."
+    layers = {
+        "wq": stacked(p + "self_attn.q_proj.weight"),
+        "wk": stacked(p + "self_attn.k_proj.weight"),
+        "wv": stacked(p + "self_attn.v_proj.weight"),
+        "wo": stacked(p + "self_attn.o_proj.weight"),
+        "w_gate": stacked(p + "mlp.gate_proj.weight"),
+        "w_up": stacked(p + "mlp.up_proj.weight"),
+        "w_down": stacked(p + "mlp.down_proj.weight"),
+        "ln_attn": stacked(p + "input_layernorm.weight", False),
+    }
+    if cfg.qkv_bias:  # Qwen2
+        layers["bq"] = stacked(p + "self_attn.q_proj.bias", False)
+        layers["bk"] = stacked(p + "self_attn.k_proj.bias", False)
+        layers["bv"] = stacked(p + "self_attn.v_proj.bias", False)
+    if cfg.post_norms:  # Gemma2: four norms per block
+        layers["ln_attn_post"] = stacked(
+            p + "post_attention_layernorm.weight", False
+        )
+        layers["ln_mlp"] = stacked(
+            p + "pre_feedforward_layernorm.weight", False
+        )
+        layers["ln_mlp_post"] = stacked(
+            p + "post_feedforward_layernorm.weight", False
+        )
+    else:
+        layers["ln_mlp"] = stacked(
+            p + "post_attention_layernorm.weight", False
+        )
     params = {
         "embed": t("model.embed_tokens.weight"),
         "final_norm": t("model.norm.weight"),
-        "layers": {
-            "wq": stacked(p + "self_attn.q_proj.weight"),
-            "wk": stacked(p + "self_attn.k_proj.weight"),
-            "wv": stacked(p + "self_attn.v_proj.weight"),
-            "wo": stacked(p + "self_attn.o_proj.weight"),
-            "w_gate": stacked(p + "mlp.gate_proj.weight"),
-            "w_up": stacked(p + "mlp.up_proj.weight"),
-            "w_down": stacked(p + "mlp.down_proj.weight"),
-            "ln_attn": stacked(p + "input_layernorm.weight", False),
-            "ln_mlp": stacked(p + "post_attention_layernorm.weight", False),
-        },
+        "layers": layers,
     }
     if not cfg.tie_embeddings:
         if prefix + "lm_head.weight" in tensors:
@@ -358,7 +408,10 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
     n_kv, g, hd = cfg.num_kv_heads, cfg.q_per_kv, cfg.head_dim
 
     h = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
-    q = _qmatmul(h, lp, "wq", cd).reshape(B, T, n_kv, g, hd)
+    q = _qmatmul(h, lp, "wq", cd)
+    if cfg.qkv_bias:
+        q = q + lp["bq"].astype(cd)
+    q = q.reshape(B, T, n_kv, g, hd)
     q = _rope(
         q.reshape(B, T, n_kv * g, hd), positions, cfg.rope_theta
     ).reshape(B, T, n_kv, g, hd)
@@ -368,12 +421,16 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
         preferred_element_type=jnp.float32,
     ).astype(cd)
     attn = _qmatmul(ctx.reshape(B, T, n_kv * g * hd), lp, "wo", cd)
+    if cfg.post_norms:  # Gemma2: norm the block OUTPUT before the residual
+        attn = _rmsnorm(attn, lp["ln_attn_post"], cfg).astype(cd)
     x = x + attn.astype(x.dtype)
 
     h = _rmsnorm(x, lp["ln_mlp"], cfg).astype(cd)
     gate = _act(_qmatmul(h, lp, "w_gate", cd), cfg.act)
     up = _qmatmul(h, lp, "w_up", cd)
     down = _qmatmul((gate * up).astype(cd), lp, "w_down", cd)
+    if cfg.post_norms:
+        down = _rmsnorm(down, lp["ln_mlp_post"], cfg).astype(cd)
     return x + down.astype(x.dtype)
 
 
@@ -381,10 +438,13 @@ def _project_kv(h_norm, lp, positions, cfg):
     """Normed hidden (B, T, H) → rotated k, v (B, T, n_kv, hd) in bf16."""
     cd = cfg.compute_dtype
     B, T, _ = h_norm.shape
-    k = _qmatmul(h_norm, lp, "wk", cd).reshape(B, T, cfg.num_kv_heads,
-                                               cfg.head_dim)
-    v = _qmatmul(h_norm, lp, "wv", cd).reshape(B, T, cfg.num_kv_heads,
-                                               cfg.head_dim)
+    k = _qmatmul(h_norm, lp, "wk", cd)
+    v = _qmatmul(h_norm, lp, "wv", cd)
+    if cfg.qkv_bias:
+        k = k + lp["bk"].astype(cd)
+        v = v + lp["bv"].astype(cd)
+    k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     k = _rope(k, positions, cfg.rope_theta)
     return k.astype(cd), v.astype(cd)
 
@@ -731,6 +791,18 @@ class TextDecoder:
                     params = None
         if tokenizer is None and self.pretrained:
             tokenizer = load_decoder_tokenizer(checkpoint_path)
+            if tokenizer is None:
+                # Real weights + byte fallback = fluent-looking ids mapped
+                # to the wrong vocabulary rows: output is garbage while
+                # pretrained=True. Make this as loud as the random-init
+                # warning — it is the same failure mode for an operator.
+                logger.error(
+                    "Checkpoint %s has no tokenizer.json: falling back to "
+                    "the byte tokenizer, which does NOT match the "
+                    "checkpoint vocabulary — generated text will be "
+                    "gibberish. Ship the snapshot's tokenizer.json next "
+                    "to the weights.", checkpoint_path,
+                )
         if tokenizer is None:
             tokenizer = ByteTokenizer()
         self.tokenizer = tokenizer
@@ -782,20 +854,17 @@ class TextDecoder:
         logger.info("Decoder weights tensor-parallel over %d devices", n)
         return sharded
 
-    def _bucket(self, n: int, buckets: Sequence[int]) -> int:
-        for b in buckets:
-            if n <= b:
-                return b
-        return buckets[-1]
-
     def prepare(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
-        """Encode + LEFT-pad into the smallest (batch, prompt) bucket."""
+        """Encode + LEFT-pad into the smallest (batch, prompt) bucket.
+        ``len(prompts)`` must not exceed the largest batch bucket
+        (``generate`` chunks oversized requests before calling this)."""
+        assert len(prompts) <= self.batch_buckets[-1], len(prompts)
         encoded = [
             self.tokenizer.encode(p)[-self.prompt_buckets[-1]:]
             for p in prompts
         ]
-        P = self._bucket(max(len(e) for e in encoded), self.prompt_buckets)
-        B = self._bucket(len(prompts), self.batch_buckets)
+        P = bucket_for(max(len(e) for e in encoded), self.prompt_buckets)
+        B = bucket_for(len(prompts), self.batch_buckets)
         ids = np.zeros((B, P), np.int32)
         mask = np.zeros((B, P), np.int32)
         for i, e in enumerate(encoded):
@@ -816,11 +885,23 @@ class TextDecoder:
     ) -> list[str]:
         if not prompts:
             return []
+        max_bb = self.batch_buckets[-1]
+        if len(prompts) > max_bb:  # chunk oversized fan-out
+            out: list[str] = []
+            for start in range(0, len(prompts), max_bb):
+                out.extend(
+                    self.generate(
+                        list(prompts[start:start + max_bb]),
+                        max_new_tokens=max_new_tokens,
+                        temperature=temperature,
+                        top_k=top_k,
+                        seed=seed + start,
+                    )
+                )
+            return out
         ids, mask = self.prepare(prompts)
         # Bucket max_new so the executable set stays small.
-        max_new = self._bucket(
-            max_new_tokens, (64, 128, 256, 512, 1024)
-        )
+        max_new = bucket_for(max_new_tokens, GEN_BUCKETS)
         toks, lengths = generate_tokens(
             self.params,
             jnp.asarray(ids),

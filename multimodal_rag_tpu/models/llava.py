@@ -43,7 +43,9 @@ from multimodal_rag_tpu.models.clip import (
 )
 from multimodal_rag_tpu.models.decoder import (
     DecoderConfig,
+    GEN_BUCKETS,
     _embed_tokens,
+    bucket_for,
     config_from_hf,
     generate_tokens_embeds,
     map_hf_causal_lm,
@@ -317,27 +319,15 @@ class LlavaGenerator:
         ids = self._encode_prompt_with_images(prompt, len(images))
         embeds = splice_multimodal(self.params, ids, img_embeds, self.cfg)
 
-        P = embeds.shape[0]
-        for b in self.prompt_buckets:
-            if P <= b:
-                P_pad = b
-                break
-        else:
-            P_pad = self.prompt_buckets[-1]
-            embeds = embeds[-P_pad:]
+        P_pad = bucket_for(embeds.shape[0], self.prompt_buckets)
+        embeds = embeds[-P_pad:]
         pad = P_pad - embeds.shape[0]
         emb_p = np.zeros((1, P_pad, embeds.shape[1]), np.float32)
         mask = np.zeros((1, P_pad), np.int32)
         emb_p[0, pad:] = embeds
         mask[0, pad:] = 1
 
-        max_new = 64
-        for b in (64, 128, 256, 512):
-            if max_new_tokens <= b:
-                max_new = b
-                break
-        else:
-            max_new = 512
+        max_new = bucket_for(max_new_tokens, GEN_BUCKETS)
         toks, lengths = generate_tokens_embeds(
             self.params["lm"],
             jnp.asarray(emb_p),

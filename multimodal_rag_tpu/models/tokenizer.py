@@ -298,11 +298,17 @@ class HFDecoderTokenizer:
                     return vocab[n]
             return None
 
+        # BOS: only tokens that are actually beginnings-of-sequence — no
+        # '<|endoftext|>' fallback (Qwen2 has it in-vocab but its HF
+        # tokenizer adds no BOS; prepending it would skew every prompt).
         self.bos_id = bos_id if bos_id is not None else find(
-            "<s>", "<bos>", "<|begin_of_text|>", "<|endoftext|>"
+            "<s>", "<bos>", "<|begin_of_text|>"
         )
+        # EOS: chat-turn terminators FIRST — Qwen2-Instruct emits
+        # '<|im_end|>' to stop, not '<|endoftext|>'; with the wrong pick
+        # generation never matches EOS and always runs the full budget.
         self.eos_id = eos_id if eos_id is not None else find(
-            "</s>", "<eos>", "<|end_of_text|>", "<|endoftext|>", "<|im_end|>"
+            "<|im_end|>", "</s>", "<eos>", "<|end_of_text|>", "<|endoftext|>"
         )
         if self.eos_id is None:
             self.eos_id = -1  # generation runs to the token budget

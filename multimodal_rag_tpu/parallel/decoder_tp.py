@@ -85,6 +85,13 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
             "w_down": row,
             "ln_attn": rep1,
             "ln_mlp": rep1,
+            # Optional (qwen2 biases follow their projection's out-dim
+            # sharding; gemma2 post-norms replicate like the pre-norms).
+            "bq": P(None, MODEL_AXIS),
+            "bk": P(None, MODEL_AXIS) if cfg.num_kv_heads % tp == 0 else P(),
+            "bv": P(None, MODEL_AXIS) if cfg.num_kv_heads % tp == 0 else P(),
+            "ln_attn_post": rep1,
+            "ln_mlp_post": rep1,
         },
     }
     return specs

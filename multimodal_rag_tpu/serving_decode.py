@@ -94,7 +94,7 @@ class DecodeServer:
     fixes the cache length (one executable total for decode).
     """
 
-    def __init__(self, decoder, slots: int = 8, max_new_cap: int = 512,
+    def __init__(self, decoder, slots: int = 8, max_new_cap: int = 1024,
                  top_k: int = 64, seed: int = 0):
         self.dec = decoder
         self.cfg: DecoderConfig = decoder.cfg
@@ -137,6 +137,12 @@ class DecodeServer:
         """Generate text for ``prompt``; resolves when the row finishes."""
         self.start()
         ids = self.dec.tokenizer.encode(prompt)[-self.dec.prompt_buckets[-1]:]
+        if max_new_tokens > self.max_new_cap:
+            logger.warning(
+                "max_new_tokens %d clamped to the server cap %d "
+                "(raise max_new_cap to match the coalesced path)",
+                max_new_tokens, self.max_new_cap,
+            )
         fut = asyncio.get_running_loop().create_future()
         req = _Request(
             prompt_ids=list(ids),
@@ -152,8 +158,13 @@ class DecodeServer:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.requests) if r is None]
 
-    def _admit(self, req: _Request, slot: int) -> None:
-        """Prefill the request (B=1) and install it into ``slot``."""
+    def _admit(self, req: _Request, slot: int) -> List[_Request]:
+        """Prefill the request (B=1) and install it into ``slot``.
+
+        Runs in a worker thread; returns any request that finished
+        immediately (first token = EOS / budget 1) instead of resolving
+        its future here — futures are only touched on the loop thread
+        (``set_result`` from another thread is not loop-safe)."""
         ids = req.prompt_ids
         P = next(
             (b for b in self.dec.prompt_buckets if len(ids) <= b),
@@ -186,25 +197,31 @@ class DecodeServer:
         if first == self.eos_id or req.max_new_tokens <= 1:
             if first != self.eos_id:
                 req.tokens.append(first)
-            self._retire(slot)
-        else:
-            req.tokens.append(first)
+            return [self._retire(slot)]
+        req.tokens.append(first)
+        return []
 
-    def _retire(self, slot: int) -> None:
+    def _retire(self, slot: int) -> _Request:
         req = self.requests[slot]
         self.requests[slot] = None
         self.key_mask[slot] = 0
         self.key_mask[slot, 0] = 1
         self.temps[slot] = -1.0
         self.requests_done += 1
-        if not req.future.done():
-            req.future.set_result(self.dec.tokenizer.decode(req.tokens))
+        return req
 
-    def _step(self) -> None:
-        """One decode_step_rows dispatch for every active slot."""
+    def _resolve(self, finished: List[_Request]) -> None:
+        """Loop-thread only: hand results to the waiters."""
+        for req in finished:
+            if not req.future.done():
+                req.future.set_result(self.dec.tokenizer.decode(req.tokens))
+
+    def _step(self) -> List[_Request]:
+        """One decode_step_rows dispatch for every active slot. Worker
+        thread; returns the requests that finished this step."""
         active = [i for i, r in enumerate(self.requests) if r is not None]
         if not active:
-            return
+            return []
         for i in active:
             self.key_mask[i, self.pos[i]] = 1
         self._key, sub = jax.random.split(self._key)
@@ -221,31 +238,65 @@ class DecodeServer:
             _sample_rows(logits, sub, jnp.asarray(self.temps), self.top_k)
         )
         self.steps_run += 1
+        finished: List[_Request] = []
         for i in active:
             self.pos[i] += 1
             self.sem_pos[i] += 1
             req = self.requests[i]
             tok = int(nxt[i])
             if tok == self.eos_id:
-                self._retire(i)
+                finished.append(self._retire(i))
                 continue
             req.tokens.append(tok)
             self.cur_tok[i] = tok
             if len(req.tokens) >= req.max_new_tokens:
-                self._retire(i)
+                finished.append(self._retire(i))
+        return finished
+
+    def _fail_all(self, exc: BaseException) -> None:
+        """Loop-thread only: fail every in-flight and pending waiter, then
+        reset slot state so the loop can keep serving new requests."""
+        for i, req in enumerate(self.requests):
+            if req is not None and not req.future.done():
+                req.future.set_exception(exc)
+            self.requests[i] = None
+        while not self.pending.empty():
+            req = self.pending.get_nowait()
+            if not req.future.done():
+                req.future.set_exception(exc)
+        self.key_mask[:] = 0
+        self.key_mask[:, 0] = 1
+        self.temps[:] = -1.0
 
     async def _run(self) -> None:
         while True:
-            # Admit as many pending requests as there are free slots; if
-            # fully idle, park until a request arrives.
-            if all(r is None for r in self.requests) and self.pending.empty():
-                req = await self.pending.get()
-                await asyncio.to_thread(self._admit, req, self._free_slots()[0])
-            while not self.pending.empty() and self._free_slots():
-                req = self.pending.get_nowait()
-                await asyncio.to_thread(self._admit, req, self._free_slots()[0])
-            await asyncio.to_thread(self._step)
-            await asyncio.sleep(0)  # yield to submitters
+            try:
+                # Admit as many pending requests as there are free slots;
+                # if fully idle, park until a request arrives.
+                if (
+                    all(r is None for r in self.requests)
+                    and self.pending.empty()
+                ):
+                    req = await self.pending.get()
+                    self._resolve(
+                        await asyncio.to_thread(
+                            self._admit, req, self._free_slots()[0]
+                        )
+                    )
+                while not self.pending.empty() and self._free_slots():
+                    req = self.pending.get_nowait()
+                    self._resolve(
+                        await asyncio.to_thread(
+                            self._admit, req, self._free_slots()[0]
+                        )
+                    )
+                self._resolve(await asyncio.to_thread(self._step))
+                await asyncio.sleep(0)  # yield to submitters
+            except asyncio.CancelledError:
+                raise
+            except Exception as e:  # noqa: BLE001 — fail waiters, keep serving
+                logger.exception("decode loop error; failing in-flight requests")
+                self._fail_all(e)
 
     def get_stats(self) -> Dict:
         return {

@@ -411,6 +411,57 @@ class TestHFGolden:
         model.save_pretrained(path, safe_serialization=True)
         _golden(model, path, rtol=5e-4, atol=5e-4)
 
+    def test_qwen2(self, tmp_path):
+        """Qwen2 carries q/k/v projection BIASES — dropping them silently
+        degrades every Qwen checkpoint (review finding r2)."""
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        cfg = Qwen2Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rope_theta=10000.0, tie_word_embeddings=False,
+        )
+        model = Qwen2ForCausalLM(cfg)
+        path = str(tmp_path / "qwen2")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path)
+
+    def test_gemma2(self, tmp_path):
+        """Gemma2: four norms per block (post-attention/post-feedforward
+        applied to the block OUTPUT before the residual) + softcaps."""
+        from transformers import Gemma2Config, Gemma2ForCausalLM
+
+        cfg = Gemma2Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64,
+            hidden_act="gelu_pytorch_tanh",
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            query_pre_attn_scalar=8,
+            sliding_window=4096,
+        )
+        model = Gemma2ForCausalLM(cfg)
+        path = str(tmp_path / "gemma2")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path, rtol=5e-4, atol=5e-4)
+
+    def test_oversized_batch_chunks(self):
+        """generate() with more prompts than the largest batch bucket must
+        chunk, not crash (review finding r2)."""
+        dec = TextDecoder(
+            params=init_params(jax.random.key(0), TINY_BYTE), cfg=TINY_BYTE,
+        )
+        outs = dec.generate(
+            [f"prompt {i}" for i in range(11)],
+            max_new_tokens=4, temperature=0.0,
+        )
+        assert len(outs) == 11
+        # Chunking must not change per-row greedy results.
+        solo = dec.generate(["prompt 3"], max_new_tokens=4, temperature=0.0)
+        assert outs[3] == solo[0]
+
     def test_hf_decoder_tokenizer_roundtrip(self, tmp_path):
         """A real tokenizer.json (BPE) loads and round-trips text."""
         tokenizers = pytest.importorskip("tokenizers")
