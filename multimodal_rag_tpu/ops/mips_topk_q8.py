@@ -58,6 +58,23 @@ from multimodal_rag_tpu.ops.mips_topk import (
 POOL_SLOTS = 3  # top-3 per lane class → kc ≤ 3·128 = 384
 INT_MAX = jnp.iinfo(jnp.int32).max
 
+# Minimum tile count for the pooled Pallas kernel. The dominant candidate
+# -miss mechanism is the stage-1 per-(tile, lane-class) fold: a true
+# top-k row is dropped if ANY higher-quantized-score row shares its tile
+# and class, P ≈ n_better/(n_tiles·128) per row — negligible at the 10M
+# target (1,222 tiles) but a few percent at toy corpus sizes (4 tiles).
+# Below this threshold callers should use :func:`mips_topk_q8_xla`
+# (exact top-k over quantized scores; the (B, N) score matrix is tiny at
+# these sizes), which leaves only quantization-ordering noise — covered
+# by :func:`rescore_margin`. ≥64 tiles ⇒ per-row miss P ≲ n_better/8192.
+Q8_PALLAS_MIN_TILES = 64
+
+
+def prefer_pallas_q8(n_padded: int, tile_n: int) -> bool:
+    """True when the corpus is large enough that the pooled kernel's
+    (tile, class) collision probability is negligible."""
+    return n_padded // tile_n >= Q8_PALLAS_MIN_TILES
+
 
 def _sel(pred, a, b):
     """jax.lax.select — not jnp.where, whose inner-jit closed_call wrapper

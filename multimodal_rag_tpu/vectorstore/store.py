@@ -527,11 +527,18 @@ class VectorStore:
                 from multimodal_rag_tpu.ops.mips_topk_q8 import (
                     mips_topk_q8,
                     mips_topk_q8_xla,
+                    prefer_pallas_q8,
                     rescore_exact,
                     rescore_margin,
                 )
 
                 kc = rescore_margin(k_eff, live)
+                # Small corpora take the exact-quantized XLA path: the
+                # pooled kernel's (tile, class) collision miss is only
+                # negligible at scale (ops/mips_topk_q8.py docstring).
+                use_pallas = use_pallas and prefer_pallas_q8(
+                    self._dev_q8.shape[0], tile
+                )
                 key = (embed_fn, "q8", kc, tile, use_pallas)
                 fn = self._fused_fns.get(key)
                 if fn is None:
@@ -839,11 +846,16 @@ class VectorStore:
         from multimodal_rag_tpu.ops.mips_topk_q8 import (
             mips_topk_q8,
             mips_topk_q8_xla,
+            prefer_pallas_q8,
             rescore_exact,
             rescore_margin,
         )
 
         kc = rescore_margin(k, self.count())
+        use_pallas = self.use_pallas and prefer_pallas_q8(
+            self._dev_q8.shape[0] // max(1, self.n_devices),
+            self._query_tile(),
+        )
         if self.n_devices > 1:
             from multimodal_rag_tpu.parallel.distributed_search import (
                 sharded_mips_topk_q8,
@@ -855,12 +867,12 @@ class VectorStore:
                 mask = jax.device_put(mask, col_sharding(self.mesh))
             vals, idx = sharded_mips_topk_q8(
                 qd, self._dev_q8, self._dev_scales, mask, mesh=self.mesh,
-                k=kc, tile_n=self._query_tile(), use_pallas=self.use_pallas,
+                k=kc, tile_n=self._query_tile(), use_pallas=use_pallas,
             )
         else:
             if mask is None:
                 mask = self._dev_mask
-            if self.use_pallas:
+            if use_pallas:
                 vals, idx = mips_topk_q8(
                     qd, self._dev_q8, self._dev_scales, mask, k=kc,
                     tile_n=self._query_tile(),

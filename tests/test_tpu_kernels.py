@@ -129,9 +129,54 @@ class TestMipsTopkQ8Compiled:
         self.check(unit(rand((8, 384), 23)), unit(rand((16384, 384), 24)),
                    k=5, tile_n=8192)
 
-    def test_k20(self):
-        self.check(unit(rand((4, 384), 25)), unit(rand((4096, 384), 26)),
-                   k=20, tile_n=1024)
+    def test_k20_xla_exact(self):
+        """At 4 tiles the pooled kernel's (tile, class) collision miss is
+        a few percent per query (ops/mips_topk_q8.py docstring) — the
+        store routes corpora this small to the exact-quantized XLA path
+        (prefer_pallas_q8), which must match the oracle strictly."""
+        from multimodal_rag_tpu.ops.mips_topk_q8 import (
+            mips_topk_q8_xla,
+            prefer_pallas_q8,
+        )
+
+        assert not prefer_pallas_q8(4096, 1024)
+        Q, V, k = unit(rand((4, 384), 25)), unit(rand((4096, 384), 26)), 20
+        q8, scales = quantize_rows(V)
+        mask = np.zeros((1, 4096), np.float32)
+        kc = rescore_margin(k, 4096)
+        vals, idx = mips_topk_q8_xla(
+            jnp.asarray(Q), jnp.asarray(q8), jnp.asarray(scales),
+            jnp.asarray(mask), kc,
+        )
+        rvals, ridx = rescore_exact(Q, V, np.asarray(vals), np.asarray(idx), k)
+        ovals, oidx = mips_topk_oracle(Q, V, k)
+        np.testing.assert_array_equal(ridx, oidx)
+        np.testing.assert_allclose(rvals, ovals, atol=1e-4)
+
+    def test_k20_pallas_recall_contract(self):
+        """The pooled kernel at few tiles: assert the DOCUMENTED contract
+        — high recall, and any swapped-in candidate's exact score within
+        the quantization-noise band of the true kth score — rather than
+        strict equality the kernel does not promise at this size."""
+        Q, V, k = unit(rand((4, 384), 25)), unit(rand((4096, 384), 26)), 20
+        N = 4096
+        q8, scales = quantize_rows(V)
+        mask = np.zeros((1, N), np.float32)
+        kc = rescore_margin(k, N)
+        vals, idx = mips_topk_q8(
+            jnp.asarray(Q), jnp.asarray(q8), jnp.asarray(scales),
+            jnp.asarray(mask), k=kc, tile_n=1024,
+        )
+        rvals, ridx = rescore_exact(Q, V, np.asarray(vals), np.asarray(idx), k)
+        ovals, oidx = mips_topk_oracle(Q, V, k)
+        hits = sum(
+            len(set(ridx[r]) & set(oidx[r])) for r in range(Q.shape[0])
+        )
+        recall = hits / (Q.shape[0] * k)
+        assert recall >= 0.9, recall
+        # Swapped-in rows must be near-ties: exact score within the noise
+        # band of the true kth.
+        assert (rvals >= ovals[:, -1:] - 5e-3).all(), (rvals, ovals)
 
 
 class TestIvfCompiled:
