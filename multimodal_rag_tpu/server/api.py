@@ -553,6 +553,20 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     "auth": "disabled",
                     # Additive: rolling per-stage latency percentiles.
                     "latency": aggregator.snapshot(),
+                    # Additive: on-TPU generation counters (absent when the
+                    # text adapter is an HTTP backend).
+                    **(
+                        {
+                            "generation": {
+                                "backend": "tpu",
+                                "batches_run": comps.llm_adapter.batches_run,
+                                "requests_served":
+                                    comps.llm_adapter.requests_served,
+                            }
+                        }
+                        if hasattr(comps.llm_adapter, "batches_run")
+                        else {}
+                    ),
                     **(
                         {"crossmodal": comps.crossmodal.get_stats()}
                         if comps.crossmodal is not None
@@ -603,6 +617,17 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 )
         except Exception:  # noqa: BLE001
             pass
+        if hasattr(comps.llm_adapter, "batches_run"):
+            lines.append("# TYPE mmrag_generation_batches_total counter")
+            lines.append(
+                f"mmrag_generation_batches_total "
+                f"{comps.llm_adapter.batches_run}"
+            )
+            lines.append("# TYPE mmrag_generation_requests_total counter")
+            lines.append(
+                f"mmrag_generation_requests_total "
+                f"{comps.llm_adapter.requests_served}"
+            )
         lines.append("# TYPE mmrag_uptime_seconds gauge")
         lines.append(
             f"mmrag_uptime_seconds {time.time() - app['start_time']:.1f}"

@@ -380,3 +380,66 @@ class TestAttachedImage:
         finally:
             loop.run_until_complete(client.close())
             loop.close()
+
+
+class TestTPUGenerationEndToEnd:
+    """The on-TPU text adapter behind the real HTTP surface: /query
+    generates through the decoder, /stats and /metrics expose the
+    generation counters."""
+
+    def _tpu_components(self, tmp_path):
+        from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+        from multimodal_rag_tpu.models.decoder import (
+            DecoderConfig,
+            TextDecoder,
+            init_params as init_dec,
+        )
+
+        comps = make_components(tmp_path)
+        dcfg = DecoderConfig(
+            vocab_size=512, hidden_dim=32, num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=8, ff_dim=64, max_position=2048,
+            compute_dtype=jnp.float32,
+        )
+        dec = TextDecoder(
+            params=init_dec(jax.random.key(0), dcfg), cfg=dcfg,
+            prompt_buckets=(64, 128),
+        )
+        comps.llm_adapter = TPULLMAdapter(decoder=dec)
+        return comps
+
+    def test_query_and_counters(self, tmp_path):
+        loop = asyncio.new_event_loop()
+        comps = self._tpu_components(tmp_path)
+        loop.run_until_complete(comps.initialize())
+        app = create_app(components=comps)
+        client = TestClient(TestServer(app, loop=loop), loop=loop)
+        loop.run_until_complete(client.start_server())
+        try:
+            upload_file(client, loop)
+            resp = loop.run_until_complete(
+                client.post("/query", json={"query": "what is ML?",
+                                            "top_k": 2})
+            )
+            assert resp.status == 200
+            body = loop.run_until_complete(resp.json())
+            assert isinstance(body["answer"], str) and body["answer"]
+
+            stats = loop.run_until_complete(
+                loop.create_task(_get_json(client, "/stats"))
+            )
+            assert stats["generation"]["backend"] == "tpu"
+            assert stats["generation"]["requests_served"] >= 1
+
+            resp = loop.run_until_complete(client.get("/metrics"))
+            text = loop.run_until_complete(resp.text())
+            assert "mmrag_generation_requests_total" in text
+        finally:
+            loop.run_until_complete(client.close())
+            loop.close()
+
+
+async def _get_json(client, path):
+    resp = await client.get(path)
+    assert resp.status == 200
+    return await resp.json()
