@@ -118,6 +118,9 @@ async function refreshStats() {
     const q = (s.latency || {})["query.total"];
     document.getElementById("stat-p50").textContent =
       q && q.p50_ms != null ? q.p50_ms.toFixed(0) : "–";
+    const gen = document.getElementById("stat-gen");
+    if (s.generation) animateValue(gen, s.generation.requests_served);
+    else gen.textContent = "–";
   } catch (_) { /* offline */ }
 }
 
