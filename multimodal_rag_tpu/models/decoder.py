@@ -167,8 +167,10 @@ def _read_hf_config(path: str) -> Optional[dict]:
 
 def config_from_hf(hf: dict) -> DecoderConfig:
     """Map an HF ``config.json`` onto :class:`DecoderConfig`. Handles
-    llama / qwen2 / gemma / gemma2 model types (qwen2: qkv biases;
-    gemma2: four norms per block + softcaps)."""
+    llama / mistral / qwen2 / gemma / gemma2 model types (qwen2: qkv
+    biases; gemma2: four norms per block + softcaps; mistral is
+    llama-shaped — its 4096-token sliding window never binds at this
+    framework's context caps)."""
     mtype = hf.get("model_type", "llama")
     gemma = mtype.startswith("gemma")
     heads = hf["num_attention_heads"]
@@ -180,7 +182,8 @@ def config_from_hf(hf: dict) -> DecoderConfig:
         num_layers=hf["num_hidden_layers"],
         num_heads=heads,
         num_kv_heads=hf.get("num_key_value_heads", heads),
-        head_dim=hf.get("head_dim", hf["hidden_size"] // heads),
+        # `or` (not a .get default): some configs write "head_dim": null.
+        head_dim=hf.get("head_dim") or hf["hidden_size"] // heads,
         ff_dim=hf["intermediate_size"],
         max_position=hf.get("max_position_embeddings", 4096),
         rope_theta=hf.get("rope_theta", 10000.0),
@@ -746,7 +749,7 @@ def find_local_lm_checkpoint() -> Optional[str]:
                     mtype = json.load(f).get("model_type", "")
             except OSError:
                 continue
-            if mtype in ("llama", "qwen2", "gemma", "gemma2"):
+            if mtype in ("llama", "mistral", "qwen2", "gemma", "gemma2"):
                 return root
     return None
 

@@ -411,6 +411,23 @@ class TestHFGolden:
         model.save_pretrained(path, safe_serialization=True)
         _golden(model, path, rtol=5e-4, atol=5e-4)
 
+    def test_mistral(self, tmp_path):
+        """Mistral = llama-shaped (silu GQA, no biases); sliding window
+        never binds at our context caps."""
+        from transformers import MistralConfig, MistralForCausalLM
+
+        cfg = MistralConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rope_theta=10000.0, tie_word_embeddings=False,
+            sliding_window=4096,
+        )
+        model = MistralForCausalLM(cfg)
+        path = str(tmp_path / "mistral")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path)
+
     def test_qwen2(self, tmp_path):
         """Qwen2 carries q/k/v projection BIASES — dropping them silently
         degrades every Qwen checkpoint (review finding r2)."""
