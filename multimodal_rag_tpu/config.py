@@ -71,8 +71,11 @@ class Settings:
     TPU_LLM_QUANTIZE: bool = False
     # Continuous batching (serving_decode.DecodeServer): requests join the
     # running decode batch at token boundaries instead of waiting for the
-    # current batch to finish. Best under concurrent query load; the
-    # default coalescer is simpler and fine for ingest-style fan-out.
+    # current batch to finish. Best under sustained concurrent query load
+    # on a directly-attached TPU. Trade-off vs the default coalescer: the
+    # decode loop is host-driven (one dispatch per token, ~0.1-0.3 ms on a
+    # local host — but dominant over a relay/tunnel), while the coalescer
+    # runs the whole generation as one fused device loop.
     TPU_LLM_CONTINUOUS: bool = False
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
