@@ -579,6 +579,79 @@ def create_app(components: Optional[Components] = None) -> web.Application:
 
     # --- Prometheus metrics (the reference only sketched this in its
     # DEPLOYMENT.md:276-291; here it is a real text-format exporter) ------
+    async def chat_completions(request):
+        """OpenAI-compatible chat completions (non-streaming subset):
+        with USE_TPU_LLM the framework doubles as a standalone LLM server
+        — external tools speak the same contract the reference *consumed*
+        (``app/models/llm_adapter.py:169-223``), now served on-chip."""
+        try:
+            body = await request.json()
+        except Exception:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": "invalid JSON body",
+                           "type": "invalid_request_error"}}, status=400,
+            )
+        messages = body.get("messages")
+        if not isinstance(messages, list) or not messages:
+            return web.json_response(
+                {"error": {"message": "messages must be a non-empty list",
+                           "type": "invalid_request_error"}}, status=400,
+            )
+        if body.get("stream"):
+            return web.json_response(
+                {"error": {"message": "streaming is not supported",
+                           "type": "invalid_request_error"}}, status=400,
+            )
+        # Fold the chat into the adapter's system/user framing.
+        system = "\n".join(
+            str(m.get("content", "")) for m in messages
+            if m.get("role") == "system"
+        )
+        convo = "\n".join(
+            f"{m.get('role', 'user')}: {m.get('content', '')}"
+            for m in messages if m.get("role") != "system"
+        )
+        prompt = (system + "\n\n" + convo).strip()
+        max_tokens = int(body.get("max_tokens") or 256)
+        temperature = float(
+            body.get("temperature") if body.get("temperature") is not None
+            else 0.7
+        )
+        start = time.time()
+        try:
+            text = await comps.llm_adapter.generate_text(
+                prompt, max_tokens=max_tokens, temperature=temperature,
+            )
+        except Exception as e:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": f"generation failed: {e}",
+                           "type": "server_error"}}, status=503,
+            )
+        aggregator.record("chat.total", time.time() - start)
+        backend = getattr(comps.llm_adapter, "backend", "unknown")
+        return web.json_response(
+            {
+                "id": f"chatcmpl-{uuid.uuid4().hex[:24]}",
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": body.get("model") or f"mmrag-{backend}",
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": text},
+                        "finish_reason": "stop",
+                    }
+                ],
+                "usage": {
+                    # Approximate (whitespace) token accounting — the
+                    # adapters own tokenization.
+                    "prompt_tokens": len(prompt.split()),
+                    "completion_tokens": len(text.split()),
+                    "total_tokens": len(prompt.split()) + len(text.split()),
+                },
+            }
+        )
+
     async def metrics(request):
         lines = [
             "# HELP mmrag_stage_latency_seconds per-stage latency",
@@ -686,6 +759,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     app.router.add_delete("/document/{doc_id}", delete_document)
     app.router.add_get("/stats", stats)
     app.router.add_post("/search/images", search_images)
+    app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_get("/metrics", metrics)
     app.router.add_post("/profile", profile)
     app.router.add_get("/docs", docs)
@@ -712,6 +786,8 @@ def _route_docs():
         ("GET", "/stats", "system statistics"),
         ("POST", "/search/images", "cross-modal figure search {query, top_k}"),
         ("GET", "/metrics", "Prometheus text-format metrics"),
+        ("POST", "/v1/chat/completions",
+         "OpenAI-compatible chat completions (non-streaming)"),
     ]
 
 

@@ -443,3 +443,45 @@ async def _get_json(client, path):
     resp = await client.get(path)
     assert resp.status == 200
     return await resp.json()
+
+
+class TestChatCompletions:
+    """OpenAI-compatible /v1/chat/completions (non-streaming subset)."""
+
+    def test_basic_completion(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "model": "mmrag",
+                "messages": [
+                    {"role": "system", "content": "be brief"},
+                    {"role": "user", "content": "what is RAG?"},
+                ],
+                "max_tokens": 32,
+            })
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert body["object"] == "chat.completion"
+        assert body["choices"][0]["message"]["role"] == "assistant"
+        assert isinstance(body["choices"][0]["message"]["content"], str)
+        assert body["usage"]["total_tokens"] >= body["usage"]["prompt_tokens"]
+
+    def test_validation(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={"messages": []})
+        )
+        assert resp.status == 400
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "x"}],
+                "stream": True,
+            })
+        )
+        assert resp.status == 400
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", data=b"not json",
+                   headers={"Content-Type": "application/json"})
+        )
+        assert resp.status == 400
