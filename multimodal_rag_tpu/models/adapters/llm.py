@@ -105,9 +105,12 @@ class LLMAdapter(BaseLLMAdapter):
         temperature: float = 0.7,
         **kwargs,
     ) -> str:
+        # Validate before initialize: a client error (empty / oversized
+        # prompt) is determinable without a backend, and must not surface
+        # as a retryable backend-connection failure when the LLM is down.
+        self._validate_input(prompt)
         if not self.is_initialized:
             await self.initialize()
-        self._validate_input(prompt)
         if self.backend == "ollama":
             return await self._generate_ollama(
                 prompt, max_tokens, temperature, **kwargs

@@ -76,9 +76,10 @@ class MLLMAdapter(BaseLLMAdapter):
         temperature: float = 0.7,
         **kwargs,
     ) -> str:
+        # Client-input validation precedes backend init (see llm.py).
+        self._validate_input(prompt)
         if not self.is_initialized:
             await self.initialize()
-        self._validate_input(prompt)
         if self.backend == "ollama":
             full_prompt = (
                 f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"

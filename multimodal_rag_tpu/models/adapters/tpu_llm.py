@@ -25,6 +25,7 @@ not Nx.
 from __future__ import annotations
 
 import asyncio
+import functools
 import logging
 from typing import Any, Dict, List, Optional
 
@@ -66,8 +67,17 @@ class TPULLMAdapter(BaseLLMAdapter):
         self._worker: Optional[asyncio.Task] = None
         self._server = None  # DecodeServer when continuous batching is on
         self._continuous = continuous
-        self.batches_run = 0
+        self._batches_run = 0
         self.requests_served = 0
+
+    @property
+    def batches_run(self) -> int:
+        """Device dispatches that carried batched work: coalesced batches
+        in queue mode; decode steps (each one advances every joined row)
+        in continuous mode — so the counter is live in BOTH modes."""
+        if self._server is not None:
+            return self._server.steps_run
+        return self._batches_run
 
     async def initialize(self):
         if self.is_initialized:
@@ -132,19 +142,23 @@ class TPULLMAdapter(BaseLLMAdapter):
             prompts = [p for req in batch for p in req[0]]
             max_tokens, temperature, top_k = first[1]
             try:
-                outs = await asyncio.to_thread(
-                    self._decoder.generate,
-                    prompts,
-                    max_new_tokens=max_tokens,
-                    temperature=temperature,
-                    top_k=top_k,
+                outs, fins = await asyncio.to_thread(
+                    functools.partial(
+                        self._decoder.generate,
+                        prompts,
+                        max_new_tokens=max_tokens,
+                        temperature=temperature,
+                        top_k=top_k,
+                        return_finish=True,
+                    )
                 )
                 i = 0
                 for req_prompts, _key, fut in batch:
+                    n = len(req_prompts)
                     if not fut.done():
-                        fut.set_result(outs[i:i + len(req_prompts)])
-                    i += len(req_prompts)
-                self.batches_run += 1
+                        fut.set_result((outs[i:i + n], fins[i:i + n]))
+                    i += n
+                self._batches_run += 1
                 self.requests_served += len(batch)
             except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
                 for _p, _key, fut in batch:
@@ -153,33 +167,41 @@ class TPULLMAdapter(BaseLLMAdapter):
 
     async def _generate_batch(
         self, prompts: List[str], max_tokens: int, temperature: float, **kw
-    ) -> List[str]:
+    ) -> "tuple[List[str], List[str]]":
+        """Returns (texts, finish_reasons) — "stop" (EOS) / "length"."""
         if not self.is_initialized:
             await self.initialize()
         if self._server is not None:
-            outs = await asyncio.gather(
+            pairs = await asyncio.gather(
                 *(
                     self._server.submit(
-                        p, max_new_tokens=max_tokens, temperature=temperature
+                        p, max_new_tokens=max_tokens,
+                        temperature=temperature, return_finish=True,
                     )
                     for p in prompts
                 )
             )
             self.requests_served += len(prompts)
-            return list(outs)
-        # Key on the BUCKETED token budget — the executable-selecting
-        # static — so e.g. max_tokens 140 and 150 (both bucket 256)
-        # coalesce into one batch.
-        from multimodal_rag_tpu.models.decoder import GEN_BUCKETS, bucket_for
+            return [t for t, _ in pairs], [f for _, f in pairs]
+        # Key on the BUCKETED token budget and the SNAPPED temperature —
+        # the executable-selecting statics — so e.g. max_tokens 140 and
+        # 150 (both bucket 256) coalesce into one batch, and client-swept
+        # temperatures cannot fragment batching (or force recompiles).
+        from multimodal_rag_tpu.models.decoder import (
+            GEN_BUCKETS,
+            bucket_for,
+            snap_temperature,
+        )
 
         key = (
             bucket_for(int(max_tokens), GEN_BUCKETS),
-            float(temperature),
+            snap_temperature(temperature),
             int(kw.get("top_k", 64)),
         )
         fut = asyncio.get_running_loop().create_future()
         await self._queue.put((list(prompts), key, fut))
-        return await fut
+        texts, fins = await fut
+        return texts, fins
 
     async def generate_text(
         self,
@@ -188,12 +210,26 @@ class TPULLMAdapter(BaseLLMAdapter):
         temperature: float = 0.7,
         **kwargs,
     ) -> str:
+        text, _fin = await self.generate_text_with_finish(
+            prompt, max_tokens=max_tokens, temperature=temperature, **kwargs
+        )
+        return text
+
+    async def generate_text_with_finish(
+        self,
+        prompt: str,
+        max_tokens: int = 1000,
+        temperature: float = 0.7,
+        **kwargs,
+    ) -> "tuple[str, str]":
+        """Like ``generate_text`` but also returns the OpenAI-style finish
+        reason ("stop" | "length") for /v1/chat/completions."""
         self._validate_input(prompt)
         full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
-        out = await self._generate_batch(
+        outs, fins = await self._generate_batch(
             [full], max_tokens, temperature, **kwargs
         )
-        return out[0].strip()
+        return outs[0].strip(), fins[0]
 
     async def generate_multimodal(
         self,
@@ -233,7 +269,7 @@ class TPULLMAdapter(BaseLLMAdapter):
         **kwargs,
     ) -> str:
         self._validate_input(content)
-        out = await self._generate_batch(
+        out, _fins = await self._generate_batch(
             [self._summary_prompt(content, content_type, max_length)],
             max_tokens=max(32, int(max_length / 2)),
             temperature=0.3,
@@ -258,7 +294,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             self._summary_prompt(c, content_type, max_length)
             for c in contents
         ]
-        outs = await self._generate_batch(
+        outs, _fins = await self._generate_batch(
             prompts,
             max_tokens=max(32, int(max_length / 2)),
             temperature=0.3,

@@ -102,6 +102,20 @@ def bucket_for(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+# ``temperature`` is an executable-selecting static of ``generate_tokens``
+# (it changes the traced sampling graph). Serving paths snap it to this
+# grid so a client sweeping arbitrary floats (e.g. via /v1/chat/completions)
+# cannot force an XLA recompile per distinct value — same executable-set
+# bounding as GEN_BUCKETS for the token budget. 0.0 stays exact (greedy).
+TEMP_GRID = (0.0, 0.3, 0.7, 1.0, 1.5, 2.0)
+
+
+def snap_temperature(t: float) -> float:
+    """Nearest TEMP_GRID point to ``t`` (clamped to [0, 2])."""
+    t = min(max(float(t), 0.0), 2.0)
+    return min(TEMP_GRID, key=lambda g: abs(g - t))
+
+
 # ---------------------------------------------------------------------------
 # Parameters
 # ---------------------------------------------------------------------------
@@ -885,25 +899,35 @@ class TextDecoder:
         temperature: float = 0.7,
         top_k: int = 64,
         seed: int = 0,
-    ) -> list[str]:
+        return_finish: bool = False,
+    ) -> "list[str] | tuple[list[str], list[str]]":
+        """Generate one completion per prompt.
+
+        With ``return_finish=True`` also returns a per-row finish reason
+        (OpenAI semantics): ``"length"`` when the row used its full
+        ``max_new_tokens`` budget, ``"stop"`` when it ended at EOS.
+        """
         if not prompts:
-            return []
+            return ([], []) if return_finish else []
         max_bb = self.batch_buckets[-1]
         if len(prompts) > max_bb:  # chunk oversized fan-out
             out: list[str] = []
+            fins: list[str] = []
             for start in range(0, len(prompts), max_bb):
-                out.extend(
-                    self.generate(
-                        list(prompts[start:start + max_bb]),
-                        max_new_tokens=max_new_tokens,
-                        temperature=temperature,
-                        top_k=top_k,
-                        seed=seed + start,
-                    )
+                o, f = self.generate(
+                    list(prompts[start:start + max_bb]),
+                    max_new_tokens=max_new_tokens,
+                    temperature=temperature,
+                    top_k=top_k,
+                    seed=seed + start,
+                    return_finish=True,
                 )
-            return out
+                out.extend(o)
+                fins.extend(f)
+            return (out, fins) if return_finish else out
         ids, mask = self.prepare(prompts)
-        # Bucket max_new so the executable set stays small.
+        # Bucket max_new and snap temperature so the executable set stays
+        # small (both are statics of generate_tokens).
         max_new = bucket_for(max_new_tokens, GEN_BUCKETS)
         toks, lengths = generate_tokens(
             self.params,
@@ -912,14 +936,18 @@ class TextDecoder:
             jax.random.key(seed),
             self.cfg,
             max_new_tokens=max_new,
-            temperature=float(temperature),
+            temperature=snap_temperature(temperature),
             top_k=int(top_k),
             eos_id=int(self.eos_id),
         )
         toks = np.asarray(toks)
         lengths = np.asarray(lengths)
         out = []
+        fins = []
         for i in range(len(prompts)):
             n = min(int(lengths[i]), max_new_tokens)
             out.append(self.tokenizer.decode(toks[i, :n].tolist()))
-        return out
+            fins.append(
+                "length" if int(lengths[i]) >= max_new_tokens else "stop"
+            )
+        return (out, fins) if return_finish else out

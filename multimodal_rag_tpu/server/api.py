@@ -559,6 +559,16 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         {
                             "generation": {
                                 "backend": "tpu",
+                                # Continuous mode counts decode steps (each
+                                # advances every joined row); queue mode
+                                # counts coalesced batches.
+                                "mode": (
+                                    "continuous"
+                                    if getattr(
+                                        comps.llm_adapter, "_server", None
+                                    ) is not None
+                                    else "coalesced"
+                                ),
                                 "batches_run": comps.llm_adapter.batches_run,
                                 "requests_served":
                                     comps.llm_adapter.requests_served,
@@ -591,37 +601,97 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 {"error": {"message": "invalid JSON body",
                            "type": "invalid_request_error"}}, status=400,
             )
+        def bad_request(msg):
+            return web.json_response(
+                {"error": {"message": msg, "type": "invalid_request_error"}},
+                status=400,
+            )
+
+        if not isinstance(body, dict):
+            return bad_request("request body must be a JSON object")
         messages = body.get("messages")
         if not isinstance(messages, list) or not messages:
-            return web.json_response(
-                {"error": {"message": "messages must be a non-empty list",
-                           "type": "invalid_request_error"}}, status=400,
-            )
+            return bad_request("messages must be a non-empty list")
+        if not all(isinstance(m, dict) for m in messages):
+            return bad_request("each message must be an object")
         if body.get("stream"):
-            return web.json_response(
-                {"error": {"message": "streaming is not supported",
-                           "type": "invalid_request_error"}}, status=400,
-            )
+            return bad_request("streaming is not supported")
+
+        def content_text(content):
+            """OpenAI content is a string OR a list of typed parts —
+            extract the text parts instead of str()-ing the list."""
+            if isinstance(content, str):
+                return content
+            if isinstance(content, list):
+                out = []
+                for part in content:
+                    if not isinstance(part, dict):
+                        return None
+                    if part.get("type") == "text":
+                        out.append(str(part.get("text", "")))
+                    # non-text parts (image_url, ...) are unsupported here
+                    # and skipped; the RAG image path is /search/images.
+                return "\n".join(out)
+            return None
+
+        texts = {}
+        for i, m in enumerate(messages):
+            t = content_text(m.get("content", ""))
+            if t is None:
+                return bad_request(
+                    f"messages[{i}].content must be a string or a list "
+                    "of typed parts"
+                )
+            texts[i] = t
         # Fold the chat into the adapter's system/user framing.
         system = "\n".join(
-            str(m.get("content", "")) for m in messages
+            texts[i] for i, m in enumerate(messages)
             if m.get("role") == "system"
         )
         convo = "\n".join(
-            f"{m.get('role', 'user')}: {m.get('content', '')}"
-            for m in messages if m.get("role") != "system"
+            f"{m.get('role', 'user')}: {texts[i]}"
+            for i, m in enumerate(messages) if m.get("role") != "system"
         )
         prompt = (system + "\n\n" + convo).strip()
-        max_tokens = int(body.get("max_tokens") or 256)
-        temperature = float(
-            body.get("temperature") if body.get("temperature") is not None
-            else 0.7
-        )
+        # max_completion_tokens is the current-generation field name;
+        # max_tokens the deprecated one. Explicit 0 is rejected (OpenAI
+        # semantics), absence defaults to 256.
+        mt_raw = body.get("max_completion_tokens", body.get("max_tokens"))
+        if mt_raw is None:
+            max_tokens = 256
+        elif isinstance(mt_raw, int) and not isinstance(mt_raw, bool) \
+                and mt_raw >= 1:
+            max_tokens = min(mt_raw, 1024)
+        else:
+            return bad_request("max_tokens must be a positive integer")
+        t_raw = body.get("temperature", 0.7)
+        if not isinstance(t_raw, (int, float)) or isinstance(t_raw, bool) \
+                or not (0.0 <= float(t_raw) <= 2.0):
+            return bad_request("temperature must be a number in [0, 2]")
+        # Snap to the decoder's serving grid: temperature selects a
+        # compiled executable on the TPU path, so arbitrary client floats
+        # must not mint new compilations (models/decoder.py TEMP_GRID).
+        from multimodal_rag_tpu.models.decoder import snap_temperature
+
+        temperature = snap_temperature(float(t_raw))
         start = time.time()
+        finish_reason = "stop"
         try:
-            text = await comps.llm_adapter.generate_text(
-                prompt, max_tokens=max_tokens, temperature=temperature,
+            gen_meta = getattr(
+                comps.llm_adapter, "generate_text_with_finish", None
             )
+            if gen_meta is not None:
+                text, finish_reason = await gen_meta(
+                    prompt, max_tokens=max_tokens, temperature=temperature,
+                )
+            else:
+                text = await comps.llm_adapter.generate_text(
+                    prompt, max_tokens=max_tokens, temperature=temperature,
+                )
+        except ValueError as e:
+            # Adapter input validation (empty / >10k-char prompt) is the
+            # client's fault — a retryable 503 here would loop forever.
+            return bad_request(str(e))
         except Exception as e:  # noqa: BLE001
             return web.json_response(
                 {"error": {"message": f"generation failed: {e}",
@@ -639,7 +709,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     {
                         "index": 0,
                         "message": {"role": "assistant", "content": text},
-                        "finish_reason": "stop",
+                        "finish_reason": finish_reason,
                     }
                 ],
                 "usage": {

@@ -83,6 +83,7 @@ class _Request:
     future: asyncio.Future
     tokens: List[int] = field(default_factory=list)
     slot: int = -1
+    finish: str = "stop"  # "stop" (EOS) | "length" (budget exhausted)
 
 
 class DecodeServer:
@@ -132,9 +133,15 @@ class DecodeServer:
             self._task = None
 
     async def submit(
-        self, prompt: str, max_new_tokens: int = 256, temperature: float = 0.7
-    ) -> str:
-        """Generate text for ``prompt``; resolves when the row finishes."""
+        self,
+        prompt: str,
+        max_new_tokens: int = 256,
+        temperature: float = 0.7,
+        return_finish: bool = False,
+    ) -> "str | tuple[str, str]":
+        """Generate text for ``prompt``; resolves when the row finishes.
+        With ``return_finish=True`` returns ``(text, finish_reason)`` —
+        ``"stop"`` (EOS) or ``"length"`` (budget exhausted)."""
         self.start()
         ids = self.dec.tokenizer.encode(prompt)[-self.dec.prompt_buckets[-1]:]
         if max_new_tokens > self.max_new_cap:
@@ -151,7 +158,8 @@ class DecodeServer:
             future=fut,
         )
         await self.pending.put(req)
-        return await fut
+        text, finish = await fut
+        return (text, finish) if return_finish else text
 
     # -- scheduler --------------------------------------------------------
 
@@ -197,6 +205,7 @@ class DecodeServer:
         if first == self.eos_id or req.max_new_tokens <= 1:
             if first != self.eos_id:
                 req.tokens.append(first)
+                req.finish = "length"  # budget of 1, spent on a real token
             return [self._retire(slot)]
         req.tokens.append(first)
         return []
@@ -214,7 +223,9 @@ class DecodeServer:
         """Loop-thread only: hand results to the waiters."""
         for req in finished:
             if not req.future.done():
-                req.future.set_result(self.dec.tokenizer.decode(req.tokens))
+                req.future.set_result(
+                    (self.dec.tokenizer.decode(req.tokens), req.finish)
+                )
 
     def _step(self) -> List[_Request]:
         """One decode_step_rows dispatch for every active slot. Worker
@@ -250,6 +261,7 @@ class DecodeServer:
             req.tokens.append(tok)
             self.cur_tok[i] = tok
             if len(req.tokens) >= req.max_new_tokens:
+                req.finish = "length"
                 finished.append(self._retire(i))
         return finished
 

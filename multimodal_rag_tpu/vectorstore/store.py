@@ -536,8 +536,12 @@ class VectorStore:
                 # Small corpora take the exact-quantized XLA path: the
                 # pooled kernel's (tile, class) collision miss is only
                 # negligible at scale (ops/mips_topk_q8.py docstring).
+                # Gate on the dense prefix of WRITTEN rows, not the padded
+                # device capacity: a 10M-capacity store holding 4k rows has
+                # its live rows packed into a handful of tiles — exactly
+                # the (tile, class) collision regime the gate must avoid.
                 use_pallas = use_pallas and prefer_pallas_q8(
-                    self._dev_q8.shape[0], tile
+                    self._size, tile
                 )
                 key = (embed_fn, "q8", kc, tile, use_pallas)
                 fn = self._fused_fns.get(key)
@@ -852,8 +856,11 @@ class VectorStore:
         )
 
         kc = rescore_margin(k, self.count())
+        # Written-row prefix per shard, not capacity (see search_fused):
+        # the floor-divide understates tiles on unevenly filled shards,
+        # which errs toward the exact XLA path — never toward recall loss.
         use_pallas = self.use_pallas and prefer_pallas_q8(
-            self._dev_q8.shape[0] // max(1, self.n_devices),
+            self._size // max(1, self.n_devices),
             self._query_tile(),
         )
         if self.n_devices > 1:

@@ -239,6 +239,41 @@ class TestTextDecoder:
         assert len(outs) == 2
         assert all(isinstance(o, str) for o in outs)
 
+    def test_finish_reasons(self):
+        """A random-weight tiny decoder essentially never emits EOS, so a
+        small budget reports "length"; a row whose first sampled token is
+        EOS (forced via eos_id remap is not possible here, so only the
+        length side is asserted strictly) never reports "length" without
+        using its budget."""
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        outs, fins = dec.generate(["hello"], max_new_tokens=4,
+                                  temperature=0.0, return_finish=True)
+        assert len(outs) == 1 and len(fins) == 1
+        assert fins[0] in ("stop", "length")
+        # Greedy random-init decode virtually always runs to the cap.
+        if fins[0] == "length":
+            assert len(outs[0]) > 0
+
+    def test_temperature_snapped_to_grid(self):
+        """Arbitrary client temperatures must not mint new executables:
+        generate() snaps to TEMP_GRID, so two nearby floats produce the
+        same greedy/sampled program (here: identical greedy output for
+        0.0 vs 0.05, both snapping to 0.0)."""
+        from multimodal_rag_tpu.models.decoder import snap_temperature
+
+        assert snap_temperature(0.0) == 0.0
+        assert snap_temperature(0.05) == 0.0
+        assert snap_temperature(0.69) == 0.7
+        assert snap_temperature(0.71) == 0.7
+        assert snap_temperature(5.0) == 2.0
+        assert snap_temperature(-1.0) == 0.0
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        a = dec.generate(["same prompt"], max_new_tokens=4, temperature=0.0)
+        b = dec.generate(["same prompt"], max_new_tokens=4, temperature=0.05)
+        assert a == b
+
     def test_batch_row_isolation(self):
         """Row content must not leak across the batch: the same prompt
         generates the same greedy text alone and next to another row."""
@@ -306,12 +341,16 @@ class TestTPUAdapter:
             def __init__(self):
                 self.calls = []
 
-            def generate(self, prompts, max_new_tokens, temperature, top_k):
+            def generate(self, prompts, max_new_tokens, temperature, top_k,
+                         return_finish=False):
                 import time
 
                 self.calls.append(len(prompts))
                 time.sleep(0.05)  # hold the worker so the queue backs up
-                return [f"summary {p[:8]}" for p in prompts]
+                outs = [f"summary {p[:8]}" for p in prompts]
+                if return_finish:
+                    return outs, ["stop"] * len(outs)
+                return outs
 
         from multimodal_rag_tpu.models.adapters import TPULLMAdapter
 

@@ -118,6 +118,36 @@ class TestQuantizedStore:
         res = loaded.query(q, n_results=5)
         assert res["ids"][0] == [ids[i] for i in oidx[0]]
 
+    def test_pallas_gate_uses_written_rows_not_capacity(self):
+        """A pre-allocated store (large capacity, few rows) must route by
+        the dense prefix of WRITTEN rows: its live rows pack into a
+        handful of tiles, exactly the (tile, class) collision regime the
+        pooled kernel's gate exists to avoid. Capacity would pass the
+        tile-count gate here; _size must not — and the query stays
+        oracle-exact through the XLA path."""
+        from multimodal_rag_tpu.ops.mips_topk_q8 import (
+            Q8_PALLAS_MIN_TILES,
+            prefer_pallas_q8,
+        )
+
+        # _query_tile auto-doubles to 8192 here, so the smallest capacity
+        # that (wrongly) passes the tile-count gate is 8192 * MIN_TILES.
+        store, emb, ids = make_store(
+            50, seed=12,
+            initial_capacity=8192 * Q8_PALLAS_MIN_TILES,
+        )
+        tile = store._query_tile()
+        # Capacity alone would (wrongly) qualify for the pooled kernel...
+        assert prefer_pallas_q8(store._capacity, tile)
+        # ...but the written-row prefix must not.
+        assert not prefer_pallas_q8(store._size, tile)
+        q = unit(np.random.default_rng(13).standard_normal((2, DIM))
+                 .astype(np.float32))
+        res = store.query(q, n_results=5)
+        _, oidx = mips_topk_oracle(q, emb, 5)
+        for row in range(2):
+            assert res["ids"][row] == [ids[i] for i in oidx[row]]
+
     def test_fused_query_rescored(self):
         store, emb, ids = make_store(80, seed=10)
         q = unit(np.random.default_rng(11).standard_normal((1, DIM))
