@@ -231,6 +231,34 @@ class TPULLMAdapter(BaseLLMAdapter):
         )
         return outs[0].strip(), fins[0]
 
+    async def generate_text_stream(
+        self,
+        prompt: str,
+        max_tokens: int = 1000,
+        temperature: float = 0.7,
+        **kwargs,
+    ):
+        """Async generator of ``(text_delta, finish)`` pairs for SSE
+        streaming. Per-token in continuous mode (the decode server
+        flushes deltas each step while other rows keep decoding); in
+        coalesced mode the full completion arrives as one delta — still
+        valid streaming semantics, just coarse."""
+        self._validate_input(prompt)
+        if not self.is_initialized:
+            await self.initialize()
+        full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
+        if self._server is not None:
+            async for delta, fin in self._server.submit_stream(
+                full, max_new_tokens=max_tokens, temperature=temperature
+            ):
+                yield delta, fin
+            self.requests_served += 1
+            return
+        outs, fins = await self._generate_batch(
+            [full], max_tokens, temperature, **kwargs
+        )
+        yield outs[0].strip(), fins[0]
+
     async def generate_multimodal(
         self,
         text: str,

@@ -17,6 +17,7 @@ server. Request validation uses the same pydantic models and returns
 from __future__ import annotations
 
 import asyncio
+import json
 import logging
 import time
 import uuid
@@ -614,8 +615,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             return bad_request("messages must be a non-empty list")
         if not all(isinstance(m, dict) for m in messages):
             return bad_request("each message must be an object")
-        if body.get("stream"):
-            return bad_request("streaming is not supported")
+        stream = bool(body.get("stream"))
 
         def content_text(content):
             """OpenAI content is a string OR a list of typed parts —
@@ -675,6 +675,77 @@ def create_app(components: Optional[Components] = None) -> web.Application:
 
         temperature = snap_temperature(float(t_raw))
         start = time.time()
+        if stream:
+            # Pre-validate what the adapter would reject, BEFORE the SSE
+            # response is prepared — after that only in-band errors work.
+            if not prompt or len(prompt) > 10_000:
+                return bad_request(
+                    "prompt must be 1..10000 characters after folding"
+                )
+            cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+            created = int(time.time())
+            model = body.get("model") or "mmrag"
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                    "Connection": "keep-alive",
+                }
+            )
+            await resp.prepare(request)
+
+            def chunk(delta, fin=None):
+                return (
+                    "data: " + json.dumps({
+                        "id": cid,
+                        "object": "chat.completion.chunk",
+                        "created": created,
+                        "model": model,
+                        "choices": [{
+                            "index": 0,
+                            "delta": delta,
+                            "finish_reason": fin,
+                        }],
+                    }) + "\n\n"
+                ).encode()
+
+            await resp.write(chunk({"role": "assistant"}))
+            finish_reason = "stop"
+            try:
+                gen_stream = getattr(
+                    comps.llm_adapter, "generate_text_stream", None
+                )
+                if gen_stream is not None:
+                    async for delta, fin in gen_stream(
+                        prompt, max_tokens=max_tokens,
+                        temperature=temperature,
+                    ):
+                        if delta:
+                            await resp.write(chunk({"content": delta}))
+                        if fin is not None:
+                            finish_reason = fin
+                else:
+                    # HTTP adapters: one coarse delta (the full answer).
+                    text = await comps.llm_adapter.generate_text(
+                        prompt, max_tokens=max_tokens,
+                        temperature=temperature,
+                    )
+                    await resp.write(chunk({"content": text}))
+            except Exception as e:  # noqa: BLE001 — in-band SSE error
+                await resp.write(
+                    ("data: " + json.dumps({
+                        "error": {"message": f"generation failed: {e}",
+                                  "type": "server_error"},
+                    }) + "\n\n").encode()
+                )
+                await resp.write(b"data: [DONE]\n\n")
+                await resp.write_eof()
+                return resp
+            aggregator.record("chat.total", time.time() - start)
+            await resp.write(chunk({}, finish_reason))
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
         finish_reason = "stop"
         try:
             gen_meta = getattr(

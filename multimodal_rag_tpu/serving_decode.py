@@ -84,6 +84,10 @@ class _Request:
     tokens: List[int] = field(default_factory=list)
     slot: int = -1
     finish: str = "stop"  # "stop" (EOS) | "length" (budget exhausted)
+    # Streaming (submit_stream): per-request delta queue, drained by the
+    # consumer. Items are (text_delta, finish|None) or an exception.
+    stream_q: "Optional[asyncio.Queue]" = None
+    streamed_chars: int = 0
 
 
 class DecodeServer:
@@ -161,6 +165,58 @@ class DecodeServer:
         text, finish = await fut
         return (text, finish) if return_finish else text
 
+    async def submit_stream(
+        self,
+        prompt: str,
+        max_new_tokens: int = 256,
+        temperature: float = 0.7,
+    ):
+        """Per-token streaming variant of :meth:`submit`: an async
+        generator of ``(text_delta, finish)`` pairs. ``finish`` is None
+        for intermediate deltas and "stop"/"length" on the final one
+        (whose delta may be empty). Deltas are flushed after every decode
+        step, so a joined row streams while other rows keep decoding."""
+        self.start()
+        ids = self.dec.tokenizer.encode(prompt)[-self.dec.prompt_buckets[-1]:]
+        req = _Request(
+            prompt_ids=list(ids),
+            max_new_tokens=min(int(max_new_tokens), self.max_new_cap),
+            temperature=float(temperature),
+            future=asyncio.get_running_loop().create_future(),
+            stream_q=asyncio.Queue(),
+        )
+        await self.pending.put(req)
+        while True:
+            item = await req.stream_q.get()
+            if isinstance(item, BaseException):
+                raise item
+            delta, fin = item
+            yield delta, fin
+            if fin is not None:
+                return
+
+    def _push_stream(self, req: _Request, final: bool = False) -> None:
+        """Loop-thread only: emit the not-yet-streamed text of ``req``.
+        Incremental byte-level decodes can end mid-UTF-8-sequence; the
+        trailing replacement chars are held back until the next flush."""
+        if req.stream_q is None:
+            return
+        text = self.dec.tokenizer.decode(req.tokens)
+        if not final:
+            while text.endswith("�"):
+                text = text[:-1]
+        delta = text[req.streamed_chars:]
+        req.streamed_chars = len(text)
+        if delta or final:
+            req.stream_q.put_nowait((delta, req.finish if final else None))
+
+    def _flush_streams(self) -> None:
+        """Loop-thread only: push fresh deltas for every active streaming
+        request (finished ones are pushed by ``_resolve``)."""
+        for req in self.requests:
+            if req is not None and req.stream_q is not None:
+                self._push_stream(req)
+
     # -- scheduler --------------------------------------------------------
 
     def _free_slots(self) -> List[int]:
@@ -222,6 +278,8 @@ class DecodeServer:
     def _resolve(self, finished: List[_Request]) -> None:
         """Loop-thread only: hand results to the waiters."""
         for req in finished:
+            if req.stream_q is not None:
+                self._push_stream(req, final=True)
             if not req.future.done():
                 req.future.set_result(
                     (self.dec.tokenizer.decode(req.tokens), req.finish)
@@ -269,11 +327,16 @@ class DecodeServer:
         """Loop-thread only: fail every in-flight and pending waiter, then
         reset slot state so the loop can keep serving new requests."""
         for i, req in enumerate(self.requests):
-            if req is not None and not req.future.done():
-                req.future.set_exception(exc)
+            if req is not None:
+                if req.stream_q is not None:
+                    req.stream_q.put_nowait(exc)
+                if not req.future.done():
+                    req.future.set_exception(exc)
             self.requests[i] = None
         while not self.pending.empty():
             req = self.pending.get_nowait()
+            if req.stream_q is not None:
+                req.stream_q.put_nowait(exc)
             if not req.future.done():
                 req.future.set_exception(exc)
         self.key_mask[:] = 0
@@ -303,6 +366,7 @@ class DecodeServer:
                         )
                     )
                 self._resolve(await asyncio.to_thread(self._step))
+                self._flush_streams()
                 await asyncio.sleep(0)  # yield to submitters
             except asyncio.CancelledError:
                 raise

@@ -474,13 +474,6 @@ class TestChatCompletions:
         )
         assert resp.status == 400
         resp = loop.run_until_complete(
-            c.post("/v1/chat/completions", json={
-                "messages": [{"role": "user", "content": "x"}],
-                "stream": True,
-            })
-        )
-        assert resp.status == 400
-        resp = loop.run_until_complete(
             c.post("/v1/chat/completions", data=b"not json",
                    headers={"Content-Type": "application/json"})
         )
@@ -546,6 +539,50 @@ class TestChatCompletions:
             })
         )
         assert resp.status == 200
+
+    def test_streaming_sse(self, client):
+        """stream=true returns OpenAI-shaped SSE: role chunk, content
+        chunk(s), a final chunk carrying finish_reason, then [DONE]."""
+        import json as _json
+
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 16,
+                "stream": True,
+            })
+        )
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        raw = loop.run_until_complete(resp.text())
+        events = [
+            line[len("data: "):]
+            for line in raw.splitlines()
+            if line.startswith("data: ")
+        ]
+        assert events[-1] == "[DONE]"
+        chunks = [_json.loads(e) for e in events[:-1]]
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        content = "".join(
+            ch["choices"][0]["delta"].get("content", "")
+            for ch in chunks
+        )
+        assert content  # the fake adapter produced an answer
+        assert chunks[-1]["choices"][0]["finish_reason"] in (
+            "stop", "length"
+        )
+        assert all(ch["object"] == "chat.completion.chunk" for ch in chunks)
+
+    def test_streaming_oversized_prompt_rejected_before_sse(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "x" * 11_000}],
+                "stream": True,
+            })
+        )
+        assert resp.status == 400
 
     def test_oversized_prompt_is_400(self, client):
         """Adapter input validation (>10k chars) is a client error — a

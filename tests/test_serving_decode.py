@@ -121,6 +121,60 @@ class TestDecodeServer:
         outs = asyncio.run(run())
         assert all(isinstance(o, str) for o in outs)
 
+    def test_submit_stream_matches_submit(self):
+        """Streaming must assemble to exactly the non-streamed greedy text,
+        arrive in more than one delta (per-step flushing), and end with a
+        finish reason."""
+        dec = _decoder()
+
+        async def run():
+            srv = DecodeServer(dec, slots=2, max_new_cap=8)
+            whole = await srv.submit(
+                "stream me", max_new_tokens=8, temperature=0.0
+            )
+            deltas, fins = [], []
+            async for delta, fin in srv.submit_stream(
+                "stream me", max_new_tokens=8, temperature=0.0
+            ):
+                deltas.append(delta)
+                fins.append(fin)
+            await srv.stop()
+            return whole, deltas, fins
+
+        whole, deltas, fins = asyncio.run(run())
+        assert "".join(deltas) == whole
+        assert len([d for d in deltas if d]) > 1  # genuinely incremental
+        assert fins[-1] in ("stop", "length")
+        assert all(f is None for f in fins[:-1])
+
+    def test_adapter_stream_coalesced_and_continuous(self):
+        """generate_text_stream: one coarse delta in coalesced mode,
+        per-token deltas in continuous mode; both assemble to the
+        non-streamed answer."""
+        from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+
+        async def collect(a, **kw):
+            deltas, fin = [], None
+            async for d, f in a.generate_text_stream("hi", **kw):
+                deltas.append(d)
+                if f is not None:
+                    fin = f
+            return deltas, fin
+
+        async def run(continuous):
+            a = TPULLMAdapter(decoder=_decoder(), continuous=continuous)
+            await a.initialize()
+            whole = await a.generate_text("hi", max_tokens=6, temperature=0.0)
+            deltas, fin = await collect(a, max_tokens=6, temperature=0.0)
+            await a.cleanup()
+            return whole, deltas, fin
+
+        whole, deltas, fin = asyncio.run(run(False))
+        assert "".join(deltas) == whole and fin in ("stop", "length")
+        whole, deltas, fin = asyncio.run(run(True))
+        assert "".join(deltas).strip() == whole.strip()
+        assert fin in ("stop", "length")
+
     def test_single_request(self):
         dec = _decoder()
 
