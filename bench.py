@@ -159,21 +159,25 @@ def bench_retrieval_10m_int8(k=21, n_queries=8, tile_n=8192):
     return dt * 1e3
 
 
-def bench_decode(B=8, P=128):
+def bench_decode(B=8, P=128, quantize=False):
     """On-TPU generation (models/decoder.py): ms per decode step for a
     ~0.8B-param Llama-shaped decoder at batch B. Decode is weight-
     streaming bound (~1.57 GB bf16/step), so per-step time is nearly flat
     in B — measured 2.3 ms at B=1 vs 2.45 ms at B=8 on v5e (≈82% of the
-    HBM speed-of-light at B=1)."""
+    HBM speed-of-light at B=1). ``quantize=True`` measures the
+    TPU_LLM_QUANTIZE int8 path (~0.8 GB/step)."""
     from multimodal_rag_tpu.models.decoder import (
         DecoderConfig,
         decode_step,
         init_params,
         prefill,
+        quantize_decoder_params,
     )
 
     cfg = DecoderConfig()
     params = init_params(jax.random.key(0), cfg)
+    if quantize:
+        params = quantize_decoder_params(params)
     MAXNEW = 64
     S = P + MAXNEW
     rng = np.random.default_rng(0)
@@ -222,6 +226,10 @@ def main():
         decode_ms = round(bench_decode(), 3)
     except Exception:  # noqa: BLE001 — small-memory backends skip
         decode_ms = None
+    try:
+        decode_int8_ms = round(bench_decode(quantize=True), 3)
+    except Exception:  # noqa: BLE001
+        decode_int8_ms = None
     result = {
         "metric": "embed_chunks_per_sec_per_chip",
         "value": round(embed_cps, 1),
@@ -236,6 +244,7 @@ def main():
             "retrieval_ms_per_8q_10M_top5": retr10m_ms,
             "retrieval_ms_per_8q_10M_top5_int8_kc21": retr10m_int8_ms,
             "decode_ms_per_step_0p8B_b8": decode_ms,
+            "decode_ms_per_step_0p8B_b8_int8": decode_int8_ms,
             "bench_wall_s": round(time.time() - t_start, 1),
         },
     }

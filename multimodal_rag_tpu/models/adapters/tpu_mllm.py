@@ -37,24 +37,32 @@ class TPUMLLMAdapter(BaseLLMAdapter):
         super().__init__(model_name or "tpu-llava", **kwargs)
         self.backend = "tpu"
         self._gen = generator  # tests inject a tiny LlavaGenerator
-        self._lock: Optional[asyncio.Lock] = None
+        # Created once here (never rebound): it both serializes device
+        # generation AND guards lazy init — two concurrent first calls
+        # must not each build a LlavaGenerator (double checkpoint load,
+        # ~2x HBM) or end up holding different lock objects.
+        self._lock = asyncio.Lock()
         self._supports_vision = True
 
     async def initialize(self):
         if self.is_initialized:
             return
-        if self._gen is None:
-            from multimodal_rag_tpu.config import settings
-            from multimodal_rag_tpu.models.llava import LlavaGenerator
+        async with self._lock:
+            if self.is_initialized:  # lost the race to another caller
+                return
+            if self._gen is None:
+                from multimodal_rag_tpu.config import settings
+                from multimodal_rag_tpu.models.llava import LlavaGenerator
 
-            self._gen = await asyncio.to_thread(
-                LlavaGenerator,
-                checkpoint_path=settings.MMRAG_MLLM_CHECKPOINT_PATH or None,
-            )
-        self._lock = asyncio.Lock()
-        if self._gen.pretrained:
-            self.model_name = "tpu-llava (pretrained)"
-        self.is_initialized = True
+                self._gen = await asyncio.to_thread(
+                    LlavaGenerator,
+                    checkpoint_path=(
+                        settings.MMRAG_MLLM_CHECKPOINT_PATH or None
+                    ),
+                )
+            if self._gen.pretrained:
+                self.model_name = "tpu-llava (pretrained)"
+            self.is_initialized = True
         logger.info(
             "TPUMLLMAdapter initialized (pretrained=%s)", self._gen.pretrained
         )
@@ -75,7 +83,12 @@ class TPUMLLMAdapter(BaseLLMAdapter):
             try:
                 if b64.startswith("data:"):
                     b64 = b64.split(",", 1)[1]
-                out.append(Image.open(BytesIO(base64.b64decode(b64))))
+                img = Image.open(BytesIO(base64.b64decode(b64)))
+                # Image.open is lazy — force the full decode here so a
+                # truncated payload is dropped now instead of failing
+                # the whole generation later inside preprocess.
+                img.load()
+                out.append(img)
             except Exception as e:  # noqa: BLE001 — skip bad payloads
                 logger.warning("Dropping undecodable image: %s", e)
         return out
@@ -146,6 +159,7 @@ class TPUMLLMAdapter(BaseLLMAdapter):
                 images=[image_base64],
                 max_tokens=max(32, int(max_length / 2)),
                 temperature=0.3,
+                **kwargs,
             )
         else:
             self._validate_input(content)

@@ -25,9 +25,9 @@ import numpy as np
 from multimodal_rag_tpu.models.minilm import (
     MINILM_L6,
     EncoderConfig,
-    bucket_for,
     encoder_forward,
     init_params as init_encoder_params,
+    pad_to_buckets,
 )
 from multimodal_rag_tpu.models.tokenizer import (
     CLS_ID,
@@ -165,17 +165,19 @@ class CrossEncoderReranker:
         """→ (len(passages),) relevance logits."""
         if not passages:
             return np.zeros((0,), np.float32)
+        max_bb = self.batch_buckets[-1]
+        if len(passages) > max_bb:  # chunk oversized candidate sets
+            return np.concatenate([
+                self.score(query, list(passages[i:i + max_bb]))
+                for i in range(0, len(passages), max_bb)
+            ])
         ids, mask = pack_pairs(
             self.tokenizer, [query] * len(passages), list(passages),
             self.seq_buckets[-1],
         )
-        longest = int(mask.sum(axis=1).max())
-        sb = bucket_for(longest, self.seq_buckets)
-        bb = bucket_for(len(passages), self.batch_buckets)
-        ids_p = np.zeros((bb, sb), np.uint32)
-        mask_p = np.zeros((bb, sb), np.int32)
-        ids_p[: len(passages)] = ids[:, :sb]
-        mask_p[: len(passages)] = mask[:, :sb]
+        ids_p, mask_p = pad_to_buckets(
+            ids, mask, len(passages), self.seq_buckets, self.batch_buckets,
+        )
         out = self._jit_score(
             self.params, jnp.asarray(ids_p), jnp.asarray(mask_p)
         )

@@ -187,18 +187,24 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     framework's context caps)."""
     mtype = hf.get("model_type", "llama")
     gemma = mtype.startswith("gemma")
-    heads = hf["num_attention_heads"]
+    # Nested text_configs (llava's) ship SPARSE — HF relies on the
+    # LlamaConfig defaults for omitted keys, so a KeyError here would
+    # reject real llava-1.5 snapshots. Use the same defaults (HF
+    # transformers LlamaConfig: 32 heads, 32 layers, 4096 hidden,
+    # 11008 intermediate, 32000 vocab).
+    heads = hf.get("num_attention_heads", 32)
+    hidden = hf.get("hidden_size", 4096)
     return DecoderConfig(
         qkv_bias=(mtype == "qwen2"),
         post_norms=(mtype == "gemma2"),
-        vocab_size=hf["vocab_size"],
-        hidden_dim=hf["hidden_size"],
-        num_layers=hf["num_hidden_layers"],
+        vocab_size=hf.get("vocab_size", 32000),
+        hidden_dim=hidden,
+        num_layers=hf.get("num_hidden_layers", 32),
         num_heads=heads,
         num_kv_heads=hf.get("num_key_value_heads", heads),
         # `or` (not a .get default): some configs write "head_dim": null.
-        head_dim=hf.get("head_dim") or hf["hidden_size"] // heads,
-        ff_dim=hf["intermediate_size"],
+        head_dim=hf.get("head_dim") or hidden // heads,
+        ff_dim=hf.get("intermediate_size", 11008),
         max_position=hf.get("max_position_embeddings", 4096),
         rope_theta=hf.get("rope_theta", 10000.0),
         norm_eps=hf.get("rms_norm_eps", 1e-6),

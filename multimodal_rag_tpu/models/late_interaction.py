@@ -34,6 +34,7 @@ from multimodal_rag_tpu.models.minilm import (
     EncoderConfig,
     bucket_for,
     encoder_forward,
+    pad_to_buckets,
 )
 
 logger = logging.getLogger(__name__)
@@ -100,17 +101,21 @@ class LateInteractionReranker:
     def score(self, query: str, passages: Sequence[str]) -> np.ndarray:
         if not passages:
             return np.zeros((0,), np.float32)
+        max_bb = self.batch_buckets[-1]
+        if len(passages) > max_bb:  # chunk oversized candidate sets
+            return np.concatenate([
+                self.score(query, list(passages[i:i + max_bb]))
+                for i in range(0, len(passages), max_bb)
+            ])
         tok = self.encoder.tokenizer
         max_s = self.seq_buckets[-1]
         q_ids, q_mask = tok.encode_batch([query], max_s)
         d_ids, d_mask = tok.encode_batch(list(passages), max_s)
         sq = bucket_for(int(q_mask.sum()), self.seq_buckets)
-        sd = bucket_for(int(d_mask.sum(axis=1).max()), self.seq_buckets)
-        bb = bucket_for(len(passages), self.batch_buckets)
-        d_ids_p = np.zeros((bb, sd), np.uint32)
-        d_mask_p = np.zeros((bb, sd), np.int32)
-        d_ids_p[: len(passages)] = d_ids[:, :sd]
-        d_mask_p[: len(passages)] = d_mask[:, :sd]
+        d_ids_p, d_mask_p = pad_to_buckets(
+            d_ids, d_mask, len(passages),
+            self.seq_buckets, self.batch_buckets,
+        )
         scores = _score_candidates(
             self.encoder.params,
             jnp.asarray(q_ids[:, :sq]), jnp.asarray(q_mask[:, :sq]),

@@ -49,6 +49,7 @@ from multimodal_rag_tpu.models.decoder import (
     config_from_hf,
     generate_tokens_embeds,
     map_hf_causal_lm,
+    snap_temperature,
 )
 
 logger = logging.getLogger(__name__)
@@ -249,6 +250,17 @@ class LlavaGenerator:
                 params = None
         if tokenizer is None and self.pretrained:
             tokenizer = load_decoder_tokenizer(checkpoint_path)
+            if tokenizer is None:
+                # Real weights + byte-level fallback = garbage output
+                # that health would report as "pretrained=true" — make
+                # the mismatch impossible to miss.
+                logger.error(
+                    "Checkpoint %s has no tokenizer.json; falling back to "
+                    "the byte tokenizer, whose ids DO NOT match the "
+                    "pretrained vocabulary — output will be gibberish. "
+                    "Ship the snapshot's tokenizer.json alongside the "
+                    "weights.", checkpoint_path,
+                )
         if tokenizer is None:
             tokenizer = ByteTokenizer()
         self.tokenizer = tokenizer
@@ -320,7 +332,34 @@ class LlavaGenerator:
         embeds = splice_multimodal(self.params, ids, img_embeds, self.cfg)
 
         P_pad = bucket_for(embeds.shape[0], self.prompt_buckets)
-        embeds = embeds[-P_pad:]
+        if embeds.shape[0] > P_pad:
+            # Naive left-truncation would silently discard the image
+            # rows (they sit at the front of the llava layout) and turn
+            # multimodal generation text-only. Keep the image prefix and
+            # cut the text MIDDLE instead, preserving the question tail.
+            img_end = (
+                self._image_region_end(ids, len(images)) if images else 0
+            )
+            if 0 < img_end < P_pad:
+                keep_tail = P_pad - img_end
+                logger.warning(
+                    "Prompt (%d rows) exceeds bucket %d; keeping the %d "
+                    "image rows and truncating middle text",
+                    embeds.shape[0], P_pad, img_end,
+                )
+                embeds = np.concatenate(
+                    [embeds[:img_end], embeds[-keep_tail:]], axis=0
+                )
+            else:
+                if img_end:
+                    logger.warning(
+                        "Image region (%d rows) alone exceeds the prompt "
+                        "bucket %d; image rows are truncated and "
+                        "multimodal context is degraded — raise "
+                        "prompt_buckets or send fewer images",
+                        img_end, P_pad,
+                    )
+                embeds = embeds[-P_pad:]
         pad = P_pad - embeds.shape[0]
         emb_p = np.zeros((1, P_pad, embeds.shape[1]), np.float32)
         mask = np.zeros((1, P_pad), np.int32)
@@ -335,9 +374,27 @@ class LlavaGenerator:
             jax.random.key(seed),
             self.cfg.text,
             max_new_tokens=max_new,
-            temperature=float(temperature),
+            # temperature is an executable-selecting static: snap to the
+            # serving grid (decoder.py TEMP_GRID), same as the text path.
+            temperature=snap_temperature(temperature),
             top_k=int(top_k),
             eos_id=int(self.eos_id),
         )
         n = min(int(np.asarray(lengths)[0]), max_new_tokens)
         return self.tokenizer.decode(np.asarray(toks)[0, :n].tolist())
+
+    def _image_region_end(self, ids: Sequence[int], n_images: int) -> int:
+        """Row index (in the spliced sequence) one past the last image's
+        rows — the prefix [0, end) must survive truncation for the
+        generation to stay multimodal."""
+        row = 0
+        seen = 0
+        for tid in ids:
+            if tid == self.cfg.image_token_id and seen < n_images:
+                row += self.cfg.n_image_tokens
+                seen += 1
+                if seen == n_images:
+                    return row
+            else:
+                row += 1
+        return row if seen else 0

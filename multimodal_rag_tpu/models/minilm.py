@@ -97,6 +97,33 @@ def bucket_for(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def pad_to_buckets(
+    ids: np.ndarray,
+    mask: np.ndarray,
+    n: int,
+    seq_buckets: Sequence[int],
+    batch_buckets: Sequence[int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad ``n`` tokenized rows to the smallest (batch_bucket, seq_bucket)
+    that fits — the shared fixed-shape recipe of the rerankers
+    (cross_encoder.score, late_interaction.score). ``n`` must not exceed
+    the largest batch bucket; callers chunk oversized batches (bucket_for
+    CLAMPS to the largest bucket, it does not grow)."""
+    bb = bucket_for(n, batch_buckets)
+    if n > bb:
+        raise ValueError(
+            f"batch of {n} exceeds the largest batch bucket {bb}; "
+            "chunk the inputs"
+        )
+    longest = int(mask[:n].sum(axis=1).max())
+    sb = bucket_for(longest, seq_buckets)
+    ids_p = np.zeros((bb, sb), np.uint32)
+    mask_p = np.zeros((bb, sb), np.int32)
+    ids_p[:n] = ids[:n, :sb]
+    mask_p[:n] = mask[:n, :sb]
+    return ids_p, mask_p
+
+
 # ---------------------------------------------------------------------------
 # Parameters
 # ---------------------------------------------------------------------------

@@ -255,6 +255,26 @@ class TestTextDecoder:
         if fins[0] == "length":
             assert len(outs[0]) > 0
 
+    def test_config_from_hf_sparse_llama(self):
+        """Nested llava text_configs ship sparse, relying on HF
+        LlamaConfig defaults — config_from_hf must fill them, not
+        KeyError (which would silently reject a real llava-1.5 snapshot
+        into random init)."""
+        from multimodal_rag_tpu.models.decoder import config_from_hf
+
+        cfg = config_from_hf({
+            "model_type": "llama",
+            "vocab_size": 32064,
+            "max_position_embeddings": 4096,
+            "rms_norm_eps": 1e-5,
+        })
+        assert cfg.vocab_size == 32064
+        assert cfg.hidden_dim == 4096
+        assert cfg.num_layers == 32
+        assert cfg.num_heads == 32
+        assert cfg.ff_dim == 11008
+        assert cfg.head_dim == 128
+
     def test_temperature_snapped_to_grid(self):
         """Arbitrary client temperatures must not mint new executables:
         generate() snaps to TEMP_GRID, so two nearby floats produce the

@@ -112,6 +112,19 @@ class TestReranker:
         out = rr.rerank("q", results, top_k=2)
         assert len(out["ids"]) == 2
 
+    def test_oversized_batch_chunks(self):
+        """More candidates than the largest batch bucket must chunk, not
+        raise a broadcast error."""
+        rr = LateInteractionReranker(make_encoder(), batch_buckets=(4, 8))
+        passages = [f"passage number {i}" for i in range(11)]
+        scores = rr.score("q words", passages)
+        assert scores.shape == (11,)
+        want = np.concatenate([
+            rr.score("q words", passages[:8]),
+            rr.score("q words", passages[8:]),
+        ])
+        np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-5)
+
     def test_untrained_is_passthrough(self):
         rr = LateInteractionReranker(make_encoder(pretrained=False))
         results = {

@@ -84,6 +84,43 @@ class TestGenerator:
         out = gen.generate("hello", max_new_tokens=8, temperature=0.0)
         assert isinstance(out, str)
 
+    def test_overflow_keeps_image_rows(self, caplog):
+        """A prompt that overflows the largest bucket must truncate the
+        text MIDDLE, not the image rows at the front (naive left-slice
+        would silently turn the generation text-only)."""
+        import logging
+
+        gen = LlavaGenerator(
+            params=init_llava_params(jax.random.key(0), TINY_BYTE),
+            cfg=TINY_BYTE,
+            prompt_buckets=(32, 64),
+        )
+        img = np.zeros((40, 40, 3), np.uint8)
+        from PIL import Image
+
+        long_prompt = "lots of words " * 40  # way past the 64 bucket
+        with caplog.at_level(logging.WARNING):
+            out = gen.generate(
+                "describe " + long_prompt, images=[Image.fromarray(img)],
+                max_new_tokens=8, temperature=0.0,
+            )
+        assert isinstance(out, str)
+        assert any(
+            "keeping" in r.message and "image rows" in r.message
+            for r in caplog.records
+        ), [r.message for r in caplog.records]
+
+    def test_image_region_end(self):
+        gen = LlavaGenerator(
+            params=init_llava_params(jax.random.key(0), TINY_BYTE),
+            cfg=TINY_BYTE,
+        )
+        # ids: 2 text tokens, one image placeholder, 2 text tokens.
+        ids = [3, 4, TINY_BYTE.image_token_id, 5, 6]
+        end = gen._image_region_end(ids, 1)
+        assert end == 2 + TINY_BYTE.n_image_tokens
+        assert gen._image_region_end([3, 4], 0) == 0
+
 
 TINY_BYTE = LlavaConfig(
     text=DecoderConfig(

@@ -57,6 +57,18 @@ class TestScoring:
         assert scores.shape == (3,)
         assert np.isfinite(scores).all()
 
+    def test_oversized_batch_chunks(self, reranker):
+        """More passages than the largest batch bucket (8) must chunk,
+        not crash or silently score only the first bucket's worth."""
+        passages = [f"passage number {i}" for i in range(11)]
+        scores = reranker.score("what is ml", passages)
+        assert scores.shape == (11,)
+        want = np.concatenate([
+            reranker.score("what is ml", passages[:8]),
+            reranker.score("what is ml", passages[8:]),
+        ])
+        np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-5)
+
     def test_deterministic(self, reranker):
         a = reranker.score("q", ["a", "b"])
         b = reranker.score("q", ["a", "b"])
