@@ -447,16 +447,22 @@ def ivf_fine_search(
 _SENTINEL = jnp.int32(1 << 30)
 
 
-def _probe_union(queries, layout, nprobe):
+def probe_union_arrays(queries, centroids, nprobe, live_blocks=None):
     """Coarse centroid scan → deduped, ascending union of probed block ids
-    (padded with a sentinel) + real count. All on device."""
-    n_blocks = layout.block_centroids.shape[0]
+    (padded with a sentinel) + real count. All on device. Array-level so
+    the sharded path (parallel/sharded_ivf.py) shares it verbatim;
+    ``live_blocks`` (traced scalar) masks trailing dead centroid slots of
+    a fixed-capacity shard."""
+    n_blocks = centroids.shape[0]
     nprobe = min(nprobe, n_blocks)
     coarse = jnp.dot(
         queries.astype(jnp.float32),
-        layout.block_centroids.T,
+        centroids.T,
         preferred_element_type=jnp.float32,
     )  # (B, n_blocks)
+    if live_blocks is not None:
+        iota = jax.lax.broadcasted_iota(jnp.int32, coarse.shape, 1)
+        coarse = jnp.where(iota < live_blocks, coarse, NEG_INF)
     _, block_ids = jax.lax.top_k(coarse, nprobe)
     flat = jnp.sort(block_ids.reshape(-1).astype(jnp.int32))
     dup = jnp.concatenate(
@@ -465,6 +471,36 @@ def _probe_union(queries, layout, nprobe):
     u = jnp.sum(~dup).astype(jnp.int32)
     ids = jnp.sort(jnp.where(dup, _SENTINEL, flat))
     return ids, u
+
+
+def _probe_union(queries, layout, nprobe):
+    return probe_union_arrays(queries, layout.block_centroids, nprobe)
+
+
+def fine_scan_xla(queries, vectors, n_live, ids, u, block_rows, mask, k):
+    """XLA fine scan over a probe union (array-level; shared by
+    ``ivf_search_xla`` and the sharded path): gather probed blocks,
+    mask dead/padded rows, exact top-k."""
+    n_blocks = vectors.shape[0] // block_rows
+    safe_ids = jnp.minimum(ids, n_blocks - 1)
+    U = ids.shape[0]
+    blocks = vectors.reshape(n_blocks, block_rows, -1)
+    cand = blocks[safe_ids].reshape(U * block_rows, -1)
+    scores = jnp.dot(
+        queries.astype(jnp.float32), cand.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )  # (B, U*block_rows)
+    pos = jnp.arange(U * block_rows)
+    rows_global = safe_ids[pos // block_rows] * block_rows + (
+        pos % block_rows
+    )
+    invalid = (pos // block_rows >= u) | (rows_global >= n_live)
+    scores = jnp.where(invalid[None, :], NEG_INF, scores)
+    scores = scores + jnp.take(mask[0], rows_global)[None, :]
+    k_eff = min(k, U * block_rows)
+    vals, local = jax.lax.top_k(scores, k_eff)
+    rows = rows_global[local]
+    return vals, rows.astype(jnp.int32)
 
 
 def ivf_search(
@@ -500,23 +536,8 @@ def ivf_search_xla(
 ) -> Tuple[jax.Array, jax.Array]:
     """XLA reference path over the same probe union (gathers probed blocks;
     for verification and non-TPU backends)."""
-    n_blocks = layout.block_centroids.shape[0]
-    br = layout.block_rows
     ids, u = _probe_union(queries, layout, nprobe)  # (U,), count
-    U = ids.shape[0]
-    safe_ids = jnp.minimum(ids, n_blocks - 1)
-    blocks = layout.vectors.reshape(n_blocks, br, -1)
-    cand = blocks[safe_ids].reshape(U * br, -1)  # (U*br, D)
-    scores = jnp.dot(
-        queries.astype(jnp.float32), cand.astype(jnp.float32).T,
-        preferred_element_type=jnp.float32,
-    )  # (B, U*br)
-    pos = jnp.arange(U * br)
-    rows_global = safe_ids[pos // br] * br + (pos % br)
-    invalid = (pos // br >= u) | (rows_global >= layout.n_live)
-    scores = jnp.where(invalid[None, :], NEG_INF, scores)
-    scores = scores + jnp.take(layout.mask[0], rows_global)[None, :]
-    k_eff = min(k, U * br)
-    vals, local = jax.lax.top_k(scores, k_eff)
-    rows = rows_global[local]
-    return vals, rows.astype(jnp.int32)
+    return fine_scan_xla(
+        queries, layout.vectors, jnp.int32(layout.n_live), ids, u,
+        layout.block_rows, layout.mask, k,
+    )

@@ -31,6 +31,7 @@ through the scan. Verified equal to the single-device forward on an
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -38,6 +39,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodal_rag_tpu.models.decoder import DecoderConfig
+
+logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -65,9 +68,15 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
     output. Head groups must split evenly over the model axis."""
     assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
     assert cfg.ff_dim % tp == 0, (cfg.ff_dim, tp)
-    # KV heads may be fewer than tp; GSPMD replicates the remainder, which
-    # is correct but wasteful — warn via assert only when indivisible and
-    # also not replicable.
+    # KV heads that don't divide tp fall back to REPLICATED wk/wv —
+    # correct but each device then streams the full KV projections
+    # (the HBM cost the module docstring warns about). Say so out loud.
+    if cfg.num_kv_heads % tp != 0:
+        logger.warning(
+            "num_kv_heads=%d does not divide tp=%d: wk/wv replicate "
+            "across the model axis instead of sharding",
+            cfg.num_kv_heads, tp,
+        )
     col = P(None, None, MODEL_AXIS)  # (L, in, out) → shard out
     row = P(None, MODEL_AXIS, None)  # (L, in, out) → shard in
     rep1 = P(None, None)

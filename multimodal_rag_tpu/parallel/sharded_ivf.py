@@ -28,8 +28,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodal_rag_tpu.ops.ivf import (
     ClusteredLayout,
-    ivf_fine_search,
     build_clustered_layout,
+    fine_scan_xla,
+    ivf_fine_search,
+    probe_union_arrays,
 )
 from multimodal_rag_tpu.ops.mips_topk import NEG_INF, default_use_pallas
 from multimodal_rag_tpu.parallel.sharding import DATA_AXIS
@@ -118,26 +120,11 @@ def _local_search(q, vecs, cents, meta, mask, *, k, nprobe, block_rows,
     # mask arrives as the local (1, rows_pad) block — the fine kernel's shape
     live_blocks = meta[0, 0]
     n_live = meta[0, 1]
-    max_blocks = cents.shape[0]
     rows_pad = vecs.shape[0]
 
-    coarse = jnp.dot(
-        q.astype(jnp.float32), cents.T, preferred_element_type=jnp.float32
-    )  # (B, max_blocks)
-    block_ids_iota = jax.lax.broadcasted_iota(
-        jnp.int32, coarse.shape, 1
-    )
-    coarse = jnp.where(block_ids_iota < live_blocks, coarse, NEG_INF)
-    nprobe_eff = min(nprobe, max_blocks)
-    _, block_ids = jax.lax.top_k(coarse, nprobe_eff)
-
-    # Dedup union (sorted ascending; padding → sentinel past live blocks).
-    flat = jnp.sort(block_ids.reshape(-1).astype(jnp.int32))
-    dup = jnp.concatenate(
-        [jnp.zeros((1,), jnp.bool_), flat[1:] == flat[:-1]]
-    )
-    u = jnp.sum(~dup).astype(jnp.int32)
-    ids = jnp.sort(jnp.where(dup, jnp.int32(1 << 30), flat))
+    # Shared single-chip helpers (ops/ivf.py) keep the probe/dedup and
+    # XLA fine-scan semantics provably identical to the unsharded path.
+    ids, u = probe_union_arrays(q, cents, nprobe, live_blocks=live_blocks)
 
     if use_pallas:
         vals, rows = ivf_fine_search(
@@ -145,22 +132,9 @@ def _local_search(q, vecs, cents, meta, mask, *, k, nprobe, block_rows,
             mask=mask,
         )
     else:
-        safe = jnp.minimum(ids, max_blocks - 1)
-        blocks = vecs.reshape(max_blocks, block_rows, -1)
-        cand = blocks[safe].reshape(-1, vecs.shape[-1])
-        scores = jnp.dot(
-            q.astype(jnp.float32), cand.astype(jnp.float32).T,
-            preferred_element_type=jnp.float32,
+        vals, rows = fine_scan_xla(
+            q, vecs, n_live, ids, u, block_rows, mask, k
         )
-        pos = jnp.arange(cand.shape[0])
-        rows_global = safe[pos // block_rows] * block_rows + (
-            pos % block_rows
-        )
-        invalid = (pos // block_rows >= u) | (rows_global >= n_live)
-        scores = jnp.where(invalid[None, :], NEG_INF, scores)
-        scores = scores + jnp.take(mask[0], rows_global)[None, :]
-        vals, local = jax.lax.top_k(scores, min(k, cand.shape[0]))
-        rows = rows_global[local].astype(jnp.int32)
 
     shard = jax.lax.axis_index(DATA_AXIS)
     virtual = rows + shard * rows_pad  # globally unique layout row

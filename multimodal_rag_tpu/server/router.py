@@ -40,6 +40,11 @@ from aiohttp import web
 logger = logging.getLogger(__name__)
 
 HEALTH_SWEEP_S = 15.0
+# Mirror of the backend's upload cap (server/api.py: MAX_UPLOAD_SIZE +
+# 1 MB slack). The router buffers the body to retry it on another slice,
+# so accepting more than any backend can take would (a) waste router RSS
+# and (b) forward a doomed request to every slice in turn.
+MAX_UPLOAD_BYTES = 52 * 1024 * 1024
 
 
 class SlicePool:
@@ -85,7 +90,7 @@ def create_router_app(
     backends: List[str], state_path: Optional[str] = None
 ) -> web.Application:
     pool = SlicePool(backends, state_path)
-    app = web.Application(client_max_size=1 << 30)
+    app = web.Application(client_max_size=MAX_UPLOAD_BYTES)
     app["pool"] = pool
 
     def session() -> aiohttp.ClientSession:
@@ -150,12 +155,24 @@ def create_router_app(
                 async with session().post(
                     f"{backend}/upload", data=raw, headers=headers
                 ) as r:
-                    body = await r.json()
+                    # Parse the body AFTER branching on status: backend
+                    # 4xx/413 responses may be text/plain, and a parse
+                    # error must not be mistaken for a dead slice.
                     if r.status == 200:
+                        body = await r.json()
                         pool.doc_owner[body["doc_id"]] = backend
                         pool.save()
-                    return web.json_response(body, status=r.status)
-            except Exception as e:  # noqa: BLE001
+                        return web.json_response(body)
+                    try:
+                        body = await r.json()
+                    except Exception:  # noqa: BLE001 — non-JSON error page
+                        body = {"detail": (await r.text())[:500]}
+                    if 400 <= r.status < 500:
+                        # Client error: same on every slice — propagate,
+                        # don't mark the healthy slice down or retry.
+                        return web.json_response(body, status=r.status)
+                    last_error = f"slice {backend} returned {r.status}"
+            except Exception as e:  # noqa: BLE001 — connection-level
                 pool.mark(backend, False)
                 last_error = e
         return web.json_response(
@@ -169,6 +186,10 @@ def create_router_app(
             body = await request.json()
         except ValueError:
             return web.json_response({"detail": "JSON required"}, status=422)
+        if not isinstance(body, dict):
+            return web.json_response(
+                {"detail": "JSON object required"}, status=422
+            )
         hits = await scatter("POST", "/query", json=body)
         if not hits:
             return web.json_response(
@@ -211,28 +232,52 @@ def create_router_app(
         owner = pool.owner_of(doc_id)
         targets = [owner] if owner else pool.up()
         deleted = False
+        unreachable = False
         for b in targets:
             try:
                 async with session().delete(f"{b}/documents/{doc_id}") as r:
                     deleted = deleted or r.status == 200
             except Exception:  # noqa: BLE001
                 pool.mark(b, False)
-        pool.doc_owner.pop(doc_id, None)
-        pool.save()
+                unreachable = True
+        if deleted or not unreachable:
+            # Confirmed gone (or confirmed 404 on every reachable
+            # target). An unreachable owner keeps its affinity so the
+            # delete can be retried once the slice recovers — dropping
+            # it here would orphan the document.
+            pool.doc_owner.pop(doc_id, None)
+            pool.save()
         if deleted:
             return web.json_response(
                 {"message": f"Document {doc_id} deleted"}
+            )
+        if unreachable:
+            return web.json_response(
+                {"detail": "owning slice unreachable; retry later"},
+                status=503,
             )
         return web.json_response({"detail": "not found"}, status=404)
 
     async def delete_all(request):
         hits = await scatter("DELETE", "/documents")
         count = sum(d.get("count", 0) for _b, d in hits)
-        pool.doc_owner.clear()
+        # Only forget affinity for documents whose slice actually
+        # confirmed the delete; docs on skipped (down) slices keep their
+        # mapping and survive until a retry reaches their owner.
+        reached = {b for b, _ in hits}
+        skipped = [b for b in pool.backends if b not in reached]
+        for doc_id, owner in list(pool.doc_owner.items()):
+            if owner in reached or owner not in pool.backends:
+                pool.doc_owner.pop(doc_id, None)
         pool.save()
-        return web.json_response(
-            {"message": f"Deleted {count} documents", "count": count}
-        )
+        resp = {"message": f"Deleted {count} documents", "count": count}
+        if skipped:
+            resp["slices_skipped"] = skipped
+            resp["message"] += (
+                f" ({len(skipped)} slice(s) unreachable — their documents "
+                "were NOT deleted)"
+            )
+        return web.json_response(resp)
 
     async def health(request):
         hits = await scatter("GET", "/health")
@@ -275,6 +320,10 @@ def create_router_app(
             body = await request.json()
         except ValueError:
             return web.json_response({"detail": "JSON required"}, status=422)
+        if not isinstance(body, dict):
+            return web.json_response(
+                {"detail": "JSON object required"}, status=422
+            )
         hits = await scatter("POST", "/search/images", json=body)
         if not hits:
             return web.json_response(

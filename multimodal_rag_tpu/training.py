@@ -151,10 +151,19 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
 
     import orbax.checkpoint as ocp
 
+    def step_of(name: str):
+        # An interrupted save leaves "step_N.orbax-checkpoint-tmp-<ts>"
+        # dirs behind; they must not crash resume (the exact scenario
+        # checkpointing exists for) or shadow the last intact step.
+        try:
+            return int(name.split("_", 1)[1])
+        except ValueError:
+            return None
+
     steps = sorted(
-        (int(name.split("_")[1]), name)
+        (step_of(name), name)
         for name in os.listdir(path)
-        if name.startswith("step_")
+        if name.startswith("step_") and step_of(name) is not None
     )
     if not steps:
         raise FileNotFoundError(f"no checkpoints under {path}")

@@ -138,6 +138,72 @@ class TestRouter:
         )
         assert status == 200 and body["sources"]
 
+    def test_client_error_propagates_without_failover(self, cluster):
+        """A 4xx from a slice is the client's fault: the router must
+        return it as-is, not mark the healthy slice down and retry the
+        doomed request on every other slice."""
+        client, loop, _ = cluster
+        # Empty file → backend 400/422-class rejection.
+        status, _body = upload(client, loop, "empty.txt", b"")
+        assert 400 <= status < 500
+        pool = client.server.app["pool"]
+        assert all(pool.healthy.values()), pool.healthy
+
+    def test_non_object_json_is_422(self, cluster):
+        client, loop, _ = cluster
+
+        async def do(payload):
+            resp = await client.post("/query", json=payload)
+            return resp.status
+
+        assert loop.run_until_complete(do([1, 2])) == 422
+        assert loop.run_until_complete(do("hello")) == 422
+
+    def test_delete_keeps_affinity_when_owner_down(self, cluster):
+        """Deleting a doc whose owning slice is unreachable must return
+        503 and RETAIN the affinity mapping (dropping it would orphan
+        the document until manual cleanup)."""
+        client, loop, servers = cluster
+        _, body = upload(client, loop, "keep.txt", b"Owned document text.")
+        doc_id = body["doc_id"]
+        pool = client.server.app["pool"]
+        owner = pool.owner_of(doc_id)
+        # Kill exactly the owning slice.
+        idx = 0 if owner.endswith(str(servers[0].port)) else 1
+        loop.run_until_complete(servers[idx].close())
+
+        async def do():
+            resp = await client.delete(f"/documents/{doc_id}")
+            return resp.status
+
+        assert loop.run_until_complete(do()) == 503
+        assert pool.owner_of(doc_id) == owner  # affinity survives
+
+    def test_delete_all_skips_down_slice_honestly(self, cluster):
+        """delete_all with a dead slice must keep that slice's affinity
+        entries and report the skip instead of claiming a full wipe."""
+        client, loop, servers = cluster
+        upload(client, loop, "a.txt", b"Doc on some slice one.")
+        upload(client, loop, "b.txt", b"Doc on the other slice.")
+        pool = client.server.app["pool"]
+        dead = f"http://{servers[0].host}:{servers[0].port}"
+        loop.run_until_complete(servers[0].close())
+        pool.mark(dead, False)
+        n_dead_docs = sum(
+            1 for o in pool.doc_owner.values() if o == dead
+        )
+
+        async def do():
+            resp = await client.delete("/documents")
+            return resp.status, await resp.json()
+
+        status, body = loop.run_until_complete(do())
+        assert status == 200
+        assert body.get("slices_skipped") == [dead]
+        remaining = [o for o in pool.doc_owner.values()]
+        assert len(remaining) == n_dead_docs
+        assert all(o == dead for o in remaining)
+
     def test_delete_all_broadcasts(self, cluster):
         client, loop, _ = cluster
         upload(client, loop, "m.txt", b"One doc on some slice.")
