@@ -17,6 +17,7 @@ server. Request validation uses the same pydantic models and returns
 from __future__ import annotations
 
 import asyncio
+import base64
 import json
 import logging
 import time
@@ -25,6 +26,7 @@ from datetime import datetime, timezone
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+import numpy as np
 from aiohttp import web
 from pydantic import ValidationError
 
@@ -793,6 +795,115 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             }
         )
 
+    async def openai_embeddings(request):
+        """OpenAI-compatible ``/v1/embeddings`` over the on-TPU encoder:
+        the reference *consumed* this contract when configured for cloud
+        embeddings (``config.py:84`` OPENAI_EMBEDDING_MODEL); here the
+        framework *serves* it, so any OpenAI-SDK client can use the chip
+        as an embedding backend. Unit-norm float32, dim 384 (MiniLM)."""
+        try:
+            body = await request.json()
+        except Exception:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": "invalid JSON body",
+                           "type": "invalid_request_error"}}, status=400,
+            )
+
+        def bad_request(msg):
+            return web.json_response(
+                {"error": {"message": msg, "type": "invalid_request_error"}},
+                status=400,
+            )
+
+        if not isinstance(body, dict):
+            return bad_request("request body must be a JSON object")
+        raw = body.get("input")
+        if isinstance(raw, str):
+            texts = [raw]
+        elif isinstance(raw, list) and raw and all(
+            isinstance(t, str) for t in raw
+        ):
+            texts = raw
+        else:
+            return bad_request(
+                "input must be a string or a non-empty list of strings"
+            )
+        if len(texts) > 2048:
+            return bad_request("input exceeds the 2048-item cap")
+        if any(not t.strip() for t in texts):
+            return bad_request("input strings must be non-empty")
+        if any(len(t) > 10_000 for t in texts):
+            return bad_request("input strings are capped at 10000 chars")
+        enc_format = body.get("encoding_format", "float")
+        if enc_format not in ("float", "base64"):
+            return bad_request("encoding_format must be 'float' or 'base64'")
+
+        start = time.time()
+        try:
+            vecs = await comps.embedder.embed_texts_batch(texts)
+        except Exception as e:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": f"embedding failed: {e}",
+                           "type": "server_error"}}, status=503,
+            )
+        aggregator.record("embeddings.total", time.time() - start)
+        if enc_format == "base64":
+            data = [
+                {
+                    "object": "embedding",
+                    "index": i,
+                    # Little-endian float32 bytes, per the OpenAI SDK's
+                    # decode contract (np.frombuffer(..., '<f4')).
+                    "embedding": base64.b64encode(
+                        np.ascontiguousarray(v, "<f4").tobytes()
+                    ).decode("ascii"),
+                }
+                for i, v in enumerate(vecs)
+            ]
+        else:
+            data = [
+                {
+                    "object": "embedding",
+                    "index": i,
+                    "embedding": [float(x) for x in v],
+                }
+                for i, v in enumerate(vecs)
+            ]
+        n_tok = sum(len(t.split()) for t in texts)  # approximate accounting
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "model": body.get("model")
+                or settings.SENTENCE_TRANSFORMER_MODEL,
+                "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+            }
+        )
+
+    async def openai_models(request):
+        """OpenAI-compatible model listing: the embedding encoder plus
+        the active generation backend, so SDK clients can discover ids."""
+        created = int(app["start_time"])
+        backend = getattr(comps.llm_adapter, "backend", "unknown")
+        gen_model = getattr(
+            comps.llm_adapter, "model_name", None
+        ) or f"mmrag-{backend}"
+        models = [
+            {
+                "id": settings.SENTENCE_TRANSFORMER_MODEL,
+                "object": "model",
+                "created": created,
+                "owned_by": "multimodal_rag_tpu",
+            },
+            {
+                "id": gen_model,
+                "object": "model",
+                "created": created,
+                "owned_by": "multimodal_rag_tpu",
+            },
+        ]
+        return web.json_response({"object": "list", "data": models})
+
     async def metrics(request):
         lines = [
             "# HELP mmrag_stage_latency_seconds per-stage latency",
@@ -901,6 +1012,8 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     app.router.add_get("/stats", stats)
     app.router.add_post("/search/images", search_images)
     app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/embeddings", openai_embeddings)
+    app.router.add_get("/v1/models", openai_models)
     app.router.add_get("/metrics", metrics)
     app.router.add_post("/profile", profile)
     app.router.add_get("/docs", docs)
@@ -929,6 +1042,9 @@ def _route_docs():
         ("GET", "/metrics", "Prometheus text-format metrics"),
         ("POST", "/v1/chat/completions",
          "OpenAI-compatible chat completions (non-streaming)"),
+        ("POST", "/v1/embeddings",
+         "OpenAI-compatible embeddings over the on-TPU encoder"),
+        ("GET", "/v1/models", "OpenAI-compatible model listing"),
     ]
 
 

@@ -6,6 +6,7 @@ import io
 import json
 
 import aiohttp
+import numpy as np
 import pytest
 from aiohttp.test_utils import TestClient, TestServer
 
@@ -595,3 +596,94 @@ class TestChatCompletions:
             })
         )
         assert resp.status == 400
+
+
+class TestOpenAIEmbeddings:
+    """OpenAI-compatible /v1/embeddings served by the on-TPU encoder."""
+
+    def test_single_string(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/embeddings", json={"input": "machine learning"})
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert body["object"] == "list"
+        assert len(body["data"]) == 1
+        row = body["data"][0]
+        assert row["object"] == "embedding" and row["index"] == 0
+        vec = np.asarray(row["embedding"], np.float32)
+        assert vec.shape == (64,)  # test encoder dim
+        assert abs(float(np.linalg.norm(vec)) - 1.0) < 1e-3  # unit norm
+        assert body["usage"]["total_tokens"] >= 1
+
+    def test_batch_order_and_determinism(self, client):
+        """Row i of the response must embed input i, and identical texts
+        must embed identically (the LRU cache path returns the same row)."""
+        c, loop = client
+        texts = ["alpha beta", "gamma delta", "alpha beta"]
+        resp = loop.run_until_complete(
+            c.post("/v1/embeddings", json={"input": texts})
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert [r["index"] for r in body["data"]] == [0, 1, 2]
+        v0 = np.asarray(body["data"][0]["embedding"])
+        v1 = np.asarray(body["data"][1]["embedding"])
+        v2 = np.asarray(body["data"][2]["embedding"])
+        np.testing.assert_allclose(v0, v2, atol=1e-6)
+        assert not np.allclose(v0, v1)
+
+    def test_base64_encoding_roundtrip(self, client):
+        """encoding_format=base64 must decode to the same float32 rows
+        the float format returns (the OpenAI SDK's decode contract)."""
+        import base64 as b64
+
+        c, loop = client
+        resp_f = loop.run_until_complete(
+            c.post("/v1/embeddings", json={"input": "roundtrip me"})
+        )
+        resp_b = loop.run_until_complete(
+            c.post("/v1/embeddings",
+                   json={"input": "roundtrip me",
+                         "encoding_format": "base64"})
+        )
+        assert resp_f.status == 200 and resp_b.status == 200
+        vf = np.asarray(
+            loop.run_until_complete(resp_f.json())["data"][0]["embedding"],
+            np.float32,
+        )
+        raw = loop.run_until_complete(resp_b.json())["data"][0]["embedding"]
+        vb = np.frombuffer(b64.b64decode(raw), "<f4")
+        np.testing.assert_allclose(vf, vb, atol=1e-6)
+
+    def test_validation(self, client):
+        c, loop = client
+        cases = [
+            {},  # missing input
+            {"input": []},
+            {"input": [1, 2]},
+            {"input": ""},
+            {"input": ["ok", "  "]},  # blank item
+            {"input": "x" * 10_001},
+            {"input": "ok", "encoding_format": "hex"},
+        ]
+        for payload in cases:
+            resp = loop.run_until_complete(
+                c.post("/v1/embeddings", json=payload)
+            )
+            assert resp.status == 400, payload
+            body = loop.run_until_complete(resp.json())
+            assert body["error"]["type"] == "invalid_request_error"
+        resp = loop.run_until_complete(c.post("/v1/embeddings", json=[1]))
+        assert resp.status == 400
+
+    def test_models_listing(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(c.get("/v1/models"))
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert body["object"] == "list"
+        ids = [m["id"] for m in body["data"]]
+        assert "all-MiniLM-L6-v2" in ids
+        assert all(m["object"] == "model" for m in body["data"])
