@@ -81,6 +81,9 @@ class Settings:
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None
     OPENAI_MODEL: str = "gpt-4o"
+    # Declared-but-unconsumed in the reference too (config.py:33 — no
+    # code reads it); kept for .env compatibility. Embeddings here are
+    # always computed on-TPU (and *served* via /v1/embeddings).
     OPENAI_EMBEDDING_MODEL: str = "text-embedding-3-small"
 
     # --- Server (reference config.py:45-46; no-auth localhost posture) ---

@@ -6,10 +6,17 @@ from typing import List, Optional
 
 from pydantic import BaseModel, Field
 
+from multimodal_rag_tpu.config import settings
+
 
 class QueryRequest(BaseModel):
     query: str = Field(..., min_length=1, max_length=2000)
-    top_k: int = Field(5, ge=1, le=20)
+    # Default from TOP_K_RESULTS (reference config.py:66); clients
+    # override per request within the reference's 1..20 bounds.
+    top_k: int = Field(
+        default_factory=lambda: min(max(settings.TOP_K_RESULTS, 1), 20),
+        ge=1, le=20,
+    )
     use_multimodal: bool = Field(False)
     # Attached image (data URL or raw base64) — the reference chat UI
     # sends this with the query body (reference static/app.js:375) and

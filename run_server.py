@@ -78,9 +78,30 @@ def print_startup_info() -> None:
     print("=" * 70)
 
 
+def check_chroma_migration() -> None:
+    """If a legacy ChromaDB directory exists (CHROMA_PERSIST_DIR,
+    reference config.py:58) but our vector store has never been
+    persisted, point the operator at the offline importer — the knob
+    keeps existing deployments' .env files meaningful."""
+    from pathlib import Path
+
+    chroma = Path(settings.CHROMA_PERSIST_DIR)
+    ours = Path(settings.VECTOR_PERSIST_DIR)
+    if (chroma / "chroma.sqlite3").exists() and not any(
+        ours.glob("*.json")
+    ):
+        logger.info(
+            "Found ChromaDB corpus at %s but no native vector store at "
+            "%s — migrate it with: python -m "
+            "multimodal_rag_tpu.tools.import_chroma %s %s",
+            chroma, ours, chroma, ours,
+        )
+
+
 async def run_startup_checks() -> bool:
     kv_ok = check_kv()
     await check_ollama()
+    check_chroma_migration()
     return kv_ok
 
 

@@ -687,3 +687,18 @@ class TestOpenAIEmbeddings:
         ids = [m["id"] for m in body["data"]]
         assert "all-MiniLM-L6-v2" in ids
         assert all(m["object"] == "model" for m in body["data"])
+
+
+class TestConfigKnobs:
+    def test_top_k_default_follows_settings(self, monkeypatch):
+        """TOP_K_RESULTS (reference config.py:66) is the /query default;
+        the schema reads it at request time, clamped to the 1..20 route
+        bounds."""
+        from multimodal_rag_tpu.config import settings as s
+        from multimodal_rag_tpu.server.schemas import QueryRequest
+
+        assert QueryRequest(query="q").top_k == s.TOP_K_RESULTS
+        monkeypatch.setattr(s, "TOP_K_RESULTS", 9)
+        assert QueryRequest(query="q").top_k == 9
+        monkeypatch.setattr(s, "TOP_K_RESULTS", 999)
+        assert QueryRequest(query="q").top_k == 20  # clamped, not invalid
