@@ -172,6 +172,11 @@ class EmbeddingManager:
             todo_texts = list(texts)
 
         if todo_texts:
+            if show_progress and len(todo_texts) > 32:
+                logger.info(
+                    "Embedding %d texts (%d cache hits)…",
+                    len(todo_texts), len(texts) - len(todo_texts),
+                )
             if self.use_batcher:
                 if self._batcher is None:
                     from multimodal_rag_tpu.serving import EmbedBatcher

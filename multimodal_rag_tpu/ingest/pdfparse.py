@@ -853,6 +853,10 @@ def extract_page_layout(doc: PDFDocument, page: dict) -> Dict[str, Any]:
         tm = lm
 
     def flush_path(stroke: bool, fill: bool) -> None:
+        # stroke/fill distinguish the S/f/B operators; both flavors paint
+        # visible lines, and rule harvesting (for table detection) only
+        # cares that a segment is painted at all — so they are accepted
+        # for operator-dispatch completeness and intentionally unused.
         nonlocal path
         for x0, y0, x1, y1 in path:
             dx0, dy0 = _mat_apply(ctm, x0, y0)

@@ -214,6 +214,8 @@ class ContentSummarizer:
     ) -> List[str]:
         if not chunks:
             return []
+        if show_progress:
+            logger.info("Summarizing %d text chunks…", len(chunks))
         results = await asyncio.gather(
             *(self.summarize(c, "text", max_length) for c in chunks),
             return_exceptions=True,
@@ -236,6 +238,8 @@ class ContentSummarizer:
             summary = await self.summarize(content, "table", max_length)
             return summary or existing or ""
 
+        if show_progress and tables:
+            logger.info("Summarizing %d tables…", len(tables))
         results = await asyncio.gather(
             *(one(t) for t in tables), return_exceptions=True
         )
@@ -261,6 +265,8 @@ class ContentSummarizer:
                 return self._generate_fallback_summary(ocr, max_length)
             return desc
 
+        if show_progress and images:
+            logger.info("Summarizing %d images…", len(images))
         results = await asyncio.gather(
             *(one(img) for img in images), return_exceptions=True
         )
