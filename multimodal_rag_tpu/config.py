@@ -105,6 +105,9 @@ class Settings:
     CHROMA_COLLECTION_NAME: str = "multimodal_rag"
     VECTOR_PERSIST_DIR: str = "./vector_store"
     VECTOR_SHARD_CAPACITY: int = 1 << 17  # rows per device shard segment
+    # Debounced crash-durability save after mutations (seconds of quiet
+    # before the incremental shard write; 0 disables — shutdown-only).
+    VECTOR_AUTOSAVE_S: float = 5.0
 
     # --- Document processing (reference config.py:64-66) ---
     CHUNK_SIZE: int = 1000
@@ -195,6 +198,8 @@ class Settings:
                 setattr(self, f.name, _to_bool(value))
             elif isinstance(current, int):
                 setattr(self, f.name, int(value))
+            elif isinstance(current, float):
+                setattr(self, f.name, float(value))
             elif isinstance(current, Path):
                 setattr(self, f.name, BASE_DIR / value)
             else:

@@ -63,6 +63,12 @@ class EmbeddingManager:
         )
         self.max_retries = max_retries
         self.persist_dir = persist_dir
+        # Debounced autosave (VECTOR_AUTOSAVE_S): the reference's Chroma
+        # persisted on every add; flat shard files get the same crash
+        # durability by saving shortly after each mutation burst instead
+        # of only at graceful shutdown.
+        self._persist_task: Optional[asyncio.Task] = None
+        self._persist_again = False
         self._encoder = encoder
         self._store = store
         self._reranker = None
@@ -126,7 +132,36 @@ class EmbeddingManager:
             self._store.n_devices,
         )
 
+    def _schedule_persist(self) -> None:
+        """Arm (or coalesce into) the debounced background save."""
+        delay = settings.VECTOR_AUTOSAVE_S
+        if not self.persist_dir or self._store is None or delay <= 0:
+            return
+        if self._persist_task is not None and not self._persist_task.done():
+            self._persist_again = True
+            return
+        self._persist_again = False
+        self._persist_task = asyncio.get_running_loop().create_task(
+            self._persist_after(delay)
+        )
+
+    async def _persist_after(self, delay: float) -> None:
+        try:
+            while True:
+                await asyncio.sleep(delay)
+                await asyncio.to_thread(self._store.save, self.persist_dir)
+                if not self._persist_again:
+                    return
+                self._persist_again = False  # mutations landed mid-save
+        except asyncio.CancelledError:
+            raise
+        except Exception as e:  # noqa: BLE001 — autosave must not crash serving
+            logger.warning("Vector-store autosave failed: %s", e)
+
     async def cleanup(self) -> None:
+        if self._persist_task is not None:
+            self._persist_task.cancel()
+            self._persist_task = None
         if self.persist_dir and self._store is not None:
             await asyncio.to_thread(self._store.save, self.persist_dir)
         self.is_initialized = False
@@ -226,6 +261,7 @@ class EmbeddingManager:
             self._store.add, ids, embeddings, documents, metadatas
         )
         self.stats["total_items_stored"] += len(summaries)
+        self._schedule_persist()
         logger.info(
             "Stored %d embeddings for %s in %.2fs",
             len(ids), doc_id, time.time() - start,
@@ -438,6 +474,7 @@ class EmbeddingManager:
         if not self.is_initialized:
             await self.initialize()
         n = await self._with_retry(self._store.delete, None, {"doc_id": doc_id})
+        self._schedule_persist()
         logger.info("Deleted %d vectors for doc %s", n, doc_id)
         return n
 
@@ -445,6 +482,7 @@ class EmbeddingManager:
         if not self.is_initialized:
             await self.initialize()
         await asyncio.to_thread(self._store.delete_all)
+        self._schedule_persist()
 
     # Alias used by the reference API layer (api.py:453).
     delete_all_documents = delete_all

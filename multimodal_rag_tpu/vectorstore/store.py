@@ -48,6 +48,7 @@ import json
 import logging
 import os
 import threading
+from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -160,6 +161,13 @@ class VectorStore:
         self._doc_rows: Dict[Any, set] = {}
         self._meta_cols: Dict[str, Tuple[np.ndarray, int]] = {}
 
+        # Persistence dirty tracking: shard indexes whose rows changed
+        # since the last save(); _save_all forces a full rewrite (fresh
+        # store, compaction, reset). Tombstones touch only the mask
+        # bitmap, which is tiny and rewritten every save.
+        self._dirty_shards: set = set()
+        self._save_all = True
+
         # Device arrays (lazily refreshed).
         self._dev_vecs = None
         self._dev_mask = None
@@ -263,6 +271,10 @@ class VectorStore:
                     self._doc_rows.setdefault(meta["doc_id"], set()).add(row)
             self._size += len(ids)
             self._dirty = True
+            end = start + len(ids)
+            self._dirty_shards.update(
+                range(start // SHARD_ROWS, (end - 1) // SHARD_ROWS + 1)
+            )
 
     def _tombstone(self, row: int) -> None:
         if self._mask[0, row] == 0.0:
@@ -325,6 +337,7 @@ class VectorStore:
             self._vecs, self._mask = vecs, mask
             self._size, self._dead = len(live), 0
             self._dirty = True
+            self._save_all = True  # rows were remapped on disk too
             self._drop_ivf()  # store rows were remapped
             self.counters["compactions"] += 1
 
@@ -901,6 +914,15 @@ class VectorStore:
     # mirror on load — peak host memory = mirror + ONE shard, not 2×corpus.
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _write_atomic(path: str, writer) -> None:
+        """tmp + os.replace so a crash mid-save never truncates the
+        previous good file (the reference's Chroma/sqlite gave this for
+        free; flat files must earn it)."""
+        tmp = path + ".tmp"
+        writer(tmp)
+        os.replace(tmp, path)
+
     def save(self, directory: str) -> None:
         import ml_dtypes
 
@@ -917,16 +939,52 @@ class VectorStore:
                 np.float32 if vec_dtype == "float32" else ml_dtypes.bfloat16
             )
             n_shards = max(1, _round_up(size, SHARD_ROWS) // SHARD_ROWS)
-            for i in range(n_shards):
+            # Incremental: only shards whose rows changed since the last
+            # save are rewritten (append-heavy workloads touch one).
+            dirty = (
+                set(range(n_shards)) if self._save_all
+                else {s for s in self._dirty_shards if s < n_shards}
+            )
+            for i in sorted(dirty):
                 lo = i * SHARD_ROWS
                 hi = min(size, lo + SHARD_ROWS)
                 shard = self._vecs[lo:hi].astype(np_dtype)
-                shard.tofile(
-                    os.path.join(directory, f"{self.name}.vec.{i:04d}.bin")
+                self._write_atomic(
+                    os.path.join(directory, f"{self.name}.vec.{i:04d}.bin"),
+                    shard.tofile,
                 )
+            # Stale shard files past the current count (post-reset /
+            # post-compaction shrink) would survive forever otherwise.
+            for stale in Path(directory).glob(f"{self.name}.vec.*.bin"):
+                try:
+                    idx = int(stale.name.rsplit(".", 2)[-2])
+                except ValueError:
+                    continue
+                if idx >= n_shards:
+                    stale.unlink()
             live_bits = np.packbits(self._mask[0, :size] == 0.0)
-            live_bits.tofile(
-                os.path.join(directory, f"{self.name}.mask.bin")
+            self._write_atomic(
+                os.path.join(directory, f"{self.name}.mask.bin"),
+                live_bits.tofile,
+            )
+            meta = {
+                "name": self.name,
+                "dim": self.dim,
+                "size": size,
+                "ids": self._ids,
+                "docs": self._docs,
+                "metas": self._metas,
+            }
+
+            def dump_json(obj):
+                def write(tmp):
+                    with open(tmp, "w") as f:
+                        json.dump(obj, f)
+                return write
+
+            self._write_atomic(
+                os.path.join(directory, f"{self.name}.json"),
+                dump_json(meta),
             )
             manifest = {
                 "format": 2,
@@ -937,22 +995,13 @@ class VectorStore:
                 "n_shards": n_shards,
                 "vec_dtype": vec_dtype,
             }
-            with open(
-                os.path.join(directory, f"{self.name}.manifest.json"), "w"
-            ) as f:
-                json.dump(manifest, f)
-            meta = {
-                "name": self.name,
-                "dim": self.dim,
-                "size": size,
-                "ids": self._ids,
-                "docs": self._docs,
-                "metas": self._metas,
-            }
-            with open(
-                os.path.join(directory, f"{self.name}.json"), "w"
-            ) as f:
-                json.dump(meta, f)
+            # Manifest last: it is the commit point a loader trusts.
+            self._write_atomic(
+                os.path.join(directory, f"{self.name}.manifest.json"),
+                dump_json(manifest),
+            )
+            self._dirty_shards.clear()
+            self._save_all = False
             # Drop the superseded monolithic format-1 blob if present.
             legacy = os.path.join(directory, f"{self.name}.npz")
             if os.path.exists(legacy):
@@ -999,6 +1048,8 @@ class VectorStore:
         store._metas = list(meta["metas"])
         store._size = size
         store._dead = int((store._mask[0, :size] != 0.0).sum())
+        store._dirty_shards.clear()
+        store._save_all = False  # disk now matches memory
         store._id_to_row = {
             id_: r
             for r, id_ in enumerate(store._ids)

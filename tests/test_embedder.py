@@ -156,3 +156,88 @@ class TestPersistence:
         )
         run(m2.initialize())
         assert m2.store.count() == 4
+
+
+class TestAutosave:
+    """Debounced crash-durability persist (VECTOR_AUTOSAVE_S): mutations
+    hit disk shortly after the burst, not only at graceful shutdown."""
+
+    def _manager(self, tmp_path):
+        import jax
+
+        encoder = TextEncoder(
+            params=init_params(jax.random.key(0), TINY), cfg=TINY,
+            seq_buckets=(16, 32), batch_buckets=(4, 8),
+        )
+        store = VectorStore(dim=64, mesh=get_mesh(1), tile_n=256,
+                            initial_capacity=512, dtype=jnp.float32)
+        return EmbeddingManager(
+            encoder=encoder, store=store, persist_dir=str(tmp_path)
+        )
+
+    def test_mutation_persists_without_cleanup(self, tmp_path, monkeypatch):
+        from multimodal_rag_tpu.config import settings
+
+        monkeypatch.setattr(settings, "VECTOR_AUTOSAVE_S", 0.05)
+        mgr = self._manager(tmp_path)
+
+        async def flow():
+            await mgr.initialize()
+            await mgr.embed_and_store(SUMMARIES, "doc_x")
+            for _ in range(100):  # wait for the debounced save
+                await asyncio.sleep(0.05)
+                if list(tmp_path.glob("*.manifest.json")):
+                    break
+            # Simulate a crash: NO cleanup() — reload from disk.
+            loaded = VectorStore.load(
+                str(tmp_path), mesh=get_mesh(1), tile_n=256,
+                initial_capacity=512, dtype=jnp.float32,
+            )
+            assert loaded.count() == len(SUMMARIES)
+
+        run(flow())
+
+    def test_autosave_disabled_means_shutdown_only(self, tmp_path,
+                                                   monkeypatch):
+        from multimodal_rag_tpu.config import settings
+
+        monkeypatch.setattr(settings, "VECTOR_AUTOSAVE_S", 0.0)
+        mgr = self._manager(tmp_path)
+
+        async def flow():
+            await mgr.initialize()
+            await mgr.embed_and_store(SUMMARIES, "doc_y")
+            await asyncio.sleep(0.3)
+            assert not list(tmp_path.glob("*.manifest.json"))
+            await mgr.cleanup()
+            assert list(tmp_path.glob("*.manifest.json"))
+
+        run(flow())
+
+    def test_burst_coalesces(self, tmp_path, monkeypatch):
+        """Mutations during the save window re-arm one follow-up save;
+        the final state reaches disk."""
+        from multimodal_rag_tpu.config import settings
+
+        monkeypatch.setattr(settings, "VECTOR_AUTOSAVE_S", 0.05)
+        mgr = self._manager(tmp_path)
+
+        async def flow():
+            await mgr.initialize()
+            await mgr.embed_and_store(SUMMARIES, "doc_a")
+            await mgr.embed_and_store(
+                [{"id": "text_9", "summary": "late burst row",
+                  "type": "text"}], "doc_b",
+            )
+            for _ in range(100):
+                await asyncio.sleep(0.05)
+                t = mgr._persist_task
+                if t is not None and t.done() and not mgr._persist_again:
+                    break
+            loaded = VectorStore.load(
+                str(tmp_path), mesh=get_mesh(1), tile_n=256,
+                initial_capacity=512, dtype=jnp.float32,
+            )
+            assert loaded.count() == len(SUMMARIES) + 1
+
+        run(flow())

@@ -369,3 +369,81 @@ class TestShardedPersistence:
         assert loaded.count() == 25
         res = loaded.query(emb[6:7], n_results=3)
         assert ids[6] not in res["ids"][0]
+
+
+class TestIncrementalSave:
+    """Append-heavy saves rewrite only dirty shards (atomic tmp+rename);
+    compaction/reset force a full rewrite and drop stale shard files."""
+
+    def test_clean_shards_not_rewritten(self, tmp_path, monkeypatch):
+        import multimodal_rag_tpu.vectorstore.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 16)
+        store, emb, ids = make_store(32)  # fills shards 0 and 1 exactly
+        store.save(str(tmp_path))
+        shard0 = tmp_path / f"{store.name}.vec.0000.bin"
+        tamper = b"\xde\xad\xbe\xef"
+        shard0.write_bytes(tamper)
+
+        rng = np.random.default_rng(7)
+        more = unit(rng.standard_normal((8, DIM)).astype(np.float32))
+        store.add([f"late_{i}" for i in range(8)], more)  # shard 2 only
+        store.save(str(tmp_path))
+        assert shard0.read_bytes() == tamper  # untouched: was clean
+        shard2 = tmp_path / f"{store.name}.vec.0002.bin"
+        assert shard2.exists()
+
+        # Compaction remaps rows on disk → full rewrite restores shard 0.
+        store.delete(ids=ids[:10])
+        store.compact()
+        store.save(str(tmp_path))
+        assert shard0.read_bytes() != tamper
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        assert loaded.count() == store.count()
+        res = loaded.query(more[:1], n_results=1)
+        assert res["ids"][0][0] == "late_0"
+
+    def test_stale_shards_removed_after_reset(self, tmp_path, monkeypatch):
+        import multimodal_rag_tpu.vectorstore.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 16)
+        store, _, _ = make_store(48)  # 3 shards
+        store.save(str(tmp_path))
+        assert (tmp_path / f"{store.name}.vec.0002.bin").exists()
+        store.delete_all()
+        store.save(str(tmp_path))
+        vec_files = sorted(
+            p.name for p in tmp_path.glob(f"{store.name}.vec.*.bin")
+        )
+        assert vec_files == [f"{store.name}.vec.0000.bin"]
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        assert loaded.count() == 0
+
+    def test_no_tmp_files_left(self, tmp_path):
+        store, _, _ = make_store(20)
+        store.save(str(tmp_path))
+        assert not list(tmp_path.glob("*.tmp"))
+
+    def test_loaded_store_saves_incrementally(self, tmp_path, monkeypatch):
+        """load() marks disk in-sync: a save with no mutations must not
+        rewrite any shard."""
+        import multimodal_rag_tpu.vectorstore.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 16)
+        store, _, _ = make_store(32)
+        store.save(str(tmp_path))
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        shard0 = tmp_path / f"{store.name}.vec.0000.bin"
+        tamper = b"\x00" * 8
+        shard0.write_bytes(tamper)
+        loaded.save(str(tmp_path))
+        assert shard0.read_bytes() == tamper
