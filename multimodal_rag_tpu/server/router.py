@@ -337,6 +337,57 @@ def create_router_app(
             {"results": results[: body.get("top_k", 5) or 5]}
         )
 
+    async def v1_proxy(request):
+        """OpenAI-surface passthrough (/v1/chat/completions, /v1/embeddings,
+        /v1/models): generation and embedding are stateless across slices,
+        so any healthy slice serves the call — try them in order, failing
+        over on connection errors / 5xx, propagating 4xx as-is. SSE
+        responses (stream: true) are piped through chunk by chunk."""
+        raw = await request.read()
+        headers = {
+            k: v for k, v in request.headers.items()
+            if k.lower() in ("content-type", "accept")
+        }
+        last_error = None
+        for b in pool.up():
+            try:
+                async with session().request(
+                    request.method, f"{b}{request.path}", data=raw,
+                    headers=headers,
+                    timeout=aiohttp.ClientTimeout(total=600),
+                ) as r:
+                    ctype = r.headers.get("Content-Type", "application/json")
+                    if "text/event-stream" in ctype:
+                        resp = web.StreamResponse(
+                            status=r.status,
+                            headers={
+                                "Content-Type": ctype,
+                                "Cache-Control": "no-cache",
+                            },
+                        )
+                        await resp.prepare(request)
+                        async for chunk in r.content.iter_any():
+                            await resp.write(chunk)
+                        await resp.write_eof()
+                        return resp
+                    body = await r.read()
+                    if r.status == 200 or 400 <= r.status < 500:
+                        # Success or the client's own fault — same answer
+                        # on every slice, so don't fail over.
+                        return web.Response(
+                            body=body, status=r.status,
+                            content_type=ctype.split(";")[0].strip(),
+                        )
+                    last_error = f"slice {b} returned {r.status}"
+            except Exception as e:  # noqa: BLE001 — connection-level
+                pool.mark(b, False)
+                last_error = e
+        return web.json_response(
+            {"error": {"message": f"no slice available: {last_error}",
+                       "type": "server_error"}},
+            status=503,
+        )
+
     app.router.add_post("/upload", upload)
     app.router.add_post("/query", query)
     app.router.add_get("/documents", documents)
@@ -346,6 +397,7 @@ def create_router_app(
     app.router.add_get("/health", health)
     app.router.add_get("/stats", stats)
     app.router.add_post("/search/images", search_images)
+    app.router.add_route("*", "/v1/{tail:.+}", v1_proxy)
     return app
 
 

@@ -217,3 +217,53 @@ class TestRouter:
         assert status == 200 and body["count"] == 2
         _, docs = get_json(client, loop, "/documents")
         assert docs["total"] == 0
+
+    def test_v1_surface_proxies(self, cluster):
+        """OpenAI endpoints pass through to any healthy slice."""
+        client, loop, _ = cluster
+
+        async def do():
+            r = await client.get("/v1/models")
+            models = await r.json()
+            e = await client.post(
+                "/v1/embeddings", json={"input": "router embed"}
+            )
+            emb = await e.json()
+            c = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 8,
+            })
+            chat = await c.json()
+            return r.status, models, e.status, emb, c.status, chat
+
+        rs, models, es, emb, cs, chat = loop.run_until_complete(do())
+        assert rs == 200 and models["object"] == "list"
+        assert es == 200 and len(emb["data"]) == 1
+        assert cs == 200 and chat["choices"][0]["message"]["content"]
+
+    def test_v1_fails_over_to_healthy_slice(self, cluster):
+        """A dead first slice must not take the OpenAI surface down."""
+        client, loop, servers = cluster
+        pool = client.server.app["pool"]
+        dead = f"http://{servers[0].host}:{servers[0].port}"
+        loop.run_until_complete(servers[0].close())
+        pool.mark(dead, False)
+
+        async def do():
+            r = await client.post(
+                "/v1/embeddings", json={"input": "failover"}
+            )
+            return r.status
+
+        assert loop.run_until_complete(do()) == 200
+
+    def test_v1_4xx_propagates(self, cluster):
+        client, loop, _ = cluster
+
+        async def do():
+            r = await client.post("/v1/embeddings", json={"input": []})
+            return r.status, await r.json()
+
+        status, body = loop.run_until_complete(do())
+        assert status == 400
+        assert body["error"]["type"] == "invalid_request_error"
