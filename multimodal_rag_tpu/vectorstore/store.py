@@ -139,6 +139,8 @@ class VectorStore:
             "ivf_searches": 0,
             "ivf_fallbacks": 0,
             "compactions": 0,
+            "saves": 0,  # incl. autosaves; shards_written tracks the
+            "shards_written": 0,  # incremental cost actually paid
         }
         self._reset_state()
 
@@ -1000,6 +1002,8 @@ class VectorStore:
                 os.path.join(directory, f"{self.name}.manifest.json"),
                 dump_json(manifest),
             )
+            self.counters["saves"] += 1
+            self.counters["shards_written"] += len(dirty)
             self._dirty_shards.clear()
             self._save_all = False
             # Drop the superseded monolithic format-1 blob if present.
