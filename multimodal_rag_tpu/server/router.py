@@ -40,11 +40,24 @@ from aiohttp import web
 logger = logging.getLogger(__name__)
 
 HEALTH_SWEEP_S = 15.0
-# Mirror of the backend's upload cap (server/api.py: MAX_UPLOAD_SIZE +
-# 1 MB slack). The router buffers the body to retry it on another slice,
-# so accepting more than any backend can take would (a) waste router RSS
-# and (b) forward a doomed request to every slice in turn.
-MAX_UPLOAD_BYTES = 52 * 1024 * 1024
+def _max_upload_bytes() -> int:
+    """Same cap as the backend app (server/api.py: MAX_UPLOAD_SIZE + 1 MB
+    slack), derived from the shared settings so raising MAX_UPLOAD_SIZE in
+    .env raises both ends together. The router buffers the body to retry
+    it on another slice, so accepting more than any backend can take would
+    (a) waste router RSS and (b) forward a doomed request to every slice."""
+    from multimodal_rag_tpu.config import settings
+
+    return settings.max_upload_bytes + (1 << 20)
+
+
+def _default_top_k() -> int:
+    """Same default the backend's QueryRequest applies (TOP_K_RESULTS,
+    clamped to the route's 1..20 bounds) so a routed query without top_k
+    truncates the merged results exactly like a direct one."""
+    from multimodal_rag_tpu.config import settings
+
+    return min(max(settings.TOP_K_RESULTS, 1), 20)
 
 
 class SlicePool:
@@ -90,7 +103,7 @@ def create_router_app(
     backends: List[str], state_path: Optional[str] = None
 ) -> web.Application:
     pool = SlicePool(backends, state_path)
-    app = web.Application(client_max_size=MAX_UPLOAD_BYTES)
+    app = web.Application(client_max_size=_max_upload_bytes())
     app["pool"] = pool
 
     def session() -> aiohttp.ClientSession:
@@ -159,20 +172,32 @@ def create_router_app(
                     # 4xx/413 responses may be text/plain, and a parse
                     # error must not be mistaken for a dead slice.
                     if r.status == 200:
-                        body = await r.json()
-                        pool.doc_owner[body["doc_id"]] = backend
+                        try:
+                            body = await r.json()
+                            doc_id = body["doc_id"]
+                        except Exception:  # noqa: BLE001 — mangled body
+                            # The slice DID ingest (200) — retrying would
+                            # duplicate the document, and the slice is
+                            # alive, so don't mark it down either.
+                            return web.json_response(
+                                {"detail": "slice returned an unreadable "
+                                           "200 upload response"},
+                                status=502,
+                            )
+                        pool.doc_owner[doc_id] = backend
                         pool.save()
                         return web.json_response(body)
                     try:
                         body = await r.json()
                     except Exception:  # noqa: BLE001 — non-JSON error page
                         body = {"detail": (await r.text())[:500]}
-                    if 400 <= r.status < 500:
-                        # Client error: same on every slice — propagate,
-                        # don't mark the healthy slice down or retry.
-                        return web.json_response(body, status=r.status)
-                    last_error = f"slice {backend} returned {r.status}"
-            except Exception as e:  # noqa: BLE001 — connection-level
+                    # ANY HTTP response is propagated, 5xx included: a
+                    # responding slice may have PARTIALLY ingested before
+                    # erroring (vectors/KV rows written), and replaying
+                    # the upload elsewhere would duplicate the document
+                    # across slices with affinity pointing at only one.
+                    return web.json_response(body, status=r.status)
+            except Exception as e:  # noqa: BLE001 — connection-level only
                 pool.mark(backend, False)
                 last_error = e
         return web.json_response(
@@ -195,7 +220,7 @@ def create_router_app(
             return web.json_response(
                 {"detail": "no healthy slices"}, status=503
             )
-        top_k = body.get("top_k", 5) or 5
+        top_k = body.get("top_k") or _default_top_k()
         # Merge evidence: best-relevance-first across slices, then re-rank.
         merged = []
         best = None
@@ -232,28 +257,35 @@ def create_router_app(
         owner = pool.owner_of(doc_id)
         targets = [owner] if owner else pool.up()
         deleted = False
-        unreachable = False
+        failed = False  # connection error OR a non-200/404 response
         for b in targets:
             try:
                 async with session().delete(f"{b}/documents/{doc_id}") as r:
-                    deleted = deleted or r.status == 200
+                    if r.status == 200:
+                        deleted = True
+                    elif r.status != 404:
+                        # The slice answered but did NOT delete (e.g. 503
+                        # mid-restart): the document still exists there —
+                        # same treatment as unreachable, or the affinity
+                        # drop below would orphan it.
+                        failed = True
             except Exception:  # noqa: BLE001
                 pool.mark(b, False)
-                unreachable = True
-        if deleted or not unreachable:
+                failed = True
+        if deleted or not failed:
             # Confirmed gone (or confirmed 404 on every reachable
-            # target). An unreachable owner keeps its affinity so the
-            # delete can be retried once the slice recovers — dropping
-            # it here would orphan the document.
+            # target). A failed owner keeps its affinity so the delete
+            # can be retried once the slice recovers — dropping it here
+            # would orphan the document.
             pool.doc_owner.pop(doc_id, None)
             pool.save()
         if deleted:
             return web.json_response(
                 {"message": f"Document {doc_id} deleted"}
             )
-        if unreachable:
+        if failed:
             return web.json_response(
-                {"detail": "owning slice unreachable; retry later"},
+                {"detail": "owning slice unavailable; retry later"},
                 status=503,
             )
         return web.json_response({"detail": "not found"}, status=404)
@@ -334,7 +366,7 @@ def create_router_app(
             results.extend(data.get("results", []))
         results.sort(key=lambda h: -h.get("relevance", 0.0))
         return web.json_response(
-            {"results": results[: body.get("top_k", 5) or 5]}
+            {"results": results[: body.get("top_k") or _default_top_k()]}
         )
 
     async def v1_proxy(request):
@@ -349,6 +381,7 @@ def create_router_app(
             if k.lower() in ("content-type", "accept")
         }
         last_error = None
+        streaming_resp = None  # set once a response is committed
         for b in pool.up():
             try:
                 async with session().request(
@@ -366,6 +399,13 @@ def create_router_app(
                             },
                         )
                         await resp.prepare(request)
+                        # From here the response is committed: a client
+                        # disconnect or a backend dying mid-stream must
+                        # END the stream, not mark the slice down and
+                        # replay the whole generation on another slice
+                        # (duplicate TPU work + a second prepare() on an
+                        # already-prepared request).
+                        streaming_resp = resp
                         async for chunk in r.content.iter_any():
                             await resp.write(chunk)
                         await resp.write_eof()
@@ -379,7 +419,19 @@ def create_router_app(
                             content_type=ctype.split(";")[0].strip(),
                         )
                     last_error = f"slice {b} returned {r.status}"
-            except Exception as e:  # noqa: BLE001 — connection-level
+            except Exception as e:  # noqa: BLE001
+                if streaming_resp is not None:
+                    # Mid-stream failure after commit: best-effort close.
+                    # The backend is not necessarily dead (the CLIENT may
+                    # have disconnected), so don't mark it down.
+                    logger.info("/v1 stream ended early: %s", e)
+                    try:
+                        await streaming_resp.write_eof()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    return streaming_resp
+                # Connection-level failure before any bytes were sent:
+                # safe to fail over.
                 pool.mark(b, False)
                 last_error = e
         return web.json_response(

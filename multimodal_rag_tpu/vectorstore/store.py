@@ -36,10 +36,16 @@ TPU-first design decisions:
   path survives mutation instead of silently falling back to a full exact
   scan. Fallbacks that do happen are counted and logged.
 
-Persistence: ``save()`` writes bf16 vector shard files + a packed live
-bitmap + a JSON manifest; ``load()`` streams shards directly into the
-pre-allocated mirror (no peak-memory doubling) — covering the reference's
-Chroma persist-dir restart semantics (SURVEY.md §5.4).
+Persistence: ``save()`` writes bf16 vector shard files + per-shard
+ids/docs/metas JSON segments + a packed live bitmap + a JSON manifest, all
+atomically (tmp+rename) and incrementally (only shards dirtied since the
+last save — both vec and meta writes are O(dirty), not O(corpus), so the
+debounced autosave never stalls queries behind a full-corpus rewrite).
+The manifest is written last and is the commit point: ``load()`` takes
+size/shard-count only from it, so a crash mid-save recovers the previous
+committed state. ``load()`` streams shards directly into the pre-allocated
+mirror (no peak-memory doubling) — covering the reference's Chroma
+persist-dir restart semantics (SURVEY.md §5.4).
 """
 
 from __future__ import annotations
@@ -169,6 +175,7 @@ class VectorStore:
         # bitmap, which is tiny and rewritten every save.
         self._dirty_shards: set = set()
         self._save_all = True
+        self._last_save_dir: Optional[str] = None
 
         # Device arrays (lazily refreshed).
         self._dev_vecs = None
@@ -930,6 +937,11 @@ class VectorStore:
 
         with self._lock:
             os.makedirs(directory, exist_ok=True)
+            # Dirty state is relative to ONE directory — saving somewhere
+            # new must write everything, or the new dir gets a manifest
+            # claiming shards that were only ever written to the old dir.
+            if getattr(self, "_last_save_dir", None) != directory:
+                self._save_all = True
             size = self._size
             # Disk dtype mirrors the device dtype: bf16 shards halve the
             # 10M-row footprint (~7.5 GB vs 15) and lose nothing the search
@@ -942,11 +954,21 @@ class VectorStore:
             )
             n_shards = max(1, _round_up(size, SHARD_ROWS) // SHARD_ROWS)
             # Incremental: only shards whose rows changed since the last
-            # save are rewritten (append-heavy workloads touch one).
+            # save are rewritten (append-heavy workloads touch one). The
+            # ids/docs/metas segment alongside each vec shard keeps the
+            # meta write O(dirty) too — at 10M rows a monolithic meta
+            # JSON would cost seconds under the store lock per autosave.
             dirty = (
                 set(range(n_shards)) if self._save_all
                 else {s for s in self._dirty_shards if s < n_shards}
             )
+
+            def dump_json(obj):
+                def write(tmp):
+                    with open(tmp, "w") as f:
+                        json.dump(obj, f)
+                return write
+
             for i in sorted(dirty):
                 lo = i * SHARD_ROWS
                 hi = min(size, lo + SHARD_ROWS)
@@ -955,41 +977,34 @@ class VectorStore:
                     os.path.join(directory, f"{self.name}.vec.{i:04d}.bin"),
                     shard.tofile,
                 )
-            # Stale shard files past the current count (post-reset /
+                self._write_atomic(
+                    os.path.join(
+                        directory, f"{self.name}.meta.{i:04d}.json"
+                    ),
+                    dump_json({
+                        "ids": self._ids[lo:hi],
+                        "docs": self._docs[lo:hi],
+                        "metas": self._metas[lo:hi],
+                    }),
+                )
+            # Stale files past the current shard count (post-reset /
             # post-compaction shrink) would survive forever otherwise.
-            for stale in Path(directory).glob(f"{self.name}.vec.*.bin"):
-                try:
-                    idx = int(stale.name.rsplit(".", 2)[-2])
-                except ValueError:
-                    continue
-                if idx >= n_shards:
-                    stale.unlink()
+            for pattern in (f"{self.name}.vec.*.bin",
+                            f"{self.name}.meta.*.json"):
+                for stale in Path(directory).glob(pattern):
+                    try:
+                        idx = int(stale.name.rsplit(".", 2)[-2])
+                    except ValueError:
+                        continue
+                    if idx >= n_shards:
+                        stale.unlink()
             live_bits = np.packbits(self._mask[0, :size] == 0.0)
             self._write_atomic(
                 os.path.join(directory, f"{self.name}.mask.bin"),
                 live_bits.tofile,
             )
-            meta = {
-                "name": self.name,
-                "dim": self.dim,
-                "size": size,
-                "ids": self._ids,
-                "docs": self._docs,
-                "metas": self._metas,
-            }
-
-            def dump_json(obj):
-                def write(tmp):
-                    with open(tmp, "w") as f:
-                        json.dump(obj, f)
-                return write
-
-            self._write_atomic(
-                os.path.join(directory, f"{self.name}.json"),
-                dump_json(meta),
-            )
             manifest = {
-                "format": 2,
+                "format": 3,
                 "name": self.name,
                 "dim": self.dim,
                 "size": size,
@@ -997,7 +1012,9 @@ class VectorStore:
                 "n_shards": n_shards,
                 "vec_dtype": vec_dtype,
             }
-            # Manifest last: it is the commit point a loader trusts.
+            # Manifest last: it is the commit point — load() takes size
+            # and shard count ONLY from here, so a crash anywhere above
+            # recovers the previous committed state.
             self._write_atomic(
                 os.path.join(directory, f"{self.name}.manifest.json"),
                 dump_json(manifest),
@@ -1006,54 +1023,87 @@ class VectorStore:
             self.counters["shards_written"] += len(dirty)
             self._dirty_shards.clear()
             self._save_all = False
-            # Drop the superseded monolithic format-1 blob if present.
-            legacy = os.path.join(directory, f"{self.name}.npz")
-            if os.path.exists(legacy):
-                os.remove(legacy)
+            self._last_save_dir = directory
+            # Drop superseded format-1/2 blobs if present.
+            for legacy_name in (f"{self.name}.npz", f"{self.name}.json"):
+                legacy = os.path.join(directory, legacy_name)
+                if os.path.exists(legacy):
+                    os.remove(legacy)
 
     @classmethod
     def load(cls, directory: str, name: str = "multimodal_rag", **kwargs):
-        with open(os.path.join(directory, f"{name}.json")) as f:
-            meta = json.load(f)
-        store = cls(dim=meta["dim"], name=name, **kwargs)
-        size = meta["size"]
-        store._grow(size)
         manifest_path = os.path.join(directory, f"{name}.manifest.json")
         if os.path.exists(manifest_path):
             import ml_dtypes
 
             with open(manifest_path) as f:
                 manifest = json.load(f)
+            # The manifest is the COMMIT POINT: size/dim/shard count come
+            # only from here, so a crash mid-save (newer shard/meta files,
+            # older manifest) recovers the previous committed state.
+            store = cls(dim=manifest["dim"], name=name, **kwargs)
+            size = manifest["size"]
+            store._grow(size)
             shard_rows = manifest["shard_rows"]
             np_dtype = (
                 np.float32
                 if manifest.get("vec_dtype") == "float32"
                 else ml_dtypes.bfloat16
             )
+            ids: List[str] = []
+            docs: List[Optional[str]] = []
+            metas: List[Optional[dict]] = []
             for i in range(manifest["n_shards"]):
                 lo = i * shard_rows
                 hi = min(size, lo + shard_rows)
                 shard = np.fromfile(
                     os.path.join(directory, f"{name}.vec.{i:04d}.bin"),
                     dtype=np_dtype,
-                ).reshape(-1, meta["dim"])
+                ).reshape(-1, manifest["dim"])
                 store._vecs[lo:hi] = shard[: hi - lo]
+                if manifest.get("format", 2) >= 3:
+                    with open(
+                        os.path.join(
+                            directory, f"{name}.meta.{i:04d}.json"
+                        )
+                    ) as f:
+                        seg = json.load(f)
+                    # A dirty shard rewritten before the crash may carry
+                    # rows past the committed size — trim per segment.
+                    ids.extend(seg["ids"][: hi - lo])
+                    docs.extend(seg["docs"][: hi - lo])
+                    metas.extend(seg["metas"][: hi - lo])
+            if manifest.get("format", 2) < 3:  # format 2: monolithic meta
+                with open(os.path.join(directory, f"{name}.json")) as f:
+                    meta = json.load(f)
+                ids = list(meta["ids"])[:size]
+                docs = list(meta["docs"])[:size]
+                metas = list(meta["metas"])[:size]
             bits = np.fromfile(
                 os.path.join(directory, f"{name}.mask.bin"), dtype=np.uint8
             )
             live = np.unpackbits(bits, count=size).astype(bool)
             store._mask[0, :size] = np.where(live, 0.0, NEG_INF)
-        else:  # legacy format-1 monolithic npz
+        else:  # legacy format-1 monolithic npz + json
+            with open(os.path.join(directory, f"{name}.json")) as f:
+                meta = json.load(f)
+            store = cls(dim=meta["dim"], name=name, **kwargs)
+            size = meta["size"]
+            store._grow(size)
             data = np.load(os.path.join(directory, f"{name}.npz"))
             store._vecs[:size] = data["vecs"]
             store._mask[:, :size] = data["mask"]
-        store._ids = list(meta["ids"])
-        store._docs = list(meta["docs"])
-        store._metas = list(meta["metas"])
+            ids = list(meta["ids"])
+            docs = list(meta["docs"])
+            metas = list(meta["metas"])
+        store._ids = ids
+        store._docs = docs
+        store._metas = metas
         store._size = size
         store._dead = int((store._mask[0, :size] != 0.0).sum())
         store._dirty_shards.clear()
-        store._save_all = False  # disk now matches memory
+        store._save_all = False  # disk now matches memory...
+        store._last_save_dir = directory  # ...for THIS directory
         store._id_to_row = {
             id_: r
             for r, id_ in enumerate(store._ids)

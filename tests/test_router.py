@@ -267,3 +267,73 @@ class TestRouter:
         status, body = loop.run_until_complete(do())
         assert status == 400
         assert body["error"]["type"] == "invalid_request_error"
+
+
+@pytest.fixture()
+def stub_cluster(tmp_path):
+    """Router over one stub slice with scriptable status codes — for
+    fault-semantics tests a real backend can't conveniently produce."""
+    from aiohttp import web as _web
+
+    loop = asyncio.new_event_loop()
+    state = {"delete_status": 503, "upload_status": 500}
+
+    async def delete_doc(request):
+        return _web.json_response(
+            {"detail": "busy"}, status=state["delete_status"]
+        )
+
+    async def upload(request):
+        await request.read()
+        return _web.json_response(
+            {"detail": "ingest exploded"}, status=state["upload_status"]
+        )
+
+    async def health(request):
+        return _web.json_response({"status": "healthy"})
+
+    stub = _web.Application()
+    stub.router.add_delete("/documents/{doc_id}", delete_doc)
+    stub.router.add_post("/upload", upload)
+    stub.router.add_get("/health", health)
+    server = TestServer(stub, loop=loop)
+    loop.run_until_complete(server.start_server())
+    backend = f"http://{server.host}:{server.port}"
+
+    router_app = create_router_app(
+        [backend], state_path=str(tmp_path / "affinity.json")
+    )
+    client = TestClient(TestServer(router_app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop, backend, state
+    loop.run_until_complete(client.close())
+    loop.run_until_complete(server.close())
+    loop.close()
+
+
+class TestRouterFaultSemantics:
+    def test_delete_5xx_keeps_affinity_and_503s(self, stub_cluster):
+        """A slice that ANSWERS but fails the delete (503 mid-restart)
+        still owns the document: affinity must survive and the client
+        must get a retryable 503, not a lying 404."""
+        client, loop, backend, _state = stub_cluster
+        pool = client.server.app["pool"]
+        pool.doc_owner["doc_stuck"] = backend
+
+        async def do():
+            resp = await client.delete("/documents/doc_stuck")
+            return resp.status
+
+        assert loop.run_until_complete(do()) == 503
+        assert pool.owner_of("doc_stuck") == backend
+
+    def test_upload_5xx_propagates_without_retry(self, stub_cluster):
+        """A responding slice may have PARTIALLY ingested before its
+        5xx — the router must propagate the error, not replay the upload
+        elsewhere (duplicate documents), and not mark the slice down."""
+        client, loop, backend, _state = stub_cluster
+        status, body = upload(client, loop, "x.txt", b"some text")
+        assert status == 500
+        assert body["detail"] == "ingest exploded"
+        pool = client.server.app["pool"]
+        assert pool.healthy[backend]

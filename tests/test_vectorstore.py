@@ -447,3 +447,55 @@ class TestIncrementalSave:
         shard0.write_bytes(tamper)
         loaded.save(str(tmp_path))
         assert shard0.read_bytes() == tamper
+
+
+class TestCrashWindowRecovery:
+    """The manifest is the commit point: a crash after shard/meta writes
+    but before the manifest replace recovers the PREVIOUS committed
+    state, never a half-written hybrid."""
+
+    def test_old_manifest_newer_shards_loads_old_state(self, tmp_path,
+                                                       monkeypatch):
+        import multimodal_rag_tpu.vectorstore.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 16)
+        store, emb, ids = make_store(32)
+        store.save(str(tmp_path))
+        manifest = tmp_path / f"{store.name}.manifest.json"
+        committed = manifest.read_bytes()
+
+        rng = np.random.default_rng(11)
+        more = unit(rng.standard_normal((8, DIM)).astype(np.float32))
+        store.add([f"crash_{i}" for i in range(8)], more)
+        store.save(str(tmp_path))
+        # Simulate the crash window: shards/meta are new, manifest is old.
+        manifest.write_bytes(committed)
+
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        assert loaded.count() == 32  # previous committed state
+        assert loaded.get(ids=["crash_0"])["ids"] == []
+        res = loaded.query(emb[:1], n_results=1)
+        assert res["ids"][0][0] == ids[0]
+
+    def test_save_to_second_directory_is_complete(self, tmp_path,
+                                                  monkeypatch):
+        import multimodal_rag_tpu.vectorstore.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 16)
+        dir_a, dir_b = tmp_path / "a", tmp_path / "b"
+        store, emb, _ = make_store(32)
+        store.save(str(dir_a))
+        rng = np.random.default_rng(12)
+        more = unit(rng.standard_normal((8, DIM)).astype(np.float32))
+        store.add([f"b_{i}" for i in range(8)], more)
+        # Different directory → full rewrite, not just the dirty tail.
+        store.save(str(dir_b))
+        loaded = VectorStore.load(
+            str(dir_b), mesh=get_mesh(1), tile_n=256, initial_capacity=512,
+        )
+        assert loaded.count() == 40
+        res = loaded.query(emb[:1], n_results=1)
+        assert res["ids"][0][0].startswith("doc_0")
