@@ -64,10 +64,17 @@ class TPULLMAdapter(BaseLLMAdapter):
         self.backend = "tpu"
         self._decoder = decoder  # tests inject a tiny TextDecoder
         self._queue: Optional[asyncio.Queue] = None
+        # Requests deferred by _drain for a different generation preset:
+        # considered BEFORE fresh queue arrivals next round, so a
+        # minority-preset request cannot be starved by a steady
+        # majority-preset stream re-queuing it behind newer work.
+        self._carry: List = []
         self._worker: Optional[asyncio.Task] = None
         self._server = None  # DecodeServer when continuous batching is on
         self._continuous = continuous
+        self._init_lock = asyncio.Lock()
         self._batches_run = 0
+        self._seed = 0  # evolves per batch so temperature>0 really samples
         self.requests_served = 0
 
     @property
@@ -80,6 +87,13 @@ class TPULLMAdapter(BaseLLMAdapter):
         return self._batches_run
 
     async def initialize(self):
+        # Serialized: lazy first-use can race (a gather of summarize()
+        # calls), and two interleaved inits would load the multi-GB
+        # params twice and orphan a worker on a replaced queue.
+        async with self._init_lock:
+            await self._initialize_locked()
+
+    async def _initialize_locked(self):
         if self.is_initialized:
             return
         if self._decoder is None:
@@ -115,53 +129,92 @@ class TPULLMAdapter(BaseLLMAdapter):
     async def cleanup(self):
         self.is_initialized = False
         if self._worker is not None:
-            self._worker.cancel()
-            self._worker = None
+            worker, self._worker = self._worker, None
+            worker.cancel()
+            try:
+                await worker
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass
+            # Queued/deferred waiters would otherwise hang forever.
+            err = RuntimeError("TPULLMAdapter shut down")
+            leftovers = list(self._carry)
+            self._carry = []
+            while self._queue is not None and not self._queue.empty():
+                leftovers.append(self._queue.get_nowait())
+            for item in leftovers:
+                fut = item[-1]
+                if not fut.done():
+                    fut.set_exception(err)
         if self._server is not None:
             await self._server.stop()
             self._server = None
 
     async def _drain(self) -> None:
-        """Coalescing worker: take the oldest pending request, opportunistically
-        absorb queued requests with the same generation preset, run one
-        batched generate, fan results back out."""
+        """Coalescing worker: take the oldest pending request (deferred
+        carryover first — FIFO across rounds), opportunistically absorb
+        requests with the same generation preset, run one batched
+        generate, fan results back out. Queue items are
+        ``(prompts, preset_key, raw_max_tokens, future)``."""
         while True:
-            first = await self._queue.get()
+            if self._carry:
+                first = self._carry.pop(0)
+            else:
+                first = await self._queue.get()
             batch = [first]
             room = self.MAX_COALESCE - len(first[0])
-            skipped = []
-            while room > 0 and not self._queue.empty():
-                req = self._queue.get_nowait()
-                if req[1] == first[1] and len(req[0]) <= room:
+            # Oldest-first candidate order: previously deferred requests,
+            # then whatever has arrived on the queue since.
+            candidates = self._carry
+            self._carry = []
+            while not self._queue.empty():
+                candidates.append(self._queue.get_nowait())
+            deferred = []
+            for req in candidates:
+                if room > 0 and req[1] == first[1] and len(req[0]) <= room:
                     batch.append(req)
                     room -= len(req[0])
                 else:
-                    skipped.append(req)
-            for req in skipped:  # different preset → next round
-                self._queue.put_nowait(req)
+                    deferred.append(req)
+            self._carry = deferred  # served at the FRONT next round
             prompts = [p for req in batch for p in req[0]]
-            max_tokens, temperature, top_k = first[1]
+            bucket, temperature, top_k = first[1]
+            budgets = [req[2] for req in batch for _ in req[0]]
+            seed = self._seed
+            self._seed += 1
             try:
                 outs, fins = await asyncio.to_thread(
                     functools.partial(
                         self._decoder.generate,
                         prompts,
-                        max_new_tokens=max_tokens,
+                        # The bucket picks the executable; each row is
+                        # sliced against its own raw client budget.
+                        max_new_tokens=bucket,
+                        max_new_per_row=budgets,
                         temperature=temperature,
                         top_k=top_k,
+                        seed=seed,
                         return_finish=True,
                     )
                 )
                 i = 0
-                for req_prompts, _key, fut in batch:
+                for req_prompts, _key, _raw, fut in batch:
                     n = len(req_prompts)
                     if not fut.done():
                         fut.set_result((outs[i:i + n], fins[i:i + n]))
                     i += n
                 self._batches_run += 1
                 self.requests_served += len(batch)
+            except asyncio.CancelledError:
+                # cleanup(): CancelledError is a BaseException — without
+                # this clause the in-flight batch's futures never resolve
+                # and their HTTP requests hang forever.
+                err = RuntimeError("TPULLMAdapter shut down")
+                for *_rest, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(err)
+                raise
             except Exception as e:  # noqa: BLE001 — fail the waiters, not the loop
-                for _p, _key, fut in batch:
+                for *_rest, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
 
@@ -199,7 +252,9 @@ class TPULLMAdapter(BaseLLMAdapter):
             int(kw.get("top_k", 64)),
         )
         fut = asyncio.get_running_loop().create_future()
-        await self._queue.put((list(prompts), key, fut))
+        # The raw budget rides alongside the bucketed key: batching is by
+        # bucket, but each row is truncated to what the client asked for.
+        await self._queue.put((list(prompts), key, int(max_tokens), fut))
         texts, fins = await fut
         return texts, fins
 
@@ -248,10 +303,19 @@ class TPULLMAdapter(BaseLLMAdapter):
             await self.initialize()
         full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
         if self._server is not None:
+            # Suppress leading whitespace so streamed content matches the
+            # stripped non-streaming result ('Assistant:' prompts often
+            # open with newlines); trailing space can't be trimmed without
+            # withholding the final delta, which is an acceptable delta.
+            started = False
             async for delta, fin in self._server.submit_stream(
                 full, max_new_tokens=max_tokens, temperature=temperature
             ):
-                yield delta, fin
+                if not started and delta:
+                    delta = delta.lstrip()
+                    started = bool(delta)
+                if delta or fin is not None:
+                    yield delta, fin
             self.requests_served += 1
             return
         outs, fins = await self._generate_batch(

@@ -175,7 +175,7 @@ def _read_hf_config(path: str) -> Optional[dict]:
     try:
         with open(cand) as f:
             return json.load(f)
-    except OSError:
+    except (OSError, ValueError):  # missing OR corrupt/truncated json
         return None
 
 
@@ -594,7 +594,7 @@ def decode_step(
     return logits, {"k": k_new, "v": v_new}
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def decode_step_rows(
     params: Dict,
     cache: Dict,
@@ -767,7 +767,10 @@ def find_local_lm_checkpoint() -> Optional[str]:
             try:
                 with open(os.path.join(root, "config.json")) as f:
                     mtype = json.load(f).get("model_type", "")
-            except OSError:
+            except (OSError, ValueError):
+                # An interrupted download leaves truncated config.json
+                # files in the hub cache; discovery must skip them, not
+                # crash server startup with a JSONDecodeError.
                 continue
             if mtype in ("llama", "mistral", "qwen2", "gemma", "gemma2"):
                 return root
@@ -906,12 +909,20 @@ class TextDecoder:
         top_k: int = 64,
         seed: int = 0,
         return_finish: bool = False,
+        max_new_per_row: Optional[Sequence[int]] = None,
     ) -> "list[str] | tuple[list[str], list[str]]":
         """Generate one completion per prompt.
 
         With ``return_finish=True`` also returns a per-row finish reason
         (OpenAI semantics): ``"length"`` when the row used its full
         ``max_new_tokens`` budget, ``"stop"`` when it ended at EOS.
+
+        ``max_new_per_row`` lets a coalescing caller batch requests with
+        DIFFERENT client budgets under one bucketed executable: the device
+        decodes to the shared ``max_new_tokens`` bucket, but each row is
+        sliced (and its finish reason judged) against its own raw budget —
+        so a 100-token cap never returns 128 tokens just because it was
+        batched with a 128-bucket neighbor.
         """
         if not prompts:
             return ([], []) if return_finish else []
@@ -927,6 +938,10 @@ class TextDecoder:
                     top_k=top_k,
                     seed=seed + start,
                     return_finish=True,
+                    max_new_per_row=(
+                        list(max_new_per_row[start:start + max_bb])
+                        if max_new_per_row is not None else None
+                    ),
                 )
                 out.extend(o)
                 fins.extend(f)
@@ -951,9 +966,11 @@ class TextDecoder:
         out = []
         fins = []
         for i in range(len(prompts)):
-            n = min(int(lengths[i]), max_new_tokens)
-            out.append(self.tokenizer.decode(toks[i, :n].tolist()))
-            fins.append(
-                "length" if int(lengths[i]) >= max_new_tokens else "stop"
+            budget = (
+                int(max_new_per_row[i])
+                if max_new_per_row is not None else max_new_tokens
             )
+            n = min(int(lengths[i]), budget)
+            out.append(self.tokenizer.decode(toks[i, :n].tolist()))
+            fins.append("length" if int(lengths[i]) >= budget else "stop")
         return (out, fins) if return_finish else out

@@ -88,6 +88,9 @@ class _Request:
     # consumer. Items are (text_delta, finish|None) or an exception.
     stream_q: "Optional[asyncio.Queue]" = None
     streamed_chars: int = 0
+    # Set when the streaming consumer went away (SSE client disconnect):
+    # the scheduler retires the row instead of decoding for a dead reader.
+    cancelled: bool = False
 
 
 class DecodeServer:
@@ -133,8 +136,16 @@ class DecodeServer:
 
     async def stop(self) -> None:
         if self._task is not None:
-            self._task.cancel()
-            self._task = None
+            task, self._task = self._task, None
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass
+            # Cancellation strands anyone awaiting submit()/submit_stream()
+            # (the loop died between their enqueue and their resolve) —
+            # fail them out loud instead of hanging their HTTP requests.
+            self._fail_all(RuntimeError("decode server stopped"))
 
     async def submit(
         self,
@@ -186,14 +197,20 @@ class DecodeServer:
             stream_q=asyncio.Queue(),
         )
         await self.pending.put(req)
-        while True:
-            item = await req.stream_q.get()
-            if isinstance(item, BaseException):
-                raise item
-            delta, fin = item
-            yield delta, fin
-            if fin is not None:
-                return
+        try:
+            while True:
+                item = await req.stream_q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                delta, fin = item
+                yield delta, fin
+                if fin is not None:
+                    return
+        finally:
+            # Consumer gone (client disconnect → GeneratorExit, or normal
+            # completion — then the row is already retired): tell the
+            # scheduler so an abandoned row stops burning decode steps.
+            req.cancelled = True
 
     def _push_stream(self, req: _Request, final: bool = False) -> None:
         """Loop-thread only: emit the not-yet-streamed text of ``req``.
@@ -288,6 +305,11 @@ class DecodeServer:
     def _step(self) -> List[_Request]:
         """One decode_step_rows dispatch for every active slot. Worker
         thread; returns the requests that finished this step."""
+        # Drop rows whose streaming consumer disconnected before spending
+        # another dispatch on them (not "finished": nobody is listening).
+        for i, r in enumerate(self.requests):
+            if r is not None and r.cancelled:
+                self._retire(i)
         active = [i for i, r in enumerate(self.requests) if r is not None]
         if not active:
             return []
@@ -343,6 +365,28 @@ class DecodeServer:
         self.key_mask[:, 0] = 1
         self.temps[:] = -1.0
 
+    async def _admit_safe(self, req: _Request) -> None:
+        """Admit ``req`` into the first free slot, failing ITS waiter on a
+        prefill error — at that moment the request is registered nowhere
+        (neither ``self.requests`` nor ``pending``), so the generic
+        ``_fail_all`` in the loop would miss it and hang its caller."""
+        if req.cancelled:
+            if not req.future.done():
+                req.future.set_result(("", "stop"))
+            return
+        try:
+            self._resolve(
+                await asyncio.to_thread(
+                    self._admit, req, self._free_slots()[0]
+                )
+            )
+        except Exception as e:
+            if req.stream_q is not None:
+                req.stream_q.put_nowait(e)
+            if not req.future.done():
+                req.future.set_exception(e)
+            raise
+
     async def _run(self) -> None:
         while True:
             try:
@@ -352,19 +396,9 @@ class DecodeServer:
                     all(r is None for r in self.requests)
                     and self.pending.empty()
                 ):
-                    req = await self.pending.get()
-                    self._resolve(
-                        await asyncio.to_thread(
-                            self._admit, req, self._free_slots()[0]
-                        )
-                    )
+                    await self._admit_safe(await self.pending.get())
                 while not self.pending.empty() and self._free_slots():
-                    req = self.pending.get_nowait()
-                    self._resolve(
-                        await asyncio.to_thread(
-                            self._admit, req, self._free_slots()[0]
-                        )
-                    )
+                    await self._admit_safe(self.pending.get_nowait())
                 self._resolve(await asyncio.to_thread(self._step))
                 self._flush_streams()
                 await asyncio.sleep(0)  # yield to submitters

@@ -362,7 +362,7 @@ class TestTPUAdapter:
                 self.calls = []
 
             def generate(self, prompts, max_new_tokens, temperature, top_k,
-                         return_finish=False):
+                         return_finish=False, seed=0, max_new_per_row=None):
                 import time
 
                 self.calls.append(len(prompts))
@@ -561,3 +561,85 @@ class TestHFGolden:
         ids = dt.encode("hello world")
         assert ids[0] == dt.bos_id
         assert "hello world" in dt.decode(ids)
+
+
+class TestPerRowBudgets:
+    def test_rows_sliced_to_own_budget(self):
+        """Coalescing mixes client budgets under one bucketed executable;
+        each row must be truncated (and finish-judged) against ITS raw
+        budget, not the shared bucket."""
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        outs, fins = dec.generate(
+            ["hello", "another prompt"],
+            max_new_tokens=8,  # the shared bucket
+            max_new_per_row=[2, 8],
+            temperature=0.0,
+            return_finish=True,
+        )
+        # Byte tokenizer: 1 token = 1 char, so the 2-budget row can't
+        # exceed 2 chars even though the device decoded toward 8.
+        assert len(outs[0]) <= 2
+        assert fins[0] == "length"  # random-init greedy never hits EOS
+
+    def test_adapter_honors_raw_max_tokens(self):
+        """End-to-end through the coalescing adapter: max_tokens=2 must
+        cap the completion at 2 tokens despite the 64-token bucket."""
+        from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        adapter = TPULLMAdapter(decoder=dec, continuous=False)
+
+        async def flow():
+            await adapter.initialize()
+            text, fin = await adapter.generate_text_with_finish(
+                "hi", max_tokens=2, temperature=0.0
+            )
+            await adapter.cleanup()
+            return text, fin
+
+        text, fin = asyncio.new_event_loop().run_until_complete(flow())
+        assert len(text) <= 2
+        assert fin == "length"
+
+
+class TestAdapterShutdown:
+    def test_cleanup_fails_queued_waiters(self):
+        """cleanup() must fail queued/in-flight futures — hanging the
+        HTTP requests that enqueued them is the worst failure mode."""
+        import time as _time
+
+        class SlowDecoder:
+            pretrained = False
+            cfg = TINY_BYTE
+
+            def generate(self, prompts, max_new_tokens, temperature,
+                         top_k, return_finish=False, seed=0,
+                         max_new_per_row=None):
+                _time.sleep(0.2)  # hold the worker; queue backs up
+                outs = ["x" for _ in prompts]
+                return (outs, ["stop"] * len(outs)) if return_finish else outs
+
+        from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+
+        adapter = TPULLMAdapter(decoder=SlowDecoder(), continuous=False)
+
+        async def flow():
+            await adapter.initialize()
+            tasks = [
+                asyncio.ensure_future(adapter.summarize(f"content {i}"))
+                for i in range(4)
+            ]
+            await asyncio.sleep(0.05)  # first batch in flight, rest queued
+            await adapter.cleanup()
+            results = await asyncio.gather(*tasks, return_exceptions=True)
+            return results
+
+        results = asyncio.new_event_loop().run_until_complete(flow())
+        # Every waiter resolved: either a real result (batch finished
+        # before cancel landed) or the shutdown error — never a hang.
+        assert len(results) == 4
+        assert all(
+            isinstance(r, (str, RuntimeError)) for r in results
+        ), results
