@@ -89,6 +89,21 @@ class CrossModalIndex:
                         )
                     except FileNotFoundError:
                         loaded = None
+                if loaded is not None and loaded.dim != self._encoder.dim:
+                    # Persisted under a different CLIP_MODEL (e.g. CLIP
+                    # 512-d → SigLIP 768-d): every later query/add would
+                    # fail a shape assert. Start fresh instead — figures
+                    # re-index on their next upload. (Same-dim encoder
+                    # swaps still need a manual wipe: the spaces differ
+                    # but the shapes can't tell them apart.)
+                    logger.warning(
+                        "Cross-modal store at %s has dim=%d but encoder "
+                        "%s produces dim=%d — ignoring the persisted "
+                        "index (figures need re-indexing)",
+                        self.persist_dir, loaded.dim,
+                        self._model_name, self._encoder.dim,
+                    )
+                    loaded = None
                 self._store = loaded or VectorStore(
                     dim=self._encoder.dim, name=COLLECTION
                 )
@@ -175,31 +190,32 @@ class CrossModalIndex:
             )
         return out
 
-    async def search_text(self, query: str, k: int = 5) -> List[Dict]:
-        """Text → figures (the cross-modal direction RAG needs)."""
+    async def _search(self, encode, payload, stat_key: str, k: int):
+        """Shared ensure → encode → query → format pipeline for both
+        modalities (only the encoder call and stats key differ)."""
         await asyncio.to_thread(self._ensure)
         if self._store.count() == 0:
             return []
-        emb = await asyncio.to_thread(self._encoder.encode_texts, [query])
+        emb = await asyncio.to_thread(encode, [payload])
         res = await asyncio.to_thread(
             self._store.query, np.asarray(emb), k, ("metadatas", "distances")
         )
-        self.stats["text_queries"] += 1
+        self.stats[stat_key] += 1
         return self._format(res)
+
+    async def search_text(self, query: str, k: int = 5) -> List[Dict]:
+        """Text → figures (the cross-modal direction RAG needs)."""
+        await asyncio.to_thread(self._ensure)
+        return await self._search(
+            self._encoder.encode_texts, query, "text_queries", k
+        )
 
     async def search_image(self, image_bytes: bytes, k: int = 5) -> List[Dict]:
         """Image → similar figures."""
         await asyncio.to_thread(self._ensure)
-        if self._store.count() == 0:
-            return []
-        emb = await asyncio.to_thread(
-            self._encoder.encode_images, [image_bytes]
+        return await self._search(
+            self._encoder.encode_images, image_bytes, "image_queries", k
         )
-        res = await asyncio.to_thread(
-            self._store.query, np.asarray(emb), k, ("metadatas", "distances")
-        )
-        self.stats["image_queries"] += 1
-        return self._format(res)
 
     # -- maintenance ---------------------------------------------------------
 

@@ -137,6 +137,14 @@ class TPUMLLMAdapter(BaseLLMAdapter):
         if tables:
             combined += "\n\nTables:\n" + "\n\n".join(tables)
         pil = self._decode_images(images)
+        if images and not pil:
+            # Every payload failed to decode: generating anyway would
+            # answer an image prompt with NO image — a confidently
+            # hallucinated description that gets cached and indexed.
+            raise ValueError(
+                f"none of the {len(images)} image payload(s) could be "
+                "decoded"
+            )
         return await self._generate(
             combined, pil, max_tokens, temperature, **kwargs
         )
@@ -149,18 +157,27 @@ class TPUMLLMAdapter(BaseLLMAdapter):
         image_base64: Optional[str] = None,
         **kwargs,
     ) -> str:
+        # These two are set explicitly below; a caller passing them too
+        # would otherwise TypeError with "multiple values for argument".
+        kwargs.pop("max_tokens", None)
+        kwargs.pop("temperature", None)
         if content_type == "image" and image_base64:
             prompt = (
                 "Describe the key information and visual elements in this "
                 f"image concisely (max {max_length} characters):"
             )
-            out = await self.generate_multimodal(
-                text=prompt,
-                images=[image_base64],
-                max_tokens=max(32, int(max_length / 2)),
-                temperature=0.3,
-                **kwargs,
-            )
+            try:
+                out = await self.generate_multimodal(
+                    text=prompt,
+                    images=[image_base64],
+                    max_tokens=max(32, int(max_length / 2)),
+                    temperature=0.3,
+                    **kwargs,
+                )
+            except ValueError:
+                # Undecodable payload: same degraded marker the HTTP MLLM
+                # adapter uses, NOT a fabricated description.
+                return "Image content (description unavailable)"
         else:
             self._validate_input(content)
             if content_type == "table":

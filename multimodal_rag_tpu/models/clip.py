@@ -299,11 +299,15 @@ def encode_image_patches(
 
 
 def preprocess_image(img, image_size: int = 224) -> np.ndarray:
-    """PIL image → (H, W, 3) f32, resize-shorter-side + center crop +
-    CLIP normalization."""
+    """PIL image / (H, W, 3) array / encoded bytes → (H, W, 3) f32,
+    resize-shorter-side + center crop + CLIP normalization."""
     from PIL import Image
 
-    if not hasattr(img, "convert"):
+    if isinstance(img, np.ndarray):
+        # Raw pixel arrays (the llava generate() contract) have no image
+        # header — Image.open would raise UnidentifiedImageError.
+        img = Image.fromarray(img.astype(np.uint8))
+    elif not hasattr(img, "convert"):
         from io import BytesIO
 
         img = Image.open(BytesIO(img))

@@ -29,6 +29,7 @@ import json
 import logging
 import os
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -169,10 +170,18 @@ def init_llava_params(rng: jax.Array, cfg: LlavaConfig) -> Dict:
     }
 
 
-@jax.jit
-def _project(pp: Dict, feats: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("act",))
+def _project(pp: Dict, feats: jax.Array, act: str = "gelu") -> jax.Array:
     h = feats @ pp["w1"] + pp["b1"]
-    h = jax.nn.gelu(h, approximate=False)
+    # Honor the checkpoint's projector_hidden_act: llava-1.5 ships exact
+    # "gelu", but variants use the tanh approximation or quick_gelu — a
+    # silently-wrong activation degrades grounding with no error.
+    if act in ("gelu_new", "gelu_fast", "gelu_pytorch_tanh"):
+        h = jax.nn.gelu(h, approximate=True)
+    elif act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:  # "gelu" (exact) and unknown values fall back to exact
+        h = jax.nn.gelu(h, approximate=False)
     return h @ pp["w2"] + pp["b2"]
 
 
@@ -188,7 +197,7 @@ def encode_images_for_llm(
         feature_layer=cfg.vision_feature_layer,
         drop_cls=cfg.drop_cls,
     )
-    return _project(params["projector"], feats)
+    return _project(params["projector"], feats, act=cfg.projector_act)
 
 
 def splice_multimodal(
@@ -299,10 +308,12 @@ class LlavaGenerator:
         # otherwise splice the id directly.
         ids.extend(self.tokenizer.encode("USER: "))
         ids.extend([img_tok] * n_images)
+        tail = self.tokenizer.encode("\n" + prompt + "\nASSISTANT:")
+        # Strip the BOS the tokenizer prepends (the prefix already has it).
         ids.extend(
-            self.tokenizer.encode("\n" + prompt + "\nASSISTANT:")[1:]
+            tail[1:]
             if getattr(self.tokenizer, "bos_id", None) is not None
-            else self.tokenizer.encode("\n" + prompt + "\nASSISTANT:")
+            else tail
         )
         return ids
 

@@ -248,3 +248,26 @@ class TestImageToImageRoute:
         finally:
             loop.run_until_complete(client.close())
             loop.close()
+
+
+class TestDimMismatchRecovery:
+    def test_persisted_store_with_wrong_dim_is_ignored(self, tmp_path):
+        """A store persisted under a different CLIP_MODEL (different
+        embed dim) must be rejected at load — otherwise every later
+        query/add dies on a shape assert until a manual wipe."""
+        enc = CLIPEncoder(cfg=TINY_CLIP)
+        # Persist a store with a DIFFERENT dim under the crossmodal name.
+        from multimodal_rag_tpu.crossmodal import COLLECTION
+
+        other = VectorStore(dim=TINY_CLIP.embed_dim + 32, name=COLLECTION,
+                            mesh=get_mesh(1), tile_n=256,
+                            initial_capacity=512, dtype=jnp.float32)
+        other.add(["x"],
+                  np.zeros((1, TINY_CLIP.embed_dim + 32), np.float32))
+        other.save(str(tmp_path))
+
+        idx = CrossModalIndex(encoder=enc, persist_dir=str(tmp_path))
+        n = run(idx.index_document_images("doc_a", [image_obj(0)]))
+        assert n == 1  # fresh store with the encoder's dim; no assert
+        hits = run(idx.search_text("noise", k=1))
+        assert len(hits) == 1

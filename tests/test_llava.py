@@ -177,18 +177,24 @@ class TestTPUMLLMAdapter:
 
         asyncio.run(run())
 
-    def test_bad_image_dropped(self):
+    def test_all_bad_images_raise(self):
+        """Undecodable-only image lists must error, not silently answer
+        an image prompt with no image (hallucinated description)."""
         import asyncio
 
         async def run():
             a = self._adapter()
             await a.initialize()
-            out = await a.generate_multimodal(
-                "hello", images=["not-base64!!"], max_tokens=8
-            )
-            assert isinstance(out, str)
+            try:
+                await a.generate_multimodal(
+                    "hello", images=["not-base64!!"], max_tokens=8
+                )
+            except ValueError as e:
+                return str(e)
+            return None
 
-        asyncio.run(run())
+        msg = asyncio.run(run())
+        assert msg is not None and "decoded" in msg
 
 
 # ---------------------------------------------------------------------------
@@ -283,3 +289,79 @@ def test_golden_vs_hf(tmp_path):
     np.testing.assert_allclose(
         np.asarray(logits)[0], ref[0, -1, :], rtol=5e-4, atol=5e-4
     )
+
+
+class TestReviewRegressions:
+    def test_ndarray_image_input(self):
+        """generate()'s documented '(H, W, 3) arrays' contract: raw pixel
+        arrays must preprocess, not crash PIL with a missing header."""
+        import numpy as np
+
+        from multimodal_rag_tpu.models.clip import preprocess_image
+
+        arr = np.zeros((40, 52, 3), np.uint8)
+        out = preprocess_image(arr, image_size=32)
+        assert out.shape == (32, 32, 3)
+
+    def test_projector_act_variants(self):
+        """projector_hidden_act from the checkpoint config must change
+        the activation (it was parsed-but-ignored)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from multimodal_rag_tpu.models.llava import _project
+
+        pp = {
+            "w1": jnp.eye(4), "b1": jnp.zeros(4),
+            "w2": jnp.eye(4), "b2": jnp.zeros(4),
+        }
+        feats = jnp.asarray([[-1.0, 0.5, 2.0, -0.1]])
+        exact = np.asarray(_project(pp, feats, act="gelu"))
+        tanh = np.asarray(_project(pp, feats, act="gelu_pytorch_tanh"))
+        quick = np.asarray(_project(pp, feats, act="quick_gelu"))
+        assert not np.allclose(exact, quick, atol=1e-4)
+        assert np.allclose(exact, tanh, atol=1e-2)  # close but distinct
+        assert not np.array_equal(exact, tanh)
+
+
+class TestMLLMAdapterImageFailure:
+    def test_all_undecodable_images_is_error_not_hallucination(self):
+        """If every image payload fails to decode, the adapter must NOT
+        generate a text-only 'description' of an image it never saw."""
+        import asyncio
+
+        from multimodal_rag_tpu.models.adapters.tpu_mllm import (
+            TPUMLLMAdapter,
+        )
+
+        adapter = TPUMLLMAdapter.__new__(TPUMLLMAdapter)
+        adapter.is_initialized = True  # skip heavy init; fails before use
+
+        async def flow():
+            try:
+                await adapter.generate_multimodal(
+                    "describe this", images=["!!!not-base64!!!"]
+                )
+            except ValueError as e:
+                return str(e)
+            return None
+
+        msg = asyncio.new_event_loop().run_until_complete(flow())
+        assert msg is not None and "decoded" in msg
+
+    def test_summarize_returns_unavailable_marker(self):
+        import asyncio
+
+        from multimodal_rag_tpu.models.adapters.tpu_mllm import (
+            TPUMLLMAdapter,
+        )
+
+        adapter = TPUMLLMAdapter.__new__(TPUMLLMAdapter)
+        adapter.is_initialized = True
+
+        out = asyncio.new_event_loop().run_until_complete(
+            adapter.summarize(
+                "", content_type="image", image_base64="!!!bad!!!"
+            )
+        )
+        assert out == "Image content (description unavailable)"
