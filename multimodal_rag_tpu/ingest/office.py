@@ -9,8 +9,9 @@ producing the same structures the reference builds:
   tables (rows of cell texts), images from document relationships.
 * PPTX → per-slide: title, shape texts, tables, pictures, speaker notes.
 
-Only well-formed OOXML is handled; malformed archives raise ValueError like
-the reference's parse failures.
+Only well-formed OOXML is handled; malformed archives/XML raise ValueError
+(zipfile.BadZipFile and ElementTree.ParseError are normalized to it at the
+two parse entry points) like the reference's parse failures.
 """
 
 from __future__ import annotations
@@ -93,6 +94,24 @@ def _heading_level(style_name: str) -> Optional[int]:
         return 0
 
 
+
+
+def _normalized_errors(fn):
+    """Normalize stdlib parse failures to the documented ValueError
+    contract (zipfile.BadZipFile and ET.ParseError are not ValueError
+    subclasses; KeyError covers archives missing their main part)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(content):
+        try:
+            return fn(content)
+        except (zipfile.BadZipFile, ET.ParseError, KeyError) as e:
+            raise ValueError(f"malformed OOXML document: {e}") from e
+    return wrap
+
+
+@_normalized_errors
 def parse_docx_bytes(content: bytes) -> Dict[str, Any]:
     """→ {sections: [{heading, level, content: [para,...]}],
          headings: [{text, level}],
@@ -118,7 +137,10 @@ def parse_docx_bytes(content: bytes) -> Dict[str, Any]:
             style_name = styles.get(style_id, style_id or "")
             level = _heading_level(style_name)
             if level is not None:
-                if current["content"]:
+                # Keep heading-only sections (a heading immediately
+                # followed by another heading): dropping them loses the
+                # heading text from every chunk/embedding downstream.
+                if current["content"] or current["heading"]:
                     sections.append(dict(current))
                 current = {"heading": text.strip(), "level": level, "content": []}
                 headings.append({"text": text.strip(), "level": level})
@@ -136,7 +158,7 @@ def parse_docx_bytes(content: bytes) -> Dict[str, Any]:
                 rows.append(cells)
             if rows:
                 tables.append(rows)
-    if current["content"]:
+    if current["content"] or current["heading"]:
         sections.append(current)
 
     # Images via document relationships (reference parser.py:1074-1108).
@@ -185,6 +207,7 @@ def _is_title_shape(sp: ET.Element) -> bool:
     return ph is not None and ph.get("type") in ("title", "ctrTitle")
 
 
+@_normalized_errors
 def parse_pptx_bytes(content: bytes) -> Dict[str, Any]:
     """→ {slides: [{number, title, texts, tables, images:[(bytes, ext)],
     notes}]} in slide order."""
@@ -251,7 +274,18 @@ def parse_pptx_bytes(content: bytes) -> Dict[str, Any]:
             images.append((blob, ext))
 
         notes = ""
-        notes_name = f"ppt/notesSlides/notesSlide{num}.xml"
+        # Resolve the slide's notesSlide RELATIONSHIP — filename numbers
+        # are not guaranteed to pair (after deletions/reorders slide3's
+        # rels may point at notesSlide1.xml); fall back to the
+        # number-match convention only when no relationship names one.
+        notes_name = next(
+            (
+                "ppt/" + t.replace("../", "")
+                for t in rels.values()
+                if "notesSlide" in t
+            ),
+            f"ppt/notesSlides/notesSlide{num}.xml",
+        )
         if notes_name in zf.namelist():
             notes_root = ET.fromstring(zf.read(notes_name))
             notes = "\n".join(

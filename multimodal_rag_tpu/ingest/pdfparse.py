@@ -28,6 +28,7 @@ and stays gated off, exactly as the reference gates on poppler presence.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from io import BytesIO
@@ -138,7 +139,6 @@ class Lexer:
                 tok3 = self.read_token()
                 if tok3 == b"R":
                     return Ref(int(tok), int(tok2))
-            self.pos = save if not tok2 else tok2_start
             self.pos = save
             return int(tok)
         if re.fullmatch(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", tok):
@@ -210,6 +210,11 @@ class Lexer:
     def _parse_hex_string(self) -> bytes:
         self.pos += 1
         end = self.data.find(b">", self.pos)
+        if end < 0:
+            # Unterminated hex string (truncated stream): consume to EOF.
+            # end=-1 would rewind the lexer to 0 and loop forever on the
+            # same '<' — a single corrupt upload must not hang a thread.
+            end = len(self.data)
         hexdata = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos : end])
         self.pos = end + 1
         if len(hexdata) % 2:
@@ -462,11 +467,17 @@ class PDFDocument:
         if not cat:
             return []
         out: List[Dict[str, Any]] = []
+        seen: set = set()  # /First cycles must not recurse forever
 
         def walk(node_ref, level):
+            if level > 32:  # corrupt outlines can nest arbitrarily
+                return
             node = self.resolve(node_ref)
             count = 0
             while isinstance(node, dict) and count < 1000:
+                if id(node) in seen:
+                    return
+                seen.add(id(node))
                 title = self.resolve(node.get("Title"))
                 if isinstance(title, bytes):
                     out.append(
@@ -519,6 +530,24 @@ def _parse_tounicode(cmap_data: bytes) -> Dict[int, str]:
         rb"beginbfrange(.*?)endbfrange", cmap_data, re.S
     ):
         body = m.group(1)
+
+        def handle_array(am):
+            lo_i, hi_i = int(am.group(1), 16), int(am.group(2), 16)
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", am.group(3))
+            for off, dst in enumerate(dsts):
+                if lo_i + off > hi_i:
+                    break
+                mapping[lo_i + off] = hex2str(dst)
+            return b""
+
+        # Array form FIRST, excised from the body: otherwise the plain
+        # three-hex regex below also matches consecutive entries INSIDE
+        # the brackets and mints bogus range mappings that override real
+        # bfchar entries (subset fonts use the array form routinely).
+        body = re.sub(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+            handle_array, body, flags=re.S,
+        )
         for lo, hi, dst in re.findall(
             rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
         ):
@@ -528,14 +557,6 @@ def _parse_tounicode(cmap_data: bytes) -> Dict[int, str]:
                 mapping[code] = hex2str(
                     f"{base + code - lo_i:0{max(4, len(dst))}x}".encode()
                 )
-        for lo, hi, arr in re.findall(
-            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
-            body, re.S,
-        ):
-            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
-            lo_i = int(lo, 16)
-            for off, dst in enumerate(dsts):
-                mapping[lo_i + off] = hex2str(dst)
     return mapping
 
 
@@ -832,10 +853,6 @@ def extract_page_layout(doc: PDFDocument, page: dict) -> Dict[str, Any]:
         trm = _mat_mul((tfs * th, 0, 0, tfs, 0, 0), _mat_mul(tm, ctm))
         x0, y0 = _mat_apply(trm, 0, 0)
         # Advance in unscaled text space (em/1000 units × size).
-        adv = font.width_of(raw) / 1000.0 * tfs
-        adv += (tc + (tw if not font.two_byte else 0.0)
-                * raw.count(b" ")) * len(font.codes(raw)) / max(
-                    len(font.codes(raw)), 1)
         adv = font.width_of(raw) / 1000.0 * tfs + tc * len(font.codes(raw))
         if not font.two_byte:
             adv += tw * raw.count(b" ")
@@ -1045,6 +1062,7 @@ def extract_pdf(content: bytes, include_layout: bool = False) -> Dict[str, Any]:
     pages = doc.pages()
     page_texts = []
     images = []
+    seen_images: set = set()
     for i, page in enumerate(pages):
         try:
             text = extract_page_text(doc, page)
@@ -1058,10 +1076,21 @@ def extract_pdf(content: bytes, include_layout: bool = False) -> Dict[str, Any]:
                 entry["layout"] = {"spans": [], "rules": []}
         page_texts.append(entry)
         for img_bytes, ext, size in extract_page_images(doc, page):
+            # Inherited (shared) Resources re-surface the same XObject on
+            # every page; de-duplicate by content so a 100-page doc with
+            # 5 shared images yields 5 figures, not 500.
+            digest = hashlib.md5(img_bytes).digest()
+            if digest in seen_images:
+                continue
+            seen_images.add(digest)
             images.append((i + 1, img_bytes, ext, size))
+    try:
+        outline = doc.outline()
+    except Exception:  # noqa: BLE001 — a corrupt outline must not sink
+        outline = []  # a document whose page text extracted fine
     return {
         "pages": page_texts,
-        "outline": doc.outline(),
+        "outline": outline,
         "images": images,
         "page_count": len(pages),
     }

@@ -549,3 +549,92 @@ class TestParserTableSummaries:
         )
         res = run(p.parse_document(self._md_tables(2), "t.md"))
         assert all(t["summary"] for t in res["tables"])
+
+
+class TestParserHardening:
+    """Regressions from the round-2 adversarial review of the first-party
+    extractors."""
+
+    def test_unterminated_hex_string_terminates(self):
+        """A '<' with no closing '>' must not rewind the lexer to 0 and
+        loop forever (single corrupt upload = permanent thread leak)."""
+        from multimodal_rag_tpu.ingest.pdfparse import Lexer
+
+        lex = Lexer(b"<48656c6c6f")  # no '>'
+        out = lex.parse_object()
+        assert out == b"Hello"
+        assert lex.pos >= len(lex.data)  # consumed to EOF, no rewind
+
+    def test_bfrange_array_entries_not_double_counted(self):
+        """Array-form bfrange entries must not ALSO match the plain
+        three-hex regex and mint bogus range mappings."""
+        from multimodal_rag_tpu.ingest.pdfparse import _parse_tounicode
+
+        cmap = (
+            b"beginbfchar\n<0041> <0058>\nendbfchar\n"
+            b"beginbfrange\n"
+            b"<0000> <0002> [<0041> <0042> <0043>]\n"
+            b"endbfrange\n"
+        )
+        m = _parse_tounicode(cmap)
+        assert m[0x0000] == "A" and m[0x0001] == "B" and m[0x0002] == "C"
+        # The bfchar entry for 0x41 must survive: the array's inner
+        # '<0041> <0042> <0043>' must NOT be read as a range mapping.
+        assert m[0x0041] == "X"
+        assert 0x0042 not in m  # no bogus spillover
+
+    def test_cyclic_outline_does_not_recurse_forever(self):
+        """A /First chain that loops back must terminate, and a broken
+        outline must not sink a document whose pages parsed fine."""
+        from multimodal_rag_tpu.ingest.pdfparse import extract_pdf
+
+        # Minimal PDF with an outline whose /First points at itself.
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R /Outlines 4 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R "
+            b"/MediaBox [0 0 612 792] >> endobj\n"
+            b"4 0 obj << /Type /Outlines /First 5 0 R >> endobj\n"
+            b"5 0 obj << /Title (Loop) /First 5 0 R /Next 5 0 R >> endobj\n"
+            b"trailer << /Root 1 0 R >>\n%%EOF\n"
+        )
+        res = extract_pdf(pdf)
+        assert res["page_count"] == 1  # parse survived the cycle
+
+    def test_docx_heading_only_sections_kept(self):
+        """A heading immediately followed by another heading must still
+        surface as a section (its text reaches the chunker)."""
+        from multimodal_rag_tpu.ingest.office import parse_docx_bytes
+
+        document = f"""<?xml version="1.0"?>
+<w:document xmlns:w="{W_NS}"><w:body>
+<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Alpha</w:t></w:r></w:p>
+<w:p><w:pPr><w:pStyle w:val="Heading2"/></w:pPr><w:r><w:t>Beta</w:t></w:r></w:p>
+<w:p><w:r><w:t>Body under beta.</w:t></w:r></w:p>
+</w:body></w:document>"""
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", document)
+        res = parse_docx_bytes(buf.getvalue())
+        heads = [sec["heading"] for sec in res["sections"]]
+        assert "Alpha" in heads  # heading-only section survives
+        assert "Beta" in heads
+
+    def test_malformed_ooxml_raises_valueerror(self):
+        """The documented contract: corrupt archives/XML -> ValueError,
+        not BadZipFile / ParseError leaking through."""
+        from multimodal_rag_tpu.ingest.office import (
+            parse_docx_bytes,
+            parse_pptx_bytes,
+        )
+
+        with pytest.raises(ValueError):
+            parse_docx_bytes(b"not a zip archive at all")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", "<w:document not xml")
+        with pytest.raises(ValueError):
+            parse_docx_bytes(buf.getvalue())
+        with pytest.raises(ValueError):
+            parse_pptx_bytes(b"PK corrupt")
