@@ -392,6 +392,8 @@ class CLIPEncoder:
                 )
             params = init_params(jax.random.key(seed), cfg)
         self.params = params
+        if tokenizer is None and checkpoint_path:
+            tokenizer = load_clip_tokenizer(checkpoint_path, cfg)
         self.tokenizer = tokenizer or CLIPTokenizer(cfg)
         self._jit_text = jax.jit(partial(encode_text, cfg=cfg))
         self._jit_image = jax.jit(partial(encode_image, cfg=cfg))

@@ -256,6 +256,13 @@ def create_router_app(
         doc_id = request.match_info["doc_id"]
         owner = pool.owner_of(doc_id)
         targets = [owner] if owner else pool.up()
+        if not targets:
+            # No owner recorded and nothing healthy to consult: a 404 here
+            # would mask a total outage as "not found" (mirrors the
+            # upload/query posture).
+            return web.json_response(
+                {"detail": "no healthy slices"}, status=503
+            )
         deleted = False
         failed = False  # connection error OR a non-200/404 response
         for b in targets:

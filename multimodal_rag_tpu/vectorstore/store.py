@@ -987,17 +987,6 @@ class VectorStore:
                         "metas": self._metas[lo:hi],
                     }),
                 )
-            # Stale files past the current shard count (post-reset /
-            # post-compaction shrink) would survive forever otherwise.
-            for pattern in (f"{self.name}.vec.*.bin",
-                            f"{self.name}.meta.*.json"):
-                for stale in Path(directory).glob(pattern):
-                    try:
-                        idx = int(stale.name.rsplit(".", 2)[-2])
-                    except ValueError:
-                        continue
-                    if idx >= n_shards:
-                        stale.unlink()
             live_bits = np.packbits(self._mask[0, :size] == 0.0)
             self._write_atomic(
                 os.path.join(directory, f"{self.name}.mask.bin"),
@@ -1024,7 +1013,21 @@ class VectorStore:
             self._dirty_shards.clear()
             self._save_all = False
             self._last_save_dir = directory
-            # Drop superseded format-1/2 blobs if present.
+            # Cleanup strictly AFTER the manifest commit: a crash anywhere
+            # before the os.replace above must leave every file the
+            # previous committed manifest references intact. Stale shards
+            # past the current count (post-reset / post-compaction shrink)
+            # and superseded format-1/2 blobs are only ever unreferenced
+            # once the new manifest is durable.
+            for pattern in (f"{self.name}.vec.*.bin",
+                            f"{self.name}.meta.*.json"):
+                for stale in Path(directory).glob(pattern):
+                    try:
+                        idx = int(stale.name.rsplit(".", 2)[-2])
+                    except ValueError:
+                        continue
+                    if idx >= n_shards:
+                        stale.unlink()
             for legacy_name in (f"{self.name}.npz", f"{self.name}.json"):
                 legacy = os.path.join(directory, legacy_name)
                 if os.path.exists(legacy):
@@ -1053,26 +1056,53 @@ class VectorStore:
             ids: List[str] = []
             docs: List[Optional[str]] = []
             metas: List[Optional[dict]] = []
+            # Rows whose bytes are missing on disk (a shrinking save's
+            # in-place shard rewrite raced a crash before its manifest
+            # committed). They are force-tombstoned below — never surfaced
+            # — and the store schedules a full clean rewrite.
+            lost_rows: List[int] = []
             for i in range(manifest["n_shards"]):
                 lo = i * shard_rows
                 hi = min(size, lo + shard_rows)
-                shard = np.fromfile(
-                    os.path.join(directory, f"{name}.vec.{i:04d}.bin"),
-                    dtype=np_dtype,
-                ).reshape(-1, manifest["dim"])
-                store._vecs[lo:hi] = shard[: hi - lo]
+                vec_path = os.path.join(
+                    directory, f"{name}.vec.{i:04d}.bin"
+                )
+                try:
+                    shard = np.fromfile(vec_path, dtype=np_dtype).reshape(
+                        -1, manifest["dim"]
+                    )
+                except FileNotFoundError:
+                    shard = np.zeros((0, manifest["dim"]), np_dtype)
+                got = min(hi - lo, shard.shape[0])
+                store._vecs[lo : lo + got] = shard[:got]
+                if got < hi - lo:
+                    lost_rows.extend(range(lo + got, hi))
                 if manifest.get("format", 2) >= 3:
-                    with open(
-                        os.path.join(
-                            directory, f"{name}.meta.{i:04d}.json"
-                        )
-                    ) as f:
-                        seg = json.load(f)
+                    try:
+                        with open(
+                            os.path.join(
+                                directory, f"{name}.meta.{i:04d}.json"
+                            )
+                        ) as f:
+                            seg = json.load(f)
+                    except FileNotFoundError:
+                        seg = {"ids": [], "docs": [], "metas": []}
                     # A dirty shard rewritten before the crash may carry
-                    # rows past the committed size — trim per segment.
-                    ids.extend(seg["ids"][: hi - lo])
-                    docs.extend(seg["docs"][: hi - lo])
-                    metas.extend(seg["metas"][: hi - lo])
+                    # rows past the committed size (trim) or fewer rows
+                    # than committed (pad with tombstoned placeholders —
+                    # the manifest is the only source of truth for size,
+                    # so row alignment across shards must be preserved).
+                    n_seg = min(hi - lo, len(seg["ids"]))
+                    ids.extend(seg["ids"][:n_seg])
+                    docs.extend(seg["docs"][:n_seg])
+                    metas.extend(seg["metas"][:n_seg])
+                    if n_seg < hi - lo:
+                        lost_rows.extend(range(lo + n_seg, hi))
+                        ids.extend(
+                            f"__lost__{r}" for r in range(lo + n_seg, hi)
+                        )
+                        docs.extend([None] * (hi - lo - n_seg))
+                        metas.extend([None] * (hi - lo - n_seg))
             if manifest.get("format", 2) < 3:  # format 2: monolithic meta
                 with open(os.path.join(directory, f"{name}.json")) as f:
                     meta = json.load(f)
@@ -1082,8 +1112,30 @@ class VectorStore:
             bits = np.fromfile(
                 os.path.join(directory, f"{name}.mask.bin"), dtype=np.uint8
             )
-            live = np.unpackbits(bits, count=size).astype(bool)
+            avail = min(size, bits.size * 8)
+            live = np.zeros((size,), bool)
+            if avail:
+                live[:avail] = np.unpackbits(bits, count=avail).astype(bool)
+            if avail < size:  # short bitmap: same crash window as shards
+                lost_rows.extend(range(avail, size))
             store._mask[0, :size] = np.where(live, 0.0, NEG_INF)
+            if lost_rows:
+                lost = np.unique(np.asarray(lost_rows, np.int64))
+                store._mask[0, lost] = NEG_INF
+                logger.warning(
+                    "%s: %d rows were unrecoverable (crash during a "
+                    "shrinking save); they are tombstoned and the next "
+                    "save() rewrites the store in full",
+                    name, int(lost.size),
+                )
+            # Pre-format-3 stores have no per-shard meta segments on disk;
+            # an incremental first save would commit a format-3 manifest
+            # claiming segments that were never written, then delete the
+            # monolithic blobs — destroying clean shards' metadata. Force
+            # a full rewrite before any legacy file is touched.
+            needs_full_save = (
+                manifest.get("format", 2) < 3 or bool(lost_rows)
+            )
         else:  # legacy format-1 monolithic npz + json
             with open(os.path.join(directory, f"{name}.json")) as f:
                 meta = json.load(f)
@@ -1096,14 +1148,21 @@ class VectorStore:
             ids = list(meta["ids"])
             docs = list(meta["docs"])
             metas = list(meta["metas"])
+            needs_full_save = True  # no format-3 segments exist on disk
         store._ids = ids
         store._docs = docs
         store._metas = metas
         store._size = size
         store._dead = int((store._mask[0, :size] != 0.0).sum())
         store._dirty_shards.clear()
-        store._save_all = False  # disk now matches memory...
-        store._last_save_dir = directory  # ...for THIS directory
+        if needs_full_save:
+            # Legacy/degraded on-disk state: the first save must be a full
+            # format-3 rewrite, never an incremental one.
+            store._save_all = True
+            store._last_save_dir = None
+        else:
+            store._save_all = False  # disk now matches memory...
+            store._last_save_dir = directory  # ...for THIS directory
         store._id_to_row = {
             id_: r
             for r, id_ in enumerate(store._ids)

@@ -179,6 +179,28 @@ class TestRouter:
         assert loop.run_until_complete(do()) == 503
         assert pool.owner_of(doc_id) == owner  # affinity survives
 
+    def test_delete_with_no_slices_is_503(self, tmp_path):
+        """No recorded owner AND no slice to consult (empty pool): the
+        router never asked anyone, so 'not found' would mask a total
+        outage — it must report 503 like the upload/query paths
+        (ADVICE r2)."""
+        loop = asyncio.new_event_loop()
+        try:
+            app = create_router_app(
+                [], state_path=str(tmp_path / "aff.json")
+            )
+            client = TestClient(TestServer(app, loop=loop), loop=loop)
+            loop.run_until_complete(client.start_server())
+
+            async def do():
+                resp = await client.delete("/documents/doc_neverseen123")
+                return resp.status
+
+            assert loop.run_until_complete(do()) == 503
+            loop.run_until_complete(client.close())
+        finally:
+            loop.close()
+
     def test_delete_all_skips_down_slice_honestly(self, cluster):
         """delete_all with a dead slice must keep that slice's affinity
         entries and report the skip instead of claiming a full wipe."""

@@ -480,6 +480,113 @@ class TestCrashWindowRecovery:
         res = loaded.query(emb[:1], n_results=1)
         assert res["ids"][0][0] == ids[0]
 
+    def test_format2_upgrade_first_save_is_full(self, tmp_path,
+                                                 monkeypatch):
+        """A format-2 store (vec shards + monolithic meta JSON) must get a
+        FULL rewrite on its first save: an incremental save would commit a
+        format-3 manifest claiming per-shard meta segments that were never
+        written, then delete the monolithic JSON — destroying clean
+        shards' metadata (ADVICE r2, high)."""
+        import json
+
+        import ml_dtypes
+        import multimodal_rag_tpu.vectorstore.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 16)
+        store, emb, ids = make_store(48)  # 3 shards
+        # Write format-2 on disk by hand: shards + monolithic meta.
+        for i in range(3):
+            store._vecs[i * 16 : (i + 1) * 16].astype(
+                ml_dtypes.bfloat16
+            ).tofile(tmp_path / f"{store.name}.vec.{i:04d}.bin")
+        np.packbits(store._mask[0, :48] == 0.0).tofile(
+            tmp_path / f"{store.name}.mask.bin"
+        )
+        (tmp_path / f"{store.name}.json").write_text(
+            json.dumps({"ids": store._ids, "docs": store._docs,
+                        "metas": store._metas})
+        )
+        (tmp_path / f"{store.name}.manifest.json").write_text(
+            json.dumps({"format": 2, "name": store.name, "dim": DIM,
+                        "size": 48, "shard_rows": 16, "n_shards": 3,
+                        "vec_dtype": "bfloat16"})
+        )
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        assert loaded.count() == 48
+        # Mutate only the tail, then save: the save must still write ALL
+        # meta segments (full rewrite), not just the dirty shard's.
+        rng = np.random.default_rng(13)
+        more = unit(rng.standard_normal((4, DIM)).astype(np.float32))
+        loaded.add([f"up_{i}" for i in range(4)], more)
+        loaded.save(str(tmp_path))
+        for i in range(4):  # 52 rows → 4 shards, every segment present
+            assert (tmp_path / f"{store.name}.meta.{i:04d}.json").exists()
+        assert not (tmp_path / f"{store.name}.json").exists()
+        re = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        assert re.count() == 52
+        assert re.get(ids=[ids[0]])["metadatas"][0]["doc_id"] == "doc_0"
+        res = re.query(emb[:1], n_results=1)
+        assert res["ids"][0][0] == ids[0]
+
+    def test_shrinking_save_crash_fails_soft(self, tmp_path, monkeypatch):
+        """Crash mid-save after a shrink (shard 0 rewritten shorter, old
+        manifest still committed): load() must not raise, must never
+        surface rows whose bytes are gone, and the next save must produce
+        a clean, fully round-trippable store (ADVICE r2, medium)."""
+        import multimodal_rag_tpu.vectorstore.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 16)
+        store, emb, ids = make_store(48)  # 3 shards committed
+        store.save(str(tmp_path))
+        store.delete_all()
+        rng = np.random.default_rng(14)
+        more = unit(rng.standard_normal((8, DIM)).astype(np.float32))
+        store.add([f"new_{i}" for i in range(8)], more)
+
+        orig = store_mod.VectorStore._write_atomic  # plain function
+
+        def crash_on_manifest(path, writer):
+            if path.endswith(".manifest.json"):
+                raise OSError("simulated crash before commit")
+            orig(path, writer)
+
+        monkeypatch.setattr(
+            store_mod.VectorStore, "_write_atomic",
+            staticmethod(crash_on_manifest),
+        )
+        with pytest.raises(OSError):
+            store.save(str(tmp_path))
+        monkeypatch.setattr(
+            store_mod.VectorStore, "_write_atomic", staticmethod(orig)
+        )
+        # Old manifest + shorter shard 0 / mask on disk. The pre-commit
+        # cleanup pass must NOT have unlinked manifest-referenced shards.
+        assert (tmp_path / f"{store.name}.vec.0001.bin").exists()
+        assert (tmp_path / f"{store.name}.vec.0002.bin").exists()
+        loaded = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        # Fail-soft: whatever survived is consistent; lost rows are
+        # tombstoned, never returned with garbage bytes.
+        assert 0 <= loaded.count() <= 48
+        res = loaded.query(emb[:1], n_results=min(3, max(1, loaded.count())))
+        for rid in res["ids"][0]:
+            assert not rid.startswith("__lost__")
+        # Degraded load schedules a full rewrite → clean round-trip.
+        loaded.save(str(tmp_path))
+        re = VectorStore.load(
+            str(tmp_path), mesh=get_mesh(1), tile_n=256,
+            initial_capacity=512,
+        )
+        assert re.count() == loaded.count()
+
     def test_save_to_second_directory_is_complete(self, tmp_path,
                                                   monkeypatch):
         import multimodal_rag_tpu.vectorstore.store as store_mod
