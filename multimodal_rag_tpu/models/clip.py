@@ -330,6 +330,8 @@ class CLIPTokenizer:
     """Deterministic hashing tokenizer with CLIP special-token framing
     (used when the real BPE vocab is unavailable offline)."""
 
+    name = "clip-hash"
+
     def __init__(self, cfg: CLIPConfig = CLIP_B32):
         from multimodal_rag_tpu.models.tokenizer import HashingTokenizer
 
@@ -346,6 +348,45 @@ class CLIPTokenizer:
             row = [SOT] + body + [EOT]
             ids[i, : len(row)] = row
         return ids
+
+
+def load_clip_tokenizer(checkpoint_path: str, cfg: CLIPConfig = CLIP_B32):
+    """Checkpoint-exact tokenizer discovery: the byte-level BPE files
+    (``vocab.json`` + ``merges.txt``) ship in the same snapshot dir as
+    ``model.safetensors`` for every openai/clip-vit checkpoint. Returns a
+    first-party :class:`~multimodal_rag_tpu.models.clip_bpe.CLIPBPETokenizer`
+    when they exist and fit the tower's embedding table, else ``None``
+    (caller falls back to the hashing tokenizer)."""
+    import logging
+    import os
+
+    logger = logging.getLogger(__name__)
+    base = (
+        checkpoint_path
+        if os.path.isdir(checkpoint_path)
+        else os.path.dirname(checkpoint_path)
+    )
+    vocab = os.path.join(base, "vocab.json")
+    merges = os.path.join(base, "merges.txt")
+    if not (os.path.exists(vocab) and os.path.exists(merges)):
+        return None
+    try:
+        from multimodal_rag_tpu.models.clip_bpe import CLIPBPETokenizer
+
+        tok = CLIPBPETokenizer(
+            vocab, merges, context_length=cfg.context_length
+        )
+    except Exception as e:  # noqa: BLE001 — malformed files → fallback
+        logger.error("Failed to load CLIP BPE from %s (%s)", base, e)
+        return None
+    if tok.vocab_size > cfg.vocab_size:
+        logger.error(
+            "CLIP BPE vocab (%d) exceeds the tower's embedding table "
+            "(%d); ignoring it", tok.vocab_size, cfg.vocab_size,
+        )
+        return None
+    logger.info("Loaded CLIP BPE tokenizer from %s", base)
+    return tok
 
 
 class CLIPEncoder:

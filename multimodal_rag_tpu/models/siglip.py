@@ -300,6 +300,8 @@ class SigLIPTokenizer:
     context, last-position pooling) for offline use; a real SentencePiece
     vocab drops in via the same encode_batch contract."""
 
+    name = "siglip-hash"
+
     def __init__(self, cfg: SigLIPConfig = SIGLIP_B16):
         from multimodal_rag_tpu.models.tokenizer import HashingTokenizer
 
@@ -317,6 +319,46 @@ class SigLIPTokenizer:
             # Right-align so the pooled last position is always the EOS.
             ids[i, max_len - len(row):] = row
         return ids
+
+
+def load_siglip_tokenizer(
+    checkpoint_path: str, cfg: SigLIPConfig = SIGLIP_B16
+):
+    """Checkpoint-exact tokenizer discovery: ``spiece.model`` ships in the
+    same snapshot dir as ``model.safetensors`` for every google/siglip
+    checkpoint. Returns a first-party
+    :class:`~multimodal_rag_tpu.models.spm_unigram.SigLIPSPTokenizer`
+    when it exists and fits the tower's embedding table, else ``None``
+    (caller falls back to the hashing tokenizer)."""
+    import logging
+    import os
+
+    logger = logging.getLogger(__name__)
+    base = (
+        checkpoint_path
+        if os.path.isdir(checkpoint_path)
+        else os.path.dirname(checkpoint_path)
+    )
+    model_file = os.path.join(base, "spiece.model")
+    if not os.path.exists(model_file):
+        return None
+    try:
+        from multimodal_rag_tpu.models.spm_unigram import SigLIPSPTokenizer
+
+        tok = SigLIPSPTokenizer(
+            model_file, context_length=cfg.context_length
+        )
+    except Exception as e:  # noqa: BLE001 — malformed file → fallback
+        logger.error("Failed to parse %s (%s)", model_file, e)
+        return None
+    if tok.vocab_size > cfg.vocab_size:
+        logger.error(
+            "SigLIP spiece vocab (%d) exceeds the tower's embedding "
+            "table (%d); ignoring it", tok.vocab_size, cfg.vocab_size,
+        )
+        return None
+    logger.info("Loaded SigLIP SentencePiece tokenizer from %s", base)
+    return tok
 
 
 class SigLIPEncoder:
@@ -363,6 +405,8 @@ class SigLIPEncoder:
                 )
             params = init_params(jax.random.key(seed), cfg)
         self.params = params
+        if tokenizer is None and checkpoint_path:
+            tokenizer = load_siglip_tokenizer(checkpoint_path, cfg)
         self.tokenizer = tokenizer or SigLIPTokenizer(cfg)
         self._jit_text = jax.jit(partial(encode_text, cfg=cfg))
         self._jit_image = jax.jit(partial(encode_image, cfg=cfg))
