@@ -77,6 +77,14 @@ class Settings:
     # local host — but dominant over a relay/tunnel), while the coalescer
     # runs the whole generation as one fused device loop.
     TPU_LLM_CONTINUOUS: bool = False
+    # Prompt-length buckets (tokens) for the on-TPU decoder; the LAST
+    # entry is the hard prompt ceiling — longer prompts keep only their
+    # tail (counted in /stats as generation.truncated_prompts). A top-5
+    # RAG context of 1000-char chunks is ~1300+ tokens, so raise this
+    # (e.g. "256,512,1024,2048") to keep full retrieval context; each
+    # extra bucket costs one more compiled executable per generation
+    # preset.
+    TPU_LLM_PROMPT_BUCKETS: str = "128,256,512,1024"
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None

@@ -78,6 +78,16 @@ class TPULLMAdapter(BaseLLMAdapter):
         self.requests_served = 0
 
     @property
+    def truncated_prompts(self) -> int:
+        """Prompts that exceeded the top prompt bucket and kept only
+        their tail (earlier RAG context dropped) — surfaced in /stats so
+        silent context loss is observable (raise TPU_LLM_PROMPT_BUCKETS
+        when this grows)."""
+        if self._decoder is None:
+            return 0
+        return getattr(self._decoder, "truncated_prompts", 0)
+
+    @property
     def batches_run(self) -> int:
         """Device dispatches that carried batched work: coalesced batches
         in queue mode; decode steps (each one advances every joined row)
@@ -177,7 +187,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                     deferred.append(req)
             self._carry = deferred  # served at the FRONT next round
             prompts = [p for req in batch for p in req[0]]
-            bucket, temperature, top_k = first[1]
+            bucket, temperature, top_k, top_p = first[1]
             budgets = [req[2] for req in batch for _ in req[0]]
             seed = self._seed
             self._seed += 1
@@ -192,6 +202,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                         max_new_per_row=budgets,
                         temperature=temperature,
                         top_k=top_k,
+                        top_p=top_p,
                         seed=seed,
                         return_finish=True,
                     )
@@ -230,6 +241,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                     self._server.submit(
                         p, max_new_tokens=max_tokens,
                         temperature=temperature, return_finish=True,
+                        top_p=float(kw.get("top_p", 1.0)),
                     )
                     for p in prompts
                 )
@@ -244,12 +256,17 @@ class TPULLMAdapter(BaseLLMAdapter):
             GEN_BUCKETS,
             bucket_for,
             snap_temperature,
+            snap_top_p,
         )
 
+        # top_p is traced (never a recompile) but joins the coalescing
+        # key so one batch shares a nucleus threshold; snapping keeps
+        # client-swept floats from fragmenting batches.
         key = (
             bucket_for(int(max_tokens), GEN_BUCKETS),
             snap_temperature(temperature),
             int(kw.get("top_k", 64)),
+            snap_top_p(kw.get("top_p", 1.0)),
         )
         fut = asyncio.get_running_loop().create_future()
         # The raw budget rides alongside the bucketed key: batching is by
@@ -309,7 +326,8 @@ class TPULLMAdapter(BaseLLMAdapter):
             # withholding the final delta, which is an acceptable delta.
             started = False
             async for delta, fin in self._server.submit_stream(
-                full, max_new_tokens=max_tokens, temperature=temperature
+                full, max_new_tokens=max_tokens, temperature=temperature,
+                top_p=float(kwargs.get("top_p", 1.0)),
             ):
                 if not started and delta:
                     delta = delta.lstrip()

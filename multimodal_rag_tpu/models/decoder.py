@@ -116,6 +116,19 @@ def snap_temperature(t: float) -> float:
     return min(TEMP_GRID, key=lambda g: abs(g - t))
 
 
+# ``top_p`` is TRACED (a new value never recompiles), so this grid exists
+# only for the coalescing adapter's batching key — requests in one batch
+# share a nucleus threshold, and snapping keeps client-swept floats from
+# fragmenting batches.
+TOP_P_GRID = (0.1, 0.3, 0.5, 0.8, 0.9, 0.95, 1.0)
+
+
+def snap_top_p(p: float) -> float:
+    """Nearest TOP_P_GRID point to ``p`` (clamped to (0, 1])."""
+    p = min(max(float(p), 0.01), 1.0)
+    return min(TOP_P_GRID, key=lambda g: abs(g - p))
+
+
 # ---------------------------------------------------------------------------
 # Parameters
 # ---------------------------------------------------------------------------
@@ -637,14 +650,26 @@ def decode_step_rows(
 # ---------------------------------------------------------------------------
 
 
-def _sample(logits, key, temperature: float, top_k: int):
+def _sample(logits, key, temperature: float, top_k: int, top_p=1.0):
+    """Temperature + top-k + nucleus sampling. ``top_p`` rides as a
+    TRACED scalar (a new value never mints a new executable); the nucleus
+    is taken within the top-k candidates — with the serving default
+    k=64 the excluded tail holds negligible mass, and OpenAI's own
+    guidance is to use one of top_p/top_k anyway."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     if top_k > 0:
-        vals, _ = jax.lax.top_k(logits, top_k)
-        cutoff = vals[:, -1:]
-        logits = jnp.where(logits < cutoff, -1e9, logits)
+        vals, idx = jax.lax.top_k(logits, top_k)  # sorted descending
+        probs = jax.nn.softmax(vals, axis=-1)
+        # Keep tokens whose *preceding* cumulative mass is < top_p: the
+        # first token always survives, and top_p=1.0 keeps everything.
+        exclusive = jnp.cumsum(probs, axis=-1) - probs
+        vals = jnp.where(exclusive < top_p, vals, -1e9)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=1)[
+            :, 0
+        ].astype(jnp.int32)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
@@ -662,16 +687,18 @@ def generate_tokens(
     temperature: float = 0.7,
     top_k: int = 64,
     eos_id: int = -1,
+    top_p: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Prefill + sample up to ``max_new_tokens``. ids/mask (B, P) left-
     padded. Returns (tokens (B, max_new_tokens) int32, lengths (B,) int32);
     rows stop at ``eos_id`` (their tail is PAD=eos) and the loop exits
-    early once every row has finished."""
+    early once every row has finished. ``top_p`` is traced (no
+    per-value recompiles)."""
     S_max = ids.shape[1] + max_new_tokens
     logits, cache = prefill(params, ids, mask, cfg, S_max)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
-        max_new_tokens, temperature, top_k, eos_id,
+        max_new_tokens, temperature, top_k, eos_id, top_p,
     )
 
 
@@ -689,6 +716,7 @@ def generate_tokens_embeds(
     temperature: float = 0.7,
     top_k: int = 64,
     eos_id: int = -1,
+    top_p: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """:func:`generate_tokens` over pre-computed input embeddings (B,P,H)
     — the multimodal entry point."""
@@ -696,13 +724,14 @@ def generate_tokens_embeds(
     logits, cache = prefill_embeds(params, embeds, mask, cfg, S_max)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
-        max_new_tokens, temperature, top_k, eos_id,
+        max_new_tokens, temperature, top_k, eos_id, top_p,
     )
 
 
 def _generate_loop(
     params, logits, cache, mask, key, cfg: DecoderConfig,
     max_new_tokens: int, temperature: float, top_k: int, eos_id: int,
+    top_p=1.0,
 ):
     B, P = mask.shape
     prompt_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,)
@@ -711,7 +740,7 @@ def _generate_loop(
         axis=1,
     )
 
-    first = _sample(logits, key, temperature, top_k)
+    first = _sample(logits, key, temperature, top_k, top_p)
     done0 = jnp.zeros((B,), jnp.bool_) | (first == eos_id)
     out0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     out0 = out0.at[:, 0].set(first)
@@ -731,7 +760,7 @@ def _generate_loop(
         logits, cache = decode_step(
             params, cache, cur, pos, key_mask, positions, cfg
         )
-        nxt = _sample(logits, sub, temperature, top_k)
+        nxt = _sample(logits, sub, temperature, top_k, top_p)
         nxt = jnp.where(done, eos_id, nxt)
         out = out.at[:, t].set(jnp.where(done, out[:, t], nxt))
         done = done | (nxt == eos_id)
@@ -791,7 +820,7 @@ class TextDecoder:
         cfg: DecoderConfig | None = None,
         tokenizer=None,
         checkpoint_path: str | None = None,
-        prompt_buckets: Sequence[int] = (128, 256, 512, 1024),
+        prompt_buckets: Optional[Sequence[int]] = None,
         batch_buckets: Sequence[int] = (1, 4, 8),
         seed: int = 0,
         quantize: bool = False,
@@ -801,6 +830,17 @@ class TextDecoder:
             load_decoder_tokenizer,
         )
 
+        if prompt_buckets is None:
+            # RAG prompts with several 1000-char chunks overflow 1024
+            # tokens; the ceiling is an operator knob so full context can
+            # be kept (the truncation counter below reports when it
+            # binds). Comma-separated, e.g. "256,512,1024,2048".
+            from multimodal_rag_tpu.config import settings
+
+            raw = settings.TPU_LLM_PROMPT_BUCKETS
+            prompt_buckets = tuple(
+                sorted(int(x) for x in str(raw).split(",") if x.strip())
+            ) or (128, 256, 512, 1024)
         self.pretrained = False
         if params is None:
             checkpoint_path = checkpoint_path or find_local_lm_checkpoint()
@@ -855,6 +895,9 @@ class TextDecoder:
         self.prompt_buckets = tuple(prompt_buckets)
         self.batch_buckets = tuple(batch_buckets)
         self.eos_id = getattr(tokenizer, "eos_id", 2)
+        # Prompts whose encoded length exceeded the top bucket and lost
+        # their head to the tail-keep slice (surfaced via /stats).
+        self.truncated_prompts = 0
 
     @staticmethod
     def _maybe_shard_tp(params: Dict, cfg: DecoderConfig) -> Dict:
@@ -885,10 +928,23 @@ class TextDecoder:
         ``len(prompts)`` must not exceed the largest batch bucket
         (``generate`` chunks oversized requests before calling this)."""
         assert len(prompts) <= self.batch_buckets[-1], len(prompts)
-        encoded = [
-            self.tokenizer.encode(p)[-self.prompt_buckets[-1]:]
-            for p in prompts
-        ]
+        cap = self.prompt_buckets[-1]
+        encoded = []
+        truncated = 0
+        for p in prompts:
+            e = self.tokenizer.encode(p)
+            if len(e) > cap:
+                truncated += 1
+                e = e[-cap:]
+            encoded.append(e)
+        if truncated:
+            self.truncated_prompts += truncated
+            logger.warning(
+                "%d prompt(s) exceeded the %d-token ceiling and kept only "
+                "the tail — earlier context was dropped. Raise "
+                "TPU_LLM_PROMPT_BUCKETS to keep full RAG context.",
+                truncated, cap,
+            )
         P = bucket_for(max(len(e) for e in encoded), self.prompt_buckets)
         B = bucket_for(len(prompts), self.batch_buckets)
         ids = np.zeros((B, P), np.int32)
@@ -910,6 +966,7 @@ class TextDecoder:
         seed: int = 0,
         return_finish: bool = False,
         max_new_per_row: Optional[Sequence[int]] = None,
+        top_p: float = 1.0,
     ) -> "list[str] | tuple[list[str], list[str]]":
         """Generate one completion per prompt.
 
@@ -938,6 +995,7 @@ class TextDecoder:
                     top_k=top_k,
                     seed=seed + start,
                     return_finish=True,
+                    top_p=top_p,
                     max_new_per_row=(
                         list(max_new_per_row[start:start + max_bb])
                         if max_new_per_row is not None else None
@@ -960,6 +1018,7 @@ class TextDecoder:
             temperature=snap_temperature(temperature),
             top_k=int(top_k),
             eos_id=int(self.eos_id),
+            top_p=float(top_p),
         )
         toks = np.asarray(toks)
         lengths = np.asarray(lengths)

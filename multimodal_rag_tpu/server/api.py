@@ -575,6 +575,13 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                                 "batches_run": comps.llm_adapter.batches_run,
                                 "requests_served":
                                     comps.llm_adapter.requests_served,
+                                # Prompts that lost their head to the
+                                # prompt-bucket ceiling (context loss is
+                                # observable, not silent).
+                                "truncated_prompts": getattr(
+                                    comps.llm_adapter,
+                                    "truncated_prompts", 0,
+                                ),
                             }
                         }
                         if hasattr(comps.llm_adapter, "batches_run")
@@ -619,32 +626,64 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             return bad_request("each message must be an object")
         stream = bool(body.get("stream"))
 
-        def content_text(content):
+        def parse_image_url(part):
+            """OpenAI image part → bare base64 payload. Only ``data:``
+            URLs are accepted (the reference's own multimodal wire format,
+            ``app/models/mllm_adapter.py:275-284``; this server has no
+            egress to fetch remote URLs). Returns (b64, error)."""
+            url = part.get("image_url")
+            if isinstance(url, dict):
+                url = url.get("url")
+            if not isinstance(url, str):
+                return None, "image_url must be a string or {url: ...}"
+            if not url.startswith("data:"):
+                return None, (
+                    "only data: image URLs are supported (inline base64); "
+                    "remote URL fetching is not available"
+                )
+            head, sep, payload = url.partition(",")
+            if not sep or "base64" not in head:
+                return None, "image data: URL must be base64-encoded"
+            try:
+                base64.b64decode(payload, validate=True)
+            except Exception:  # noqa: BLE001
+                return None, "image data: URL carries invalid base64"
+            return payload, None
+
+        def content_parts(content):
             """OpenAI content is a string OR a list of typed parts —
-            extract the text parts instead of str()-ing the list."""
+            returns (text, images, error) with images as bare-base64
+            strings (the adapters' wire format)."""
             if isinstance(content, str):
-                return content
+                return content, [], None
             if isinstance(content, list):
-                out = []
+                out, imgs = [], []
                 for part in content:
                     if not isinstance(part, dict):
-                        return None
-                    if part.get("type") == "text":
+                        return None, None, "parts must be objects"
+                    ptype = part.get("type")
+                    if ptype == "text":
                         out.append(str(part.get("text", "")))
-                    # non-text parts (image_url, ...) are unsupported here
-                    # and skipped; the RAG image path is /search/images.
-                return "\n".join(out)
-            return None
+                    elif ptype == "image_url":
+                        b64, err = parse_image_url(part)
+                        if err:
+                            return None, None, err
+                        imgs.append(b64)
+                    else:
+                        return None, None, (
+                            f"unsupported content part type {ptype!r}"
+                        )
+                return "\n".join(out), imgs, None
+            return None, None, "must be a string or a list of typed parts"
 
         texts = {}
+        images = []
         for i, m in enumerate(messages):
-            t = content_text(m.get("content", ""))
-            if t is None:
-                return bad_request(
-                    f"messages[{i}].content must be a string or a list "
-                    "of typed parts"
-                )
+            t, imgs, err = content_parts(m.get("content", ""))
+            if err:
+                return bad_request(f"messages[{i}].content: {err}")
             texts[i] = t
+            images.extend(imgs)
         # Fold the chat into the adapter's system/user framing.
         system = "\n".join(
             texts[i] for i, m in enumerate(messages)
@@ -676,6 +715,64 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         from multimodal_rag_tpu.models.decoder import snap_temperature
 
         temperature = snap_temperature(float(t_raw))
+        # --- OpenAI sampling-param compatibility -------------------------
+        # Policy: parameters that would silently change the contract are
+        # either honored (top_p, stop) or explicitly rejected (n > 1,
+        # logprobs); presence/frequency penalties are accepted and
+        # documented as no-ops (PARITY.md) rather than 400s, matching
+        # what HTTP backends would do with them.
+        p_raw = body.get("top_p", 1.0)
+        if not isinstance(p_raw, (int, float)) or isinstance(p_raw, bool) \
+                or not (0.0 < float(p_raw) <= 1.0):
+            return bad_request("top_p must be a number in (0, 1]")
+        top_p = float(p_raw)
+        n_raw = body.get("n", 1)
+        if n_raw not in (1, None):
+            return bad_request("n > 1 is not supported")
+        if body.get("logprobs"):
+            return bad_request("logprobs is not supported")
+        stop_raw = body.get("stop")
+        if stop_raw is None:
+            stops = []
+        elif isinstance(stop_raw, str) and stop_raw:
+            stops = [stop_raw]
+        elif (
+            isinstance(stop_raw, list)
+            and 0 < len(stop_raw) <= 4
+            and all(isinstance(s, str) and s for s in stop_raw)
+        ):
+            stops = list(stop_raw)
+        else:
+            return bad_request(
+                "stop must be a non-empty string or a list of 1-4 "
+                "non-empty strings"
+            )
+        gen_kw = {"max_tokens": max_tokens, "temperature": temperature}
+        if top_p < 1.0:
+            gen_kw["top_p"] = top_p
+
+        def stop_cut(text):
+            """Earliest stop-sequence hit, or -1."""
+            hits = [text.find(s) for s in stops]
+            hits = [h for h in hits if h >= 0]
+            return min(hits) if hits else -1
+
+        # Vision routing: image parts need a vision-capable backend — a
+        # text adapter would silently answer without looking at the image
+        # (the round-2 behavior this replaces was silently DROPPING the
+        # parts, server/api.py:634 in that revision).
+        mllm = getattr(comps, "mllm_adapter", None)
+        if images:
+            from multimodal_rag_tpu.models.adapters.base import (
+                ModelCapability,
+            )
+
+            caps = mllm.get_capabilities() if mllm is not None else []
+            if ModelCapability.VISION not in caps:
+                return bad_request(
+                    "image content requires a vision-capable backend "
+                    "(enable USE_TPU_MLLM or an Ollama llava model)"
+                )
         start = time.time()
         if stream:
             # Pre-validate what the adapter would reject, BEFORE the SSE
@@ -717,21 +814,54 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 gen_stream = getattr(
                     comps.llm_adapter, "generate_text_stream", None
                 )
-                if gen_stream is not None:
-                    async for delta, fin in gen_stream(
-                        prompt, max_tokens=max_tokens,
-                        temperature=temperature,
-                    ):
-                        if delta:
+                if images:
+                    # Vision requests generate through the MLLM adapter
+                    # and stream as ONE coarse delta — valid SSE, same
+                    # posture as the HTTP-adapter fallback below.
+                    text = await mllm.generate_multimodal(
+                        prompt, images=images, **gen_kw
+                    )
+                    cut = stop_cut(text)
+                    if cut >= 0:
+                        text, finish_reason = text[:cut], "stop"
+                    await resp.write(chunk({"content": text}))
+                elif gen_stream is not None:
+                    # Hold back a stop-sized tail so a stop sequence that
+                    # arrives split across deltas is never partially sent.
+                    hold = max((len(s) for s in stops), default=1) - 1
+                    buf, emitted, stopped = "", 0, False
+                    async for delta, fin in gen_stream(prompt, **gen_kw):
+                        if delta and not stops:
                             await resp.write(chunk({"content": delta}))
+                        elif delta:
+                            buf += delta
+                            cut = stop_cut(buf)
+                            if cut >= 0:
+                                if cut > emitted:
+                                    await resp.write(
+                                        chunk({"content": buf[emitted:cut]})
+                                    )
+                                finish_reason = "stop"
+                                stopped = True
+                                break  # GeneratorExit retires the row
+                            safe = max(emitted, len(buf) - hold)
+                            if safe > emitted:
+                                await resp.write(
+                                    chunk({"content": buf[emitted:safe]})
+                                )
+                                emitted = safe
                         if fin is not None:
                             finish_reason = fin
+                    if stops and not stopped and len(buf) > emitted:
+                        await resp.write(chunk({"content": buf[emitted:]}))
                 else:
                     # HTTP adapters: one coarse delta (the full answer).
                     text = await comps.llm_adapter.generate_text(
-                        prompt, max_tokens=max_tokens,
-                        temperature=temperature,
+                        prompt, **gen_kw
                     )
+                    cut = stop_cut(text)
+                    if cut >= 0:
+                        text, finish_reason = text[:cut], "stop"
                     await resp.write(chunk({"content": text}))
             except Exception as e:  # noqa: BLE001 — in-band SSE error
                 await resp.write(
@@ -753,14 +883,19 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             gen_meta = getattr(
                 comps.llm_adapter, "generate_text_with_finish", None
             )
-            if gen_meta is not None:
-                text, finish_reason = await gen_meta(
-                    prompt, max_tokens=max_tokens, temperature=temperature,
+            if images:
+                text = await mllm.generate_multimodal(
+                    prompt, images=images, **gen_kw
                 )
+            elif gen_meta is not None:
+                text, finish_reason = await gen_meta(prompt, **gen_kw)
             else:
                 text = await comps.llm_adapter.generate_text(
-                    prompt, max_tokens=max_tokens, temperature=temperature,
+                    prompt, **gen_kw
                 )
+            cut = stop_cut(text)
+            if cut >= 0:
+                text, finish_reason = text[:cut], "stop"
         except ValueError as e:
             # Adapter input validation (empty / >10k-char prompt) is the
             # client's fault — a retryable 503 here would loop forever.

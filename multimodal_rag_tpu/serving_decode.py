@@ -63,15 +63,29 @@ def _insert_row(pool: Dict, row: Dict, slot: jax.Array) -> Dict:
 
 
 @partial(jax.jit, static_argnames=("top_k",))
-def _sample_rows(logits, key, temps, top_k: int):
-    """Per-row temperature: temp<=0 rows take argmax, others sample from
-    the top_k-filtered, temperature-scaled distribution."""
+def _sample_rows(logits, key, temps, top_k: int, top_ps=None):
+    """Per-row temperature + nucleus: temp<=0 rows take argmax, others
+    sample from the top_k-filtered, temperature-scaled distribution with
+    the per-row nucleus threshold applied within the top-k candidates.
+    ``temps``/``top_ps`` are TRACED (B,) vectors — a new value never
+    mints a new executable."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
     if top_k > 0:
-        vals, _ = jax.lax.top_k(scaled, top_k)
-        scaled = jnp.where(scaled < vals[:, -1:], -1e9, scaled)
-    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        vals, idx = jax.lax.top_k(scaled, top_k)  # sorted descending
+        if top_ps is None:
+            top_ps = jnp.ones_like(temps)
+        probs = jax.nn.softmax(vals, axis=-1)
+        exclusive = jnp.cumsum(probs, axis=-1) - probs
+        vals = jnp.where(exclusive < top_ps[:, None], vals, -1e9)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[
+            :, 0
+        ].astype(jnp.int32)
+    else:
+        sampled = jax.random.categorical(key, scaled, axis=-1).astype(
+            jnp.int32
+        )
     return jnp.where(temps <= 0.0, greedy, sampled)
 
 
@@ -81,6 +95,7 @@ class _Request:
     max_new_tokens: int
     temperature: float
     future: asyncio.Future
+    top_p: float = 1.0
     tokens: List[int] = field(default_factory=list)
     slot: int = -1
     finish: str = "stop"  # "stop" (EOS) | "length" (budget exhausted)
@@ -122,6 +137,7 @@ class DecodeServer:
         self.sem_pos = np.zeros((slots,), np.int32)
         self.cur_tok = np.zeros((slots,), np.int32)
         self.temps = np.full((slots,), -1.0, np.float32)
+        self.top_ps = np.ones((slots,), np.float32)
 
         self.pending: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
@@ -153,12 +169,13 @@ class DecodeServer:
         max_new_tokens: int = 256,
         temperature: float = 0.7,
         return_finish: bool = False,
+        top_p: float = 1.0,
     ) -> "str | tuple[str, str]":
         """Generate text for ``prompt``; resolves when the row finishes.
         With ``return_finish=True`` returns ``(text, finish_reason)`` —
         ``"stop"`` (EOS) or ``"length"`` (budget exhausted)."""
         self.start()
-        ids = self.dec.tokenizer.encode(prompt)[-self.dec.prompt_buckets[-1]:]
+        ids = self._encode_prompt(prompt)
         if max_new_tokens > self.max_new_cap:
             logger.warning(
                 "max_new_tokens %d clamped to the server cap %d "
@@ -171,6 +188,7 @@ class DecodeServer:
             max_new_tokens=min(int(max_new_tokens), self.max_new_cap),
             temperature=float(temperature),
             future=fut,
+            top_p=float(top_p),
         )
         await self.pending.put(req)
         text, finish = await fut
@@ -181,6 +199,7 @@ class DecodeServer:
         prompt: str,
         max_new_tokens: int = 256,
         temperature: float = 0.7,
+        top_p: float = 1.0,
     ):
         """Per-token streaming variant of :meth:`submit`: an async
         generator of ``(text_delta, finish)`` pairs. ``finish`` is None
@@ -188,13 +207,14 @@ class DecodeServer:
         (whose delta may be empty). Deltas are flushed after every decode
         step, so a joined row streams while other rows keep decoding."""
         self.start()
-        ids = self.dec.tokenizer.encode(prompt)[-self.dec.prompt_buckets[-1]:]
+        ids = self._encode_prompt(prompt)
         req = _Request(
             prompt_ids=list(ids),
             max_new_tokens=min(int(max_new_tokens), self.max_new_cap),
             temperature=float(temperature),
             future=asyncio.get_running_loop().create_future(),
             stream_q=asyncio.Queue(),
+            top_p=float(top_p),
         )
         await self.pending.put(req)
         try:
@@ -211,6 +231,22 @@ class DecodeServer:
             # completion — then the row is already retired): tell the
             # scheduler so an abandoned row stops burning decode steps.
             req.cancelled = True
+
+    def _encode_prompt(self, prompt: str) -> List[int]:
+        """Encode + tail-keep to the largest prompt bucket, counting
+        truncations on the decoder (same /stats surface as the coalesced
+        path)."""
+        cap = self.dec.prompt_buckets[-1]
+        ids = self.dec.tokenizer.encode(prompt)
+        if len(ids) > cap:
+            self.dec.truncated_prompts += 1
+            logger.warning(
+                "prompt exceeded the %d-token ceiling; kept only the "
+                "tail — raise TPU_LLM_PROMPT_BUCKETS to keep full "
+                "context", cap,
+            )
+            ids = ids[-cap:]
+        return ids
 
     def _push_stream(self, req: _Request, final: bool = False) -> None:
         """Loop-thread only: emit the not-yet-streamed text of ``req``.
@@ -265,6 +301,7 @@ class DecodeServer:
             _sample_rows(
                 logits, sub,
                 jnp.asarray([req.temperature], jnp.float32), self.top_k,
+                jnp.asarray([req.top_p], jnp.float32),
             )[0]
         )
         req.slot = slot
@@ -275,6 +312,7 @@ class DecodeServer:
         self.sem_pos[slot] = len(ids)
         self.cur_tok[slot] = first
         self.temps[slot] = req.temperature
+        self.top_ps[slot] = req.top_p
         if first == self.eos_id or req.max_new_tokens <= 1:
             if first != self.eos_id:
                 req.tokens.append(first)
@@ -326,7 +364,8 @@ class DecodeServer:
             self.cfg,
         )
         nxt = np.asarray(
-            _sample_rows(logits, sub, jnp.asarray(self.temps), self.top_k)
+            _sample_rows(logits, sub, jnp.asarray(self.temps), self.top_k,
+                         jnp.asarray(self.top_ps))
         )
         self.steps_run += 1
         finished: List[_Request] = []

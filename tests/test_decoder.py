@@ -305,6 +305,64 @@ class TestTextDecoder:
                             max_new_tokens=8, temperature=0.0)[0]
         assert solo == pair
 
+    def test_top_p_tiny_equals_greedy(self):
+        """A vanishing nucleus keeps only the argmax candidate, so
+        temperature>0 + top_p→0 must reproduce the greedy sequence —
+        the cleanest distribution-level check of the nucleus mask."""
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        greedy = dec.generate(["same prompt"], max_new_tokens=8,
+                              temperature=0.0)[0]
+        nucleus = dec.generate(["same prompt"], max_new_tokens=8,
+                               temperature=1.0, top_p=1e-6, seed=3)[0]
+        assert nucleus == greedy
+
+    def test_top_p_changes_samples(self):
+        """Under a fixed seed and hot temperature, top_p=1.0 and a tight
+        nucleus must (with overwhelming probability on random-init
+        logits) produce different continuations."""
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        outs_wide = [
+            dec.generate(["sample text"], max_new_tokens=16,
+                         temperature=2.0, top_p=1.0, seed=s)[0]
+            for s in range(3)
+        ]
+        outs_tight = [
+            dec.generate(["sample text"], max_new_tokens=16,
+                         temperature=2.0, top_p=1e-6, seed=s)[0]
+            for s in range(3)
+        ]
+        # Tight nucleus is deterministic across seeds; wide is not.
+        assert len(set(outs_tight)) == 1
+        assert len(set(outs_wide)) > 1
+
+    def test_prompt_truncation_counted(self):
+        """Prompts past the top bucket keep only their tail AND increment
+        the truncation counter (VERDICT r2: context loss must be
+        observable); a raised ceiling keeps the full prompt."""
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE, prompt_buckets=(8, 16))
+        assert dec.truncated_prompts == 0
+        dec.generate(["x" * 200], max_new_tokens=4, temperature=0.0)
+        assert dec.truncated_prompts == 1
+        dec.generate(["short"], max_new_tokens=4, temperature=0.0)
+        assert dec.truncated_prompts == 1  # short prompts don't count
+        roomy = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                            cfg=TINY_BYTE, prompt_buckets=(8, 1024))
+        roomy.generate(["x" * 200], max_new_tokens=4, temperature=0.0)
+        assert roomy.truncated_prompts == 0
+
+    def test_prompt_buckets_from_config(self, monkeypatch):
+        """TPU_LLM_PROMPT_BUCKETS is the operator knob for the prompt
+        ceiling; TextDecoder(prompt_buckets=None) must honor it."""
+        from multimodal_rag_tpu.config import settings
+
+        monkeypatch.setattr(settings, "TPU_LLM_PROMPT_BUCKETS", "16,32,64")
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        assert dec.prompt_buckets == (16, 32, 64)
+
 
 TINY_BYTE = DecoderConfig(
     vocab_size=512,
@@ -362,7 +420,8 @@ class TestTPUAdapter:
                 self.calls = []
 
             def generate(self, prompts, max_new_tokens, temperature, top_k,
-                         return_finish=False, seed=0, max_new_per_row=None):
+                         return_finish=False, seed=0, max_new_per_row=None,
+                         top_p=1.0):
                 import time
 
                 self.calls.append(len(prompts))
@@ -616,7 +675,7 @@ class TestAdapterShutdown:
 
             def generate(self, prompts, max_new_tokens, temperature,
                          top_k, return_finish=False, seed=0,
-                         max_new_per_row=None):
+                         max_new_per_row=None, top_p=1.0):
                 _time.sleep(0.2)  # hold the worker; queue backs up
                 outs = ["x" for _ in prompts]
                 return (outs, ["stop"] * len(outs)) if return_finish else outs

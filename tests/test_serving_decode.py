@@ -100,6 +100,30 @@ class TestDecodeServer:
         # Slot reuse: 3 requests through 2 slots.
         assert stats["slots"] == 2
 
+    def test_per_row_top_p_tiny_equals_greedy(self):
+        """A vanishing per-row nucleus keeps only the argmax candidate:
+        temperature>0 + top_p→0 through the continuous server must equal
+        the greedy submit — while a neighboring hot row keeps sampling
+        (per-row vectors, no cross-row coupling)."""
+        dec = _decoder()
+        greedy = dec.generate(
+            ["alpha beta"], max_new_tokens=8, temperature=0.0
+        )[0]
+
+        async def run():
+            srv = DecodeServer(dec, slots=2, max_new_cap=8)
+            out = await asyncio.gather(
+                srv.submit("alpha beta", max_new_tokens=8,
+                           temperature=1.0, top_p=1e-6),
+                srv.submit("other words", max_new_tokens=8,
+                           temperature=1.5, top_p=1.0),
+            )
+            await srv.stop()
+            return out
+
+        out = asyncio.run(run())
+        assert out[0] == greedy, (out[0], greedy)
+
     def test_adapter_continuous_mode(self):
         """TPULLMAdapter(continuous=True) routes through DecodeServer."""
         from multimodal_rag_tpu.models.adapters import TPULLMAdapter
