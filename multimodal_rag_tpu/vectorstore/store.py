@@ -185,6 +185,9 @@ class VectorStore:
         self._dirty = True
 
         # IVF planner state.
+        self._layout_gen = getattr(self, "_layout_gen", 0) + 1
+        self._ivf_building = False
+        self._ivf_build_thread = None
         self._ivf_layout = None
         self._ivf_rows = None  # layout row → store row (single-device)
         self._ivf_store_to_layout = None  # store row → layout/virtual row
@@ -347,6 +350,7 @@ class VectorStore:
             self._size, self._dead = len(live), 0
             self._dirty = True
             self._save_all = True  # rows were remapped on disk too
+            self._layout_gen += 1  # invalidate any in-flight IVF build
             self._drop_ivf()  # store rows were remapped
             self.counters["compactions"] += 1
 
@@ -629,9 +633,79 @@ class VectorStore:
         shrunk = self.count() < built * 0.9
         return grown or shrunk
 
-    def _build_ivf(self) -> None:
+    # -- IVF build: computed OFF the query path ------------------------
+    #
+    # The reference's HNSW inserts incrementally and never stalls a query
+    # behind an index build (app/utils/embedder.py:502-537). Here the
+    # clustered layout IS rebuilt wholesale, so the rebuild runs in a
+    # worker thread on a row snapshot while queries keep serving the OLD
+    # layout + exact tail (still exact-correct for post-build rows); the
+    # new layout swaps in atomically under the store lock. Queries never
+    # run _compute_ivf synchronously.
+
+    def wait_for_ivf(self, timeout: Optional[float] = None) -> None:
+        """Block until any in-flight background IVF build finishes
+        (tests/benches; serving never calls this)."""
+        t = self._ivf_build_thread
+        if t is not None:
+            t.join(timeout)
+
+    def _start_ivf_build(self) -> None:
+        """Kick a background build if none is running. Caller holds the
+        lock. Snapshot = live-row indexes + a size watermark; the row
+        bytes themselves are read OUTSIDE the lock (rows below the
+        watermark are append-frozen; compaction bumps ``_layout_gen``
+        which discards the build at install time)."""
+        if self._ivf_building:
+            return
+        self._ivf_building = True
         live = np.asarray(self._live_rows(), dtype=np.int64)
-        vecs = self._vecs[live]
+        gen = self._layout_gen
+        watermark = self._size
+        t = threading.Thread(
+            target=self._ivf_build_worker,
+            args=(live, watermark, gen),
+            daemon=True,
+            name=f"ivf-build-{self.name}",
+        )
+        self._ivf_build_thread = t
+        t.start()
+
+    def _ivf_build_worker(
+        self, live: np.ndarray, watermark: int, gen: int
+    ) -> None:
+        try:
+            pieces = self._compute_ivf(self._vecs[live], live)
+        except Exception:  # noqa: BLE001 — a failed build must not wedge
+            logger.exception("background IVF build failed")
+            with self._lock:
+                self._ivf_building = False
+            return
+        with self._lock:
+            try:
+                if self._layout_gen != gen:
+                    # Rows were remapped (compaction/reset) mid-build:
+                    # the snapshot's row indexes are meaningless now.
+                    logger.info(
+                        "discarding IVF build: store rows remapped "
+                        "during the build"
+                    )
+                    return
+                self._install_ivf(pieces, len(live), watermark)
+            finally:
+                self._ivf_building = False
+
+    def _build_ivf(self) -> None:
+        """Synchronous build + install (offline/bulk paths and tests;
+        the query path uses ``_start_ivf_build``)."""
+        live = np.asarray(self._live_rows(), dtype=np.int64)
+        pieces = self._compute_ivf(self._vecs[live], live)
+        self._install_ivf(pieces, len(live), self._size)
+
+    def _compute_ivf(self, vecs: np.ndarray, live: np.ndarray) -> dict:
+        """Cluster + reorder ``vecs`` (the live snapshot) into a fresh
+        layout. Pure compute — touches no mutable store state, so it is
+        safe off-lock."""
         if self.n_devices > 1:
             from multimodal_rag_tpu.parallel.sharded_ivf import (
                 build_sharded_ivf,
@@ -647,9 +721,11 @@ class VectorStore:
             store_rows = np.full_like(index.row_map, -1)
             ok = index.row_map >= 0
             store_rows[ok] = live[index.row_map[ok]]
-            self._ivf_layout = index._replace(row_map=store_rows)
-            self._ivf_rows = None
-            flat_rows = store_rows.reshape(-1)
+            return {
+                "layout": index._replace(row_map=store_rows),
+                "ivf_rows": None,
+                "flat_rows": store_rows.reshape(-1),
+            }
         else:
             from multimodal_rag_tpu.ops.ivf import (
                 build_clustered_layout,
@@ -676,18 +752,35 @@ class VectorStore:
             store_rows = np.full_like(layout.row_to_original, -1)
             ok = layout.row_to_original >= 0
             store_rows[ok] = live[layout.row_to_original[ok]]
-            self._ivf_layout = layout
-            self._ivf_rows = store_rows
-            flat_rows = store_rows
+            return {
+                "layout": layout,
+                "ivf_rows": store_rows,
+                "flat_rows": store_rows,
+            }
+
+    def _install_ivf(
+        self, pieces: dict, live_count: int, watermark: int
+    ) -> None:
+        """Atomically swap a freshly computed layout in. Caller holds the
+        lock. ``watermark`` = ``_size`` at snapshot time: rows at or past
+        it stay covered by the exact tail scan."""
+        self._ivf_layout = pieces["layout"]
+        self._ivf_rows = pieces["ivf_rows"]
+        flat_rows = pieces["flat_rows"]
         # Inverse map: store row → layout (or flat virtual) row, used to
         # flip mask entries when rows are tombstoned after the build.
         inv = np.full((self._capacity,), -1, np.int64)
         ok = flat_rows >= 0
         inv[flat_rows[ok]] = np.flatnonzero(ok)
         self._ivf_store_to_layout = inv
-        self._ivf_pending_dead = []
-        self._ivf_built_count = len(live)
-        self._ivf_built_size = self._size
+        # Tombstones that landed while the build ran in the background
+        # must flip the NEW layout's mask — re-derive them from the
+        # current mask over the snapshot range (empty for sync builds).
+        dead = np.flatnonzero(self._mask[0, :watermark] != 0.0)
+        lrows = inv[dead]
+        self._ivf_pending_dead = [int(r) for r in lrows[lrows >= 0]]
+        self._ivf_built_count = live_count
+        self._ivf_built_size = watermark
         self._tail_dev = None
         self._tail_cap = 0
         self._tail_len = 0
@@ -754,7 +847,13 @@ class VectorStore:
         from multimodal_rag_tpu.ops.ivf import ivf_search, ivf_search_xla
 
         if self._ivf_stale():
-            self._build_ivf()
+            # NEVER build on the query path: kick a background build and
+            # keep serving — the old layout + exact tail stays correct
+            # for grown corpora; with no layout yet the caller's exact
+            # scan serves until the first build lands.
+            self._start_ivf_build()
+            if self._ivf_layout is None:
+                return None
         self._ivf_flush_deletes()
         layout = self._ivf_layout
         from multimodal_rag_tpu.config import settings as _settings
@@ -1194,6 +1293,7 @@ class VectorStore:
                 else self.dtype
             ),
             "counters": dict(self.counters),
+            "ivf_builds_in_progress": int(self._ivf_building),
             "ivf_built_count": self._ivf_built_count,
             "ivf_tail_rows": max(0, self._size - self._ivf_built_size)
             if self._ivf_layout is not None

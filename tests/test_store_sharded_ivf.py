@@ -34,6 +34,8 @@ def test_multi_device_planner_uses_sharded_ivf():
     )
     store.add([f"i{j}" for j in range(4000)], X)
     q = X[50:54]
+    store.query(q[:1], n_results=1)  # kicks the background build
+    store.wait_for_ivf()
     res = store.query(q, n_results=5)
     assert store._ivf_layout is not None
     _, oidx = mips_topk_oracle(q, X, 5)
@@ -51,6 +53,8 @@ def test_multi_device_ivf_delete_postfilter():
         dtype=jnp.float32, ivf_threshold=1000, ivf_nprobe=8,
     )
     store.add([f"i{j}" for j in range(3000)], X)
+    store.query(X[:1], n_results=1)
+    store.wait_for_ivf()
     top = store.query(X[:1], n_results=1)["ids"][0][0]
     store.delete(ids=[top])
     res = store.query(X[:1], n_results=5)
