@@ -97,6 +97,14 @@ def bench_retrieval(n_vectors=1 << 20, k=5, n_queries=8, tile_n=8192):
     return dt * 1e3  # ms per query batch
 
 
+def _median3(once):
+    """Median of three timed-loop measurements. The relay adds ±0.5 ms
+    run-to-run noise at the 10M scale (BASELINE.md §3 analysis); a single
+    sample can land in either tail — the recorded headline should not."""
+    samples = sorted(once() for _ in range(3))
+    return samples[1], samples[0]  # (median, best)
+
+
 def bench_retrieval_10m(k=5, n_queries=8, tile_n=8192):
     """Exact top-5 over ~10M device-generated bf16 vectors on one chip
     (BASELINE config 4 scale; HBM speed-of-light is ~9.4 ms for 7.7 GB)."""
@@ -115,8 +123,9 @@ def bench_retrieval_10m(k=5, n_queries=8, tile_n=8192):
             return q + 1e-9 * vals[0:1, 0:1]
         return jax.lax.fori_loop(0, reps, body, Q)
 
-    dt = _timed_loop(lambda p, r: loop(Q + p, V, M, r))
-    return dt * 1e3
+    return _median3(
+        lambda: _timed_loop(lambda p, r: loop(Q + p, V, M, r)) * 1e3
+    )
 
 
 def bench_retrieval_10m_int8(k=21, n_queries=8, tile_n=8192):
@@ -155,8 +164,125 @@ def bench_retrieval_10m_int8(k=21, n_queries=8, tile_n=8192):
             return q + 1e-9 * vals[0:1, 0:1]
         return jax.lax.fori_loop(0, reps, body, Q)
 
-    dt = _timed_loop(lambda p, r: loop(Q + p, V, S, M, r))
-    return dt * 1e3
+    return _median3(
+        lambda: _timed_loop(lambda p, r: loop(Q + p, V, S, M, r)) * 1e3
+    )
+
+
+def bench_retrieval_10m_ivf(k=5, n_queries=8, tile_n=8192):
+    """On-device IVF at the 10M north-star scale on ONE chip — the
+    apples-to-apples comparison with the reference's ANN (hnswlib is
+    approximate too): build the clustered layout on-chip, then measure
+    probe latency AND recall@5 against an exact scan over the SAME layout
+    memory (the layout is a permutation of the corpus, so ground truth
+    needs no second 7.6 GB copy and the peak stays in HBM).
+
+    Corpus is synthetic-CLUSTERED (4,096 unit-norm centers + noise — the
+    structure real embedding corpora have; uniform random vectors have no
+    clusters for ANY ivf/hnsw to exploit). N = 9,961,472 = 76·512·256 =
+    1216·8192 so the device build makes no pad copies: peak HBM = source
+    + layout ≈ 15.3 GB of the 16 GB chip.
+
+    Returns (search_ms, recall_at_5, nprobe, build_s, n_rows)."""
+    from multimodal_rag_tpu.ops.ivf import (
+        build_clustered_layout_device,
+        ivf_search,
+    )
+    from multimodal_rag_tpu.ops.mips_topk import mips_topk
+
+    D = 384
+    N = 76 * 512 * 256  # 9,961,472
+    n_centers = 4096
+    n_chunks = 38
+    rows_per = N // n_chunks
+    centers = jax.random.normal(
+        jax.random.key(7), (n_centers, D), jnp.float32
+    )
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+    @jax.jit
+    def make_chunk(key, centers):
+        k1, k2 = jax.random.split(key)
+        cid = jax.random.randint(k1, (rows_per,), 0, n_centers)
+        v = centers[cid] + (0.3 / np.sqrt(D)) * jax.random.normal(
+            k2, (rows_per, D), jnp.float32
+        )
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        return v.astype(jnp.bfloat16)
+
+    # Fill ONE preallocated buffer with donated in-place updates — a
+    # chunks-list + concatenate would briefly hold the corpus twice
+    # (15.3 GB) and OOM before the build even starts.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write_chunk(buf, chunk, lo):
+        return jax.lax.dynamic_update_slice_in_dim(buf, chunk, lo, 0)
+
+    V = jnp.zeros((N, D), jnp.bfloat16)
+    for i in range(n_chunks):
+        V = write_chunk(
+            V, make_chunk(jax.random.key(100 + i), centers), i * rows_per
+        )
+    t0 = time.time()
+    layout = build_clustered_layout_device(V, block_rows=256)
+    jax.block_until_ready(layout.vectors)
+    build_s = time.time() - t0
+    del V  # free the source: only the layout stays resident
+
+    total_q = 64
+    qk1, qk2 = jax.random.split(jax.random.key(9))
+    cid = jax.random.randint(qk1, (total_q,), 0, n_centers)
+    q = centers[cid] + (0.3 / np.sqrt(D)) * jax.random.normal(
+        qk2, (total_q, D), jnp.float32
+    )
+    q = (q / jnp.linalg.norm(q, axis=1, keepdims=True)).astype(jnp.float32)
+
+    gt = []
+    for lo in range(0, total_q, n_queries):
+        _vals, idx = mips_topk(
+            q[lo : lo + n_queries], layout.vectors, layout.mask, k=k,
+            tile_n=tile_n,
+        )
+        gt.append(np.asarray(idx))
+    gt = np.concatenate(gt)
+
+    def recall_at(nprobe):
+        hits = 0
+        for lo in range(0, total_q, n_queries):
+            _vals, idx = ivf_search(
+                q[lo : lo + n_queries], layout, k=k, nprobe=nprobe
+            )
+            idx = np.asarray(idx)
+            for r in range(n_queries):
+                hits += len(set(idx[r].tolist()) & set(gt[lo + r].tolist()))
+        return hits / (total_q * k)
+
+    # Smallest nprobe on a short ladder meeting the 0.95 recall contract;
+    # the last rung is reported regardless (recall labels the number).
+    for nprobe in (64, 128):
+        recall = recall_at(nprobe)
+        if recall >= 0.95 or nprobe == 128:
+            # The 7.6 GB layout arrays ride as jit ARGUMENTS — captured
+            # as closure constants they would be materialized to host.
+            @functools.partial(
+                jax.jit, static_argnames=("reps", "nprobe")
+            )
+            def loop(Q, vectors, cents, mask, reps, nprobe):
+                lay = layout._replace(
+                    vectors=vectors, block_centroids=cents, mask=mask,
+                    row_to_original=None,
+                )
+                def body(i, qq):
+                    vals, _idx = ivf_search(qq, lay, k=k, nprobe=nprobe)
+                    return qq + 1e-9 * vals[0:1, 0:1]
+                return jax.lax.fori_loop(0, reps, body, Q)
+
+            dt = _timed_loop(
+                lambda p, r: loop(
+                    q[:n_queries] + p, layout.vectors,
+                    layout.block_centroids, layout.mask, r, nprobe,
+                )
+            )
+            return dt * 1e3, recall, nprobe, build_s, N
 
 
 def bench_decode(B=8, P=128, quantize=False):
@@ -215,13 +341,26 @@ def main():
     embed_cps = bench_embed()
     retr_ms = bench_retrieval()
     try:
-        retr10m_ms = round(bench_retrieval_10m(), 3)
+        retr10m_ms, retr10m_best = (
+            round(x, 3) for x in bench_retrieval_10m()
+        )
     except Exception:  # noqa: BLE001 — small-memory backends skip the 10M run
-        retr10m_ms = None
+        retr10m_ms = retr10m_best = None
     try:
-        retr10m_int8_ms = round(bench_retrieval_10m_int8(), 3)
+        retr10m_int8_ms, retr10m_int8_best = (
+            round(x, 3) for x in bench_retrieval_10m_int8()
+        )
     except Exception:  # noqa: BLE001
-        retr10m_int8_ms = None
+        retr10m_int8_ms = retr10m_int8_best = None
+    try:
+        ivf_ms, ivf_recall, ivf_nprobe, ivf_build_s, ivf_n = (
+            bench_retrieval_10m_ivf()
+        )
+        ivf_ms = round(ivf_ms, 3)
+        ivf_recall = round(ivf_recall, 4)
+        ivf_build_s = round(ivf_build_s, 1)
+    except Exception:  # noqa: BLE001 — small-HBM / CPU backends skip
+        ivf_ms = ivf_recall = ivf_nprobe = ivf_build_s = ivf_n = None
     try:
         decode_ms = round(bench_decode(), 3)
     except Exception:  # noqa: BLE001 — small-memory backends skip
@@ -242,7 +381,14 @@ def main():
             "batch": BATCH,
             "retrieval_ms_per_8q_1M_top5": round(retr_ms, 3),
             "retrieval_ms_per_8q_10M_top5": retr10m_ms,
+            "retrieval_ms_per_8q_10M_top5_best": retr10m_best,
             "retrieval_ms_per_8q_10M_top5_int8_kc21": retr10m_int8_ms,
+            "retrieval_ms_per_8q_10M_top5_int8_kc21_best": retr10m_int8_best,
+            "retrieval_ms_per_8q_10M_top5_ivf": ivf_ms,
+            "retrieval_10M_ivf_recall_at_5": ivf_recall,
+            "retrieval_10M_ivf_nprobe": ivf_nprobe,
+            "retrieval_10M_ivf_build_s": ivf_build_s,
+            "retrieval_10M_ivf_rows": ivf_n,
             "decode_ms_per_step_0p8B_b8": decode_ms,
             "decode_ms_per_step_0p8B_b8_int8": decode_int8_ms,
             "bench_wall_s": round(time.time() - t_start, 1),

@@ -164,7 +164,7 @@ class TPULLMAdapter(BaseLLMAdapter):
         carryover first — FIFO across rounds), opportunistically absorb
         requests with the same generation preset, run one batched
         generate, fan results back out. Queue items are
-        ``(prompts, preset_key, raw_max_tokens, future)``."""
+        ``(prompts, preset_key, raw_max_tokens, seed, future)``."""
         while True:
             if self._carry:
                 first = self._carry.pop(0)
@@ -189,6 +189,10 @@ class TPULLMAdapter(BaseLLMAdapter):
             prompts = [p for req in batch for p in req[0]]
             bucket, temperature, top_k, top_p = first[1]
             budgets = [req[2] for req in batch for _ in req[0]]
+            # Per-request OpenAI seed: rows with one sample from their own
+            # key stream (reproducible regardless of batch neighbors);
+            # unseeded rows fold the evolving batch seed.
+            row_seeds = [req[3] for req in batch for _ in req[0]]
             seed = self._seed
             self._seed += 1
             try:
@@ -204,11 +208,12 @@ class TPULLMAdapter(BaseLLMAdapter):
                         top_k=top_k,
                         top_p=top_p,
                         seed=seed,
+                        seed_per_row=row_seeds,
                         return_finish=True,
                     )
                 )
                 i = 0
-                for req_prompts, _key, _raw, fut in batch:
+                for req_prompts, _key, _raw, _seed, fut in batch:
                     n = len(req_prompts)
                     if not fut.done():
                         fut.set_result((outs[i:i + n], fins[i:i + n]))
@@ -242,6 +247,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                         p, max_new_tokens=max_tokens,
                         temperature=temperature, return_finish=True,
                         top_p=float(kw.get("top_p", 1.0)),
+                        seed=kw.get("seed"),
                     )
                     for p in prompts
                 )
@@ -269,9 +275,12 @@ class TPULLMAdapter(BaseLLMAdapter):
             snap_top_p(kw.get("top_p", 1.0)),
         )
         fut = asyncio.get_running_loop().create_future()
-        # The raw budget rides alongside the bucketed key: batching is by
-        # bucket, but each row is truncated to what the client asked for.
-        await self._queue.put((list(prompts), key, int(max_tokens), fut))
+        # The raw budget (and per-request seed) ride alongside the
+        # bucketed key: batching is by bucket, but each row is truncated
+        # to its client budget and sampled from its own seed stream.
+        await self._queue.put(
+            (list(prompts), key, int(max_tokens), kw.get("seed"), fut)
+        )
         texts, fins = await fut
         return texts, fins
 
@@ -328,6 +337,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             async for delta, fin in self._server.submit_stream(
                 full, max_new_tokens=max_tokens, temperature=temperature,
                 top_p=float(kwargs.get("top_p", 1.0)),
+                seed=kwargs.get("seed"),
             ):
                 if not started and delta:
                     delta = delta.lstrip()

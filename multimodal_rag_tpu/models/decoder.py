@@ -194,9 +194,10 @@ def _read_hf_config(path: str) -> Optional[dict]:
 
 def config_from_hf(hf: dict) -> DecoderConfig:
     """Map an HF ``config.json`` onto :class:`DecoderConfig`. Handles
-    llama / mistral / qwen2 / gemma / gemma2 model types (qwen2: qkv
-    biases; gemma2: four norms per block + softcaps; mistral is
-    llama-shaped — its 4096-token sliding window never binds at this
+    llama / mistral / qwen2 / gemma / gemma2 / phi3 model types (qwen2:
+    qkv biases; gemma2: four norms per block + softcaps; mistral and
+    phi3 are llama-shaped — phi3's fused qkv/gate_up projections are
+    split at load time, and sliding windows never bind at this
     framework's context caps)."""
     mtype = hf.get("model_type", "llama")
     gemma = mtype.startswith("gemma")
@@ -234,8 +235,8 @@ def config_from_hf(hf: dict) -> DecoderConfig:
 def load_hf_causal_lm(
     path: str, cfg: Optional[DecoderConfig] = None
 ) -> Tuple[Dict, DecoderConfig]:
-    """Load a Llama/Qwen2/Gemma-family safetensors snapshot (file or
-    directory, sharded or single-file) into the stacked pytree.
+    """Load a Llama/Qwen2/Gemma/Phi-3-family safetensors snapshot (file
+    or directory, sharded or single-file) into the stacked pytree.
 
     HF ``nn.Linear`` stores (out, in); our matmuls are (in, out) → every
     projection is transposed on load (golden-tested against the torch
@@ -286,17 +287,51 @@ def map_hf_causal_lm(
         arr = np.stack([m.T if transpose else m for m in mats])
         return jnp.asarray(arr)
 
+    def stacked_split(fmt, parts):
+        """Fused projections (Phi-3's qkv_proj / gate_up_proj store the
+        sub-matrices row-concatenated in HF's (out, in) layout): slice
+        each (offset, size) out-row band, transpose, stack per layer."""
+        mats = [np.asarray(tensors[prefix + fmt.format(i)], np.float32)
+                for i in range(cfg.num_layers)]
+        return [
+            jnp.asarray(np.stack([m[off : off + size].T for m in mats]))
+            for off, size in parts
+        ]
+
     p = "model.layers.{}."
-    layers = {
-        "wq": stacked(p + "self_attn.q_proj.weight"),
-        "wk": stacked(p + "self_attn.k_proj.weight"),
-        "wv": stacked(p + "self_attn.v_proj.weight"),
-        "wo": stacked(p + "self_attn.o_proj.weight"),
-        "w_gate": stacked(p + "mlp.gate_proj.weight"),
-        "w_up": stacked(p + "mlp.up_proj.weight"),
-        "w_down": stacked(p + "mlp.down_proj.weight"),
-        "ln_attn": stacked(p + "input_layernorm.weight", False),
-    }
+    if (prefix + p.format(0) + "self_attn.qkv_proj.weight") in tensors:
+        # Phi-3 family: fused attention + MLP input projections.
+        qd = cfg.num_heads * cfg.head_dim
+        kvd = cfg.num_kv_heads * cfg.head_dim
+        wq, wk, wv = stacked_split(
+            p + "self_attn.qkv_proj.weight",
+            [(0, qd), (qd, kvd), (qd + kvd, kvd)],
+        )
+        w_gate, w_up = stacked_split(
+            p + "mlp.gate_up_proj.weight",
+            [(0, cfg.ff_dim), (cfg.ff_dim, cfg.ff_dim)],
+        )
+        layers = {
+            "wq": wq,
+            "wk": wk,
+            "wv": wv,
+            "wo": stacked(p + "self_attn.o_proj.weight"),
+            "w_gate": w_gate,
+            "w_up": w_up,
+            "w_down": stacked(p + "mlp.down_proj.weight"),
+            "ln_attn": stacked(p + "input_layernorm.weight", False),
+        }
+    else:
+        layers = {
+            "wq": stacked(p + "self_attn.q_proj.weight"),
+            "wk": stacked(p + "self_attn.k_proj.weight"),
+            "wv": stacked(p + "self_attn.v_proj.weight"),
+            "wo": stacked(p + "self_attn.o_proj.weight"),
+            "w_gate": stacked(p + "mlp.gate_proj.weight"),
+            "w_up": stacked(p + "mlp.up_proj.weight"),
+            "w_down": stacked(p + "mlp.down_proj.weight"),
+            "ln_attn": stacked(p + "input_layernorm.weight", False),
+        }
     if cfg.qkv_bias:  # Qwen2
         layers["bq"] = stacked(p + "self_attn.q_proj.bias", False)
         layers["bk"] = stacked(p + "self_attn.k_proj.bias", False)
@@ -650,12 +685,29 @@ def decode_step_rows(
 # ---------------------------------------------------------------------------
 
 
-def _sample(logits, key, temperature: float, top_k: int, top_p=1.0):
-    """Temperature + top-k + nucleus sampling. ``top_p`` rides as a
-    TRACED scalar (a new value never mints a new executable); the nucleus
-    is taken within the top-k candidates — with the serving default
-    k=64 the excluded tail holds negligible mass, and OpenAI's own
-    guidance is to use one of top_p/top_k anyway."""
+def _row_categorical(keys, vals):
+    """Per-row categorical: keys (B,) typed key array, vals (B, W) →
+    (B,) choices. Each row samples from its OWN key stream, so a row's
+    tokens depend only on its key + its logits — per-request
+    reproducibility survives batching (coalesced or continuous)."""
+    return jax.vmap(
+        lambda kk, v: jax.random.categorical(kk, v)
+    )(keys, vals).astype(jnp.int32)
+
+
+def _split_rows(keys):
+    """Per-row key advance: (B,) keys → ((B,) next, (B,) subkey)."""
+    pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _sample(logits, keys, temperature: float, top_k: int, top_p=1.0):
+    """Temperature + top-k + nucleus sampling with PER-ROW keys
+    ((B,) typed key array). ``top_p`` rides as a TRACED scalar (a new
+    value never mints a new executable); the nucleus is taken within the
+    top-k candidates — with the serving default k=64 the excluded tail
+    holds negligible mass, and OpenAI's own guidance is to use one of
+    top_p/top_k anyway."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
@@ -666,11 +718,11 @@ def _sample(logits, key, temperature: float, top_k: int, top_p=1.0):
         # first token always survives, and top_p=1.0 keeps everything.
         exclusive = jnp.cumsum(probs, axis=-1) - probs
         vals = jnp.where(exclusive < top_p, vals, -1e9)
-        choice = jax.random.categorical(key, vals, axis=-1)
+        choice = _row_categorical(keys, vals)
         return jnp.take_along_axis(idx, choice[:, None], axis=1)[
             :, 0
         ].astype(jnp.int32)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return _row_categorical(keys, logits)
 
 
 @partial(
@@ -740,7 +792,11 @@ def _generate_loop(
         axis=1,
     )
 
-    first = _sample(logits, key, temperature, top_k, top_p)
+    # Accept one batch key (legacy: split to rows) or per-row keys
+    # ((B,)-shaped) for per-request determinism under batching.
+    keys = jax.random.split(key, B) if key.ndim == 0 else key
+    keys, sub = _split_rows(keys)
+    first = _sample(logits, sub, temperature, top_k, top_p)
     done0 = jnp.zeros((B,), jnp.bool_) | (first == eos_id)
     out0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     out0 = out0.at[:, 0].set(first)
@@ -750,8 +806,8 @@ def _generate_loop(
         return (t < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        t, done, cur, out, key_mask, cache, key = state
-        key, sub = jax.random.split(key)
+        t, done, cur, out, key_mask, cache, keys = state
+        keys, sub = _split_rows(keys)
         pos = P + t - 1  # cache slot for the token sampled at step t-1
         key_mask = jax.lax.dynamic_update_slice_in_dim(
             key_mask, jnp.ones((B, 1), jnp.int32), pos, axis=1
@@ -764,9 +820,9 @@ def _generate_loop(
         nxt = jnp.where(done, eos_id, nxt)
         out = out.at[:, t].set(jnp.where(done, out[:, t], nxt))
         done = done | (nxt == eos_id)
-        return (t + 1, done, nxt, out, key_mask, cache, key)
+        return (t + 1, done, nxt, out, key_mask, cache, keys)
 
-    state = (jnp.int32(1), done0, first, out0, key_mask0, cache, key)
+    state = (jnp.int32(1), done0, first, out0, key_mask0, cache, keys)
     _, done, _, out, _, _, _ = jax.lax.while_loop(cond, body, state)
     lengths = jnp.sum(
         jnp.cumprod((out != eos_id).astype(jnp.int32), axis=1), axis=1
@@ -801,7 +857,8 @@ def find_local_lm_checkpoint() -> Optional[str]:
                 # files in the hub cache; discovery must skip them, not
                 # crash server startup with a JSONDecodeError.
                 continue
-            if mtype in ("llama", "mistral", "qwen2", "gemma", "gemma2"):
+            if mtype in ("llama", "mistral", "qwen2", "gemma", "gemma2",
+                         "phi3"):
                 return root
     return None
 
@@ -967,6 +1024,7 @@ class TextDecoder:
         return_finish: bool = False,
         max_new_per_row: Optional[Sequence[int]] = None,
         top_p: float = 1.0,
+        seed_per_row: Optional[Sequence[Optional[int]]] = None,
     ) -> "list[str] | tuple[list[str], list[str]]":
         """Generate one completion per prompt.
 
@@ -980,6 +1038,11 @@ class TextDecoder:
         sliced (and its finish reason judged) against its own raw budget —
         so a 100-token cap never returns 128 tokens just because it was
         batched with a 128-bucket neighbor.
+
+        ``seed_per_row`` (OpenAI ``seed``): rows with an explicit seed
+        sample from their OWN key stream, so the same (prompt, seed,
+        sampling params) reproduces the same completion regardless of
+        what else got coalesced into the batch.
         """
         if not prompts:
             return ([], []) if return_finish else []
@@ -1000,6 +1063,10 @@ class TextDecoder:
                         list(max_new_per_row[start:start + max_bb])
                         if max_new_per_row is not None else None
                     ),
+                    seed_per_row=(
+                        list(seed_per_row[start:start + max_bb])
+                        if seed_per_row is not None else None
+                    ),
                 )
                 out.extend(o)
                 fins.extend(f)
@@ -1008,11 +1075,25 @@ class TextDecoder:
         # Bucket max_new and snap temperature so the executable set stays
         # small (both are statics of generate_tokens).
         max_new = bucket_for(max_new_tokens, GEN_BUCKETS)
+        B = mask.shape[0]
+        base = jax.random.key(seed)
+        row_keys = []
+        for i in range(B):
+            s_i = (
+                seed_per_row[i]
+                if seed_per_row is not None and i < len(seed_per_row)
+                else None
+            )
+            row_keys.append(
+                jax.random.key(int(s_i))
+                if s_i is not None
+                else jax.random.fold_in(base, i)
+            )
         toks, lengths = generate_tokens(
             self.params,
             jnp.asarray(ids),
             jnp.asarray(mask),
-            jax.random.key(seed),
+            jnp.stack(row_keys),
             self.cfg,
             max_new_tokens=max_new,
             temperature=snap_temperature(temperature),

@@ -133,6 +133,83 @@ class Components:
                     pass
 
 
+def parse_sampling_params(body: dict):
+    """Shared OpenAI sampling-parameter policy for /v1/chat/completions
+    and /v1/completions. Parameters that would silently change the output
+    contract are either honored (max_tokens, temperature, top_p, stop) or
+    explicitly rejected (n > 1, logprobs); presence/frequency penalties
+    are accepted as documented no-ops (PARITY.md), matching what the
+    HTTP backends would do with them; ``seed`` is honored by the on-TPU
+    backends (per-request key streams — reproducible even when batched)
+    and ignored by the HTTP backends.
+
+    Returns (sampling dict, None) or (None, error message). temperature
+    snaps to the decoder's TEMP_GRID (it selects a compiled executable on
+    the TPU path — arbitrary client floats must not mint compilations);
+    top_p is traced so it passes through exactly.
+    """
+    from multimodal_rag_tpu.models.decoder import snap_temperature
+
+    # max_completion_tokens is the current-generation field name;
+    # max_tokens the deprecated one. Explicit 0 is rejected (OpenAI
+    # semantics), absence defaults to 256.
+    mt_raw = body.get("max_completion_tokens", body.get("max_tokens"))
+    if mt_raw is None:
+        max_tokens = 256
+    elif isinstance(mt_raw, int) and not isinstance(mt_raw, bool) \
+            and mt_raw >= 1:
+        max_tokens = min(mt_raw, 1024)
+    else:
+        return None, "max_tokens must be a positive integer"
+    t_raw = body.get("temperature", 0.7)
+    if not isinstance(t_raw, (int, float)) or isinstance(t_raw, bool) \
+            or not (0.0 <= float(t_raw) <= 2.0):
+        return None, "temperature must be a number in [0, 2]"
+    temperature = snap_temperature(float(t_raw))
+    p_raw = body.get("top_p", 1.0)
+    if not isinstance(p_raw, (int, float)) or isinstance(p_raw, bool) \
+            or not (0.0 < float(p_raw) <= 1.0):
+        return None, "top_p must be a number in (0, 1]"
+    top_p = float(p_raw)
+    if body.get("n", 1) not in (1, None):
+        return None, "n > 1 is not supported"
+    if body.get("logprobs"):
+        return None, "logprobs is not supported"
+    stop_raw = body.get("stop")
+    if stop_raw is None:
+        stops = []
+    elif isinstance(stop_raw, str) and stop_raw:
+        stops = [stop_raw]
+    elif (
+        isinstance(stop_raw, list)
+        and 0 < len(stop_raw) <= 4
+        and all(isinstance(s, str) and s for s in stop_raw)
+    ):
+        stops = list(stop_raw)
+    else:
+        return None, (
+            "stop must be a non-empty string or a list of 1-4 "
+            "non-empty strings"
+        )
+    seed_raw = body.get("seed")
+    if seed_raw is not None and (
+        not isinstance(seed_raw, int) or isinstance(seed_raw, bool)
+    ):
+        return None, "seed must be an integer"
+    gen_kw = {"max_tokens": max_tokens, "temperature": temperature}
+    if top_p < 1.0:
+        gen_kw["top_p"] = top_p
+    if seed_raw is not None:
+        gen_kw["seed"] = seed_raw
+    return {
+        "max_tokens": max_tokens,
+        "temperature": temperature,
+        "top_p": top_p,
+        "stops": stops,
+        "gen_kw": gen_kw,
+    }, None
+
+
 def json_error(status: int, detail: str) -> web.Response:
     return web.json_response({"detail": detail}, status=status)
 
@@ -694,62 +771,12 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             for i, m in enumerate(messages) if m.get("role") != "system"
         )
         prompt = (system + "\n\n" + convo).strip()
-        # max_completion_tokens is the current-generation field name;
-        # max_tokens the deprecated one. Explicit 0 is rejected (OpenAI
-        # semantics), absence defaults to 256.
-        mt_raw = body.get("max_completion_tokens", body.get("max_tokens"))
-        if mt_raw is None:
-            max_tokens = 256
-        elif isinstance(mt_raw, int) and not isinstance(mt_raw, bool) \
-                and mt_raw >= 1:
-            max_tokens = min(mt_raw, 1024)
-        else:
-            return bad_request("max_tokens must be a positive integer")
-        t_raw = body.get("temperature", 0.7)
-        if not isinstance(t_raw, (int, float)) or isinstance(t_raw, bool) \
-                or not (0.0 <= float(t_raw) <= 2.0):
-            return bad_request("temperature must be a number in [0, 2]")
-        # Snap to the decoder's serving grid: temperature selects a
-        # compiled executable on the TPU path, so arbitrary client floats
-        # must not mint new compilations (models/decoder.py TEMP_GRID).
-        from multimodal_rag_tpu.models.decoder import snap_temperature
-
-        temperature = snap_temperature(float(t_raw))
-        # --- OpenAI sampling-param compatibility -------------------------
-        # Policy: parameters that would silently change the contract are
-        # either honored (top_p, stop) or explicitly rejected (n > 1,
-        # logprobs); presence/frequency penalties are accepted and
-        # documented as no-ops (PARITY.md) rather than 400s, matching
-        # what HTTP backends would do with them.
-        p_raw = body.get("top_p", 1.0)
-        if not isinstance(p_raw, (int, float)) or isinstance(p_raw, bool) \
-                or not (0.0 < float(p_raw) <= 1.0):
-            return bad_request("top_p must be a number in (0, 1]")
-        top_p = float(p_raw)
-        n_raw = body.get("n", 1)
-        if n_raw not in (1, None):
-            return bad_request("n > 1 is not supported")
-        if body.get("logprobs"):
-            return bad_request("logprobs is not supported")
-        stop_raw = body.get("stop")
-        if stop_raw is None:
-            stops = []
-        elif isinstance(stop_raw, str) and stop_raw:
-            stops = [stop_raw]
-        elif (
-            isinstance(stop_raw, list)
-            and 0 < len(stop_raw) <= 4
-            and all(isinstance(s, str) and s for s in stop_raw)
-        ):
-            stops = list(stop_raw)
-        else:
-            return bad_request(
-                "stop must be a non-empty string or a list of 1-4 "
-                "non-empty strings"
-            )
-        gen_kw = {"max_tokens": max_tokens, "temperature": temperature}
-        if top_p < 1.0:
-            gen_kw["top_p"] = top_p
+        sampling, err = parse_sampling_params(body)
+        if err:
+            return bad_request(err)
+        max_tokens = sampling["max_tokens"]
+        gen_kw = sampling["gen_kw"]
+        stops = sampling["stops"]
 
         def stop_cut(text):
             """Earliest stop-sequence hit, or -1."""
@@ -929,6 +956,196 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 },
             }
         )
+
+    async def completions(request):
+        """OpenAI-compatible legacy ``/v1/completions`` (text in → text
+        out, no chat framing): prompt may be a string or a list of
+        strings (batched — the TPU adapter coalesces them into one
+        bucketed executable). Same sampling-parameter policy as the chat
+        surface; streaming supports a single prompt."""
+        try:
+            body = await request.json()
+        except Exception:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": "invalid JSON body",
+                           "type": "invalid_request_error"}}, status=400,
+            )
+
+        def bad_request(msg):
+            return web.json_response(
+                {"error": {"message": msg, "type": "invalid_request_error"}},
+                status=400,
+            )
+
+        if not isinstance(body, dict):
+            return bad_request("request body must be a JSON object")
+        prompt_raw = body.get("prompt")
+        if isinstance(prompt_raw, str):
+            prompts = [prompt_raw]
+        elif (
+            isinstance(prompt_raw, list)
+            and 0 < len(prompt_raw) <= 16
+            and all(isinstance(p, str) for p in prompt_raw)
+        ):
+            prompts = list(prompt_raw)
+        else:
+            return bad_request(
+                "prompt must be a string or a list of 1-16 strings"
+            )
+        if any(not p or len(p) > 10_000 for p in prompts):
+            return bad_request(
+                "each prompt must be 1..10000 characters"
+            )
+        sampling, err = parse_sampling_params(body)
+        if err:
+            return bad_request(err)
+        gen_kw = sampling["gen_kw"]
+        stops = sampling["stops"]
+        if body.get("echo"):
+            return bad_request("echo is not supported")
+        stream = bool(body.get("stream"))
+        if stream and len(prompts) > 1:
+            return bad_request("stream supports a single prompt")
+
+        def stop_cut(text):
+            hits = [text.find(s) for s in stops]
+            hits = [h for h in hits if h >= 0]
+            return min(hits) if hits else -1
+
+        cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        created = int(time.time())
+        model = body.get("model") or "mmrag"
+        start = time.time()
+        gen_meta = getattr(
+            comps.llm_adapter, "generate_text_with_finish", None
+        )
+
+        async def generate_one(prompt):
+            if gen_meta is not None:
+                return await gen_meta(prompt, **gen_kw)
+            return (
+                await comps.llm_adapter.generate_text(prompt, **gen_kw),
+                "stop",
+            )
+
+        if stream:
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                    "Connection": "keep-alive",
+                }
+            )
+            await resp.prepare(request)
+
+            def chunk(text, fin=None):
+                return (
+                    "data: " + json.dumps({
+                        "id": cid,
+                        "object": "text_completion",
+                        "created": created,
+                        "model": model,
+                        "choices": [{
+                            "index": 0,
+                            "text": text,
+                            "finish_reason": fin,
+                            "logprobs": None,
+                        }],
+                    }) + "\n\n"
+                ).encode()
+
+            finish_reason = "stop"
+            try:
+                gen_stream = getattr(
+                    comps.llm_adapter, "generate_text_stream", None
+                )
+                if gen_stream is not None:
+                    hold = max((len(s) for s in stops), default=1) - 1
+                    buf, emitted, stopped = "", 0, False
+                    async for delta, fin in gen_stream(
+                        prompts[0], **gen_kw
+                    ):
+                        if delta and not stops:
+                            await resp.write(chunk(delta))
+                        elif delta:
+                            buf += delta
+                            cut = stop_cut(buf)
+                            if cut >= 0:
+                                if cut > emitted:
+                                    await resp.write(
+                                        chunk(buf[emitted:cut])
+                                    )
+                                finish_reason = "stop"
+                                stopped = True
+                                break
+                            safe = max(emitted, len(buf) - hold)
+                            if safe > emitted:
+                                await resp.write(chunk(buf[emitted:safe]))
+                                emitted = safe
+                        if fin is not None:
+                            finish_reason = fin
+                    if stops and not stopped and len(buf) > emitted:
+                        await resp.write(chunk(buf[emitted:]))
+                else:
+                    text, finish_reason = await generate_one(prompts[0])
+                    cut = stop_cut(text)
+                    if cut >= 0:
+                        text, finish_reason = text[:cut], "stop"
+                    await resp.write(chunk(text))
+            except Exception as e:  # noqa: BLE001 — in-band SSE error
+                await resp.write(
+                    ("data: " + json.dumps({
+                        "error": {"message": f"generation failed: {e}",
+                                  "type": "server_error"},
+                    }) + "\n\n").encode()
+                )
+                await resp.write(b"data: [DONE]\n\n")
+                await resp.write_eof()
+                return resp
+            aggregator.record("chat.total", time.time() - start)
+            await resp.write(chunk("", finish_reason))
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        choices = []
+        total_completion = 0
+        try:
+            results = await asyncio.gather(
+                *(generate_one(p) for p in prompts)
+            )
+        except ValueError as e:
+            return bad_request(str(e))
+        except Exception as e:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": f"generation failed: {e}",
+                           "type": "server_error"}}, status=503,
+            )
+        for i, (text, fin) in enumerate(results):
+            cut = stop_cut(text)
+            if cut >= 0:
+                text, fin = text[:cut], "stop"
+            total_completion += len(text.split())
+            choices.append({
+                "index": i,
+                "text": text,
+                "finish_reason": fin,
+                "logprobs": None,
+            })
+        aggregator.record("chat.total", time.time() - start)
+        prompt_tokens = sum(len(p.split()) for p in prompts)
+        return web.json_response({
+            "id": cid,
+            "object": "text_completion",
+            "created": created,
+            "model": model,
+            "choices": choices,
+            "usage": {
+                "prompt_tokens": prompt_tokens,
+                "completion_tokens": total_completion,
+                "total_tokens": prompt_tokens + total_completion,
+            },
+        })
 
     async def openai_embeddings(request):
         """OpenAI-compatible ``/v1/embeddings`` over the on-TPU encoder:
@@ -1147,6 +1364,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     app.router.add_get("/stats", stats)
     app.router.add_post("/search/images", search_images)
     app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/embeddings", openai_embeddings)
     app.router.add_get("/v1/models", openai_models)
     app.router.add_get("/metrics", metrics)
@@ -1176,7 +1394,11 @@ def _route_docs():
         ("POST", "/search/images", "cross-modal figure search {query, top_k}"),
         ("GET", "/metrics", "Prometheus text-format metrics"),
         ("POST", "/v1/chat/completions",
-         "OpenAI-compatible chat completions (non-streaming)"),
+         "OpenAI-compatible chat completions (SSE streaming, vision "
+         "parts, top_p/stop)"),
+        ("POST", "/v1/completions",
+         "OpenAI-compatible legacy text completions (string or batched "
+         "list prompt)"),
         ("POST", "/v1/embeddings",
          "OpenAI-compatible embeddings over the on-TPU encoder"),
         ("GET", "/v1/models", "OpenAI-compatible model listing"),

@@ -63,12 +63,17 @@ def _insert_row(pool: Dict, row: Dict, slot: jax.Array) -> Dict:
 
 
 @partial(jax.jit, static_argnames=("top_k",))
-def _sample_rows(logits, key, temps, top_k: int, top_ps=None):
-    """Per-row temperature + nucleus: temp<=0 rows take argmax, others
-    sample from the top_k-filtered, temperature-scaled distribution with
-    the per-row nucleus threshold applied within the top-k candidates.
+def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
+    """Per-row temperature + nucleus + PER-ROW key streams ((B,) typed
+    keys): temp<=0 rows take argmax, others sample from the
+    top_k-filtered, temperature-scaled distribution with the per-row
+    nucleus threshold applied within the top-k candidates. Each row
+    samples from its own key, so a request's tokens are reproducible
+    regardless of which neighbors share the decode batch.
     ``temps``/``top_ps`` are TRACED (B,) vectors — a new value never
     mints a new executable."""
+    from multimodal_rag_tpu.models.decoder import _row_categorical
+
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
     if top_k > 0:
@@ -78,14 +83,12 @@ def _sample_rows(logits, key, temps, top_k: int, top_ps=None):
         probs = jax.nn.softmax(vals, axis=-1)
         exclusive = jnp.cumsum(probs, axis=-1) - probs
         vals = jnp.where(exclusive < top_ps[:, None], vals, -1e9)
-        choice = jax.random.categorical(key, vals, axis=-1)
+        choice = _row_categorical(keys, vals)
         sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[
             :, 0
         ].astype(jnp.int32)
     else:
-        sampled = jax.random.categorical(key, scaled, axis=-1).astype(
-            jnp.int32
-        )
+        sampled = _row_categorical(keys, scaled)
     return jnp.where(temps <= 0.0, greedy, sampled)
 
 
@@ -96,6 +99,7 @@ class _Request:
     temperature: float
     future: asyncio.Future
     top_p: float = 1.0
+    seed: Optional[int] = None
     tokens: List[int] = field(default_factory=list)
     slot: int = -1
     finish: str = "stop"  # "stop" (EOS) | "length" (budget exhausted)
@@ -138,6 +142,9 @@ class DecodeServer:
         self.cur_tok = np.zeros((slots,), np.int32)
         self.temps = np.full((slots,), -1.0, np.float32)
         self.top_ps = np.ones((slots,), np.float32)
+        # Per-slot sampling keys: each row advances its OWN stream.
+        self.keys = jax.random.split(jax.random.key(seed), slots)
+        self._admitted = 0  # distinct default-key stream per admission
 
         self.pending: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
@@ -170,6 +177,7 @@ class DecodeServer:
         temperature: float = 0.7,
         return_finish: bool = False,
         top_p: float = 1.0,
+        seed: Optional[int] = None,
     ) -> "str | tuple[str, str]":
         """Generate text for ``prompt``; resolves when the row finishes.
         With ``return_finish=True`` returns ``(text, finish_reason)`` —
@@ -189,6 +197,7 @@ class DecodeServer:
             temperature=float(temperature),
             future=fut,
             top_p=float(top_p),
+            seed=seed,
         )
         await self.pending.put(req)
         text, finish = await fut
@@ -200,6 +209,7 @@ class DecodeServer:
         max_new_tokens: int = 256,
         temperature: float = 0.7,
         top_p: float = 1.0,
+        seed: Optional[int] = None,
     ):
         """Per-token streaming variant of :meth:`submit`: an async
         generator of ``(text_delta, finish)`` pairs. ``finish`` is None
@@ -215,6 +225,7 @@ class DecodeServer:
             future=asyncio.get_running_loop().create_future(),
             stream_q=asyncio.Queue(),
             top_p=float(top_p),
+            seed=seed,
         )
         await self.pending.put(req)
         try:
@@ -296,10 +307,16 @@ class DecodeServer:
             self.cfg, self.max_seq,
         )
         self.pool = _insert_row(self.pool, row_cache, jnp.int32(slot))
-        self._key, sub = jax.random.split(self._key)
+        self._admitted += 1
+        row_key = (
+            jax.random.key(int(req.seed))
+            if req.seed is not None
+            else jax.random.fold_in(self._key, self._admitted)
+        )
+        row_key, sub = jax.random.split(row_key)
         first = int(
             _sample_rows(
-                logits, sub,
+                logits, sub[None],
                 jnp.asarray([req.temperature], jnp.float32), self.top_k,
                 jnp.asarray([req.top_p], jnp.float32),
             )[0]
@@ -313,6 +330,7 @@ class DecodeServer:
         self.cur_tok[slot] = first
         self.temps[slot] = req.temperature
         self.top_ps[slot] = req.top_p
+        self.keys = self.keys.at[slot].set(row_key)
         if first == self.eos_id or req.max_new_tokens <= 1:
             if first != self.eos_id:
                 req.tokens.append(first)
@@ -353,7 +371,9 @@ class DecodeServer:
             return []
         for i in active:
             self.key_mask[i, self.pos[i]] = 1
-        self._key, sub = jax.random.split(self._key)
+        from multimodal_rag_tpu.models.decoder import _split_rows
+
+        self.keys, sub = _split_rows(self.keys)
         logits, self.pool = decode_step_rows(
             self.dec.params,
             self.pool,

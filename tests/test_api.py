@@ -775,6 +775,95 @@ class TestChatSamplingCompat:
         assert resp.status == 200
 
 
+class TestCompletions:
+    """OpenAI-compatible legacy /v1/completions: string or batched list
+    prompts, same sampling policy as the chat surface."""
+
+    def test_single_prompt(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": "what is RAG?", "max_tokens": 16,
+            })
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert body["object"] == "text_completion"
+        assert body["choices"][0]["text"].startswith("Answer to:")
+        assert body["choices"][0]["finish_reason"] in ("stop", "length")
+        assert body["usage"]["total_tokens"] > 0
+
+    def test_batched_prompts(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": ["first question", "second question"],
+                "max_tokens": 16,
+            })
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert len(body["choices"]) == 2
+        assert [ch["index"] for ch in body["choices"]] == [0, 1]
+        assert "first" in body["choices"][0]["text"]
+        assert "second" in body["choices"][1]["text"]
+
+    def test_stop_applies(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": "anything", "stop": "to:", "max_tokens": 16,
+            })
+        )
+        body = loop.run_until_complete(resp.json())
+        assert body["choices"][0]["text"] == "Answer "
+        assert body["choices"][0]["finish_reason"] == "stop"
+
+    def test_streaming(self, client):
+        import json as _json
+
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": "hello", "max_tokens": 16, "stream": True,
+            })
+        )
+        assert resp.status == 200
+        raw = loop.run_until_complete(resp.text())
+        events = [
+            _json.loads(line[len("data: "):])
+            for line in raw.splitlines()
+            if line.startswith("data: ") and line != "data: [DONE]"
+        ]
+        text = "".join(e["choices"][0]["text"] for e in events)
+        assert text.startswith("Answer to:")
+        assert events[-1]["choices"][0]["finish_reason"] in (
+            "stop", "length"
+        )
+        assert all(e["object"] == "text_completion" for e in events)
+        assert raw.rstrip().endswith("data: [DONE]")
+
+    def test_validation(self, client):
+        c, loop = client
+        cases = [
+            {},  # missing prompt
+            {"prompt": 7},
+            {"prompt": []},
+            {"prompt": ["x"] * 17},
+            {"prompt": ""},
+            {"prompt": "x", "n": 2},
+            {"prompt": "x", "echo": True},
+            {"prompt": "x", "logprobs": 1},
+            {"prompt": ["a", "b"], "stream": True},
+            {"prompt": "x" * 11_000},
+        ]
+        for payload in cases:
+            resp = loop.run_until_complete(
+                c.post("/v1/completions", json=payload)
+            )
+            assert resp.status == 400, payload
+
+
 class TestOpenAIEmbeddings:
     """OpenAI-compatible /v1/embeddings served by the on-TPU encoder."""
 

@@ -337,6 +337,32 @@ class TestTextDecoder:
         assert len(set(outs_tight)) == 1
         assert len(set(outs_wide)) > 1
 
+    def test_seed_per_row_reproducible_across_batches(self):
+        """OpenAI ``seed``: a (prompt, seed) pair must reproduce the same
+        sampled completion regardless of what else shares the batch —
+        per-row key streams, not a batch-level PRNG."""
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        solo = dec.generate(["sample text"], max_new_tokens=12,
+                            temperature=1.5, seed_per_row=[77], seed=0)[0]
+        batched = dec.generate(
+            ["other words entirely", "sample text"], max_new_tokens=12,
+            temperature=1.5, seed_per_row=[None, 77], seed=5,
+        )[1]
+        assert solo == batched
+        other_seed = dec.generate(["sample text"], max_new_tokens=12,
+                                  temperature=1.5, seed_per_row=[78])[0]
+        assert other_seed != solo  # the seed actually selects the stream
+
+    def test_unseeded_rows_differ_within_batch(self):
+        """Two identical unseeded prompts in one batch must NOT sample
+        identical completions (per-row fold_in, not one shared key)."""
+        dec = TextDecoder(params=init_params(jax.random.key(0), TINY_BYTE),
+                          cfg=TINY_BYTE)
+        outs = dec.generate(["sample text", "sample text"],
+                            max_new_tokens=16, temperature=2.0, seed=1)
+        assert outs[0] != outs[1]
+
     def test_prompt_truncation_counted(self):
         """Prompts past the top bucket keep only their tail AND increment
         the truncation counter (VERDICT r2: context loss must be
@@ -421,7 +447,7 @@ class TestTPUAdapter:
 
             def generate(self, prompts, max_new_tokens, temperature, top_k,
                          return_finish=False, seed=0, max_new_per_row=None,
-                         top_p=1.0):
+                         top_p=1.0, seed_per_row=None):
                 import time
 
                 self.calls.append(len(prompts))
@@ -582,6 +608,24 @@ class TestHFGolden:
         model.save_pretrained(path, safe_serialization=True)
         _golden(model, path, rtol=5e-4, atol=5e-4)
 
+    def test_phi3(self, tmp_path):
+        """Phi-3 stores FUSED projections (qkv_proj = [q;k;v] rows,
+        gate_up_proj = [gate;up] rows) — the loader must split them at
+        the cfg-derived offsets; otherwise llama-shaped."""
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        cfg = Phi3Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rope_theta=10000.0, tie_word_embeddings=False,
+            pad_token_id=0,  # default 32000 exceeds the tiny vocab
+        )
+        model = Phi3ForCausalLM(cfg)
+        path = str(tmp_path / "phi3")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path)
+
     def test_oversized_batch_chunks(self):
         """generate() with more prompts than the largest batch bucket must
         chunk, not crash (review finding r2)."""
@@ -675,7 +719,8 @@ class TestAdapterShutdown:
 
             def generate(self, prompts, max_new_tokens, temperature,
                          top_k, return_finish=False, seed=0,
-                         max_new_per_row=None, top_p=1.0):
+                         max_new_per_row=None, top_p=1.0,
+                         seed_per_row=None):
                 _time.sleep(0.2)  # hold the worker; queue backs up
                 outs = ["x" for _ in prompts]
                 return (outs, ["stop"] * len(outs)) if return_finish else outs

@@ -124,6 +124,38 @@ class TestDecodeServer:
         out = asyncio.run(run())
         assert out[0] == greedy, (out[0], greedy)
 
+    def test_seed_reproducible_under_continuous_batching(self):
+        """A seeded request must produce the same sampled text whether it
+        runs alone or staggered next to other rows (per-slot key
+        streams)."""
+        dec = _decoder()
+
+        async def run_solo():
+            srv = DecodeServer(dec, slots=2, max_new_cap=8)
+            out = await srv.submit("sample text", max_new_tokens=8,
+                                   temperature=1.5, seed=42)
+            await srv.stop()
+            return out
+
+        async def run_batched():
+            srv = DecodeServer(dec, slots=2, max_new_cap=8, seed=9)
+            t1 = asyncio.create_task(
+                srv.submit("a different neighbor prompt", max_new_tokens=8,
+                           temperature=1.5)
+            )
+            await asyncio.sleep(0.1)
+            t2 = asyncio.create_task(
+                srv.submit("sample text", max_new_tokens=8,
+                           temperature=1.5, seed=42)
+            )
+            _, out = await asyncio.gather(t1, t2)
+            await srv.stop()
+            return out
+
+        solo = asyncio.run(run_solo())
+        batched = asyncio.run(run_batched())
+        assert solo == batched, (solo, batched)
+
     def test_adapter_continuous_mode(self):
         """TPULLMAdapter(continuous=True) routes through DecodeServer."""
         from multimodal_rag_tpu.models.adapters import TPULLMAdapter
