@@ -75,6 +75,16 @@ class DecoderConfig:
     # window never binds at this framework's context caps, so the mask is
     # the plain causal one.)
     post_norms: bool = False
+    # RoPE frequency scaling (HF ``rope_scaling``): per-dim inv_freq
+    # DIVISORS (length head_dim//2) — llama3 band scaling and Phi-3
+    # longrope short factors map here — plus the longrope attention
+    # factor multiplying cos/sin. None = plain RoPE.
+    rope_factors: Optional[Tuple[float, ...]] = None
+    rope_attn_factor: float = 1.0
+    # Informational: the checkpoint's sliding-attention window (0 = none).
+    # This decoder attends unwindowed; TextDecoder warns when the serving
+    # context could exceed it.
+    sliding_window: int = 0
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -192,6 +202,70 @@ def _read_hf_config(path: str) -> Optional[dict]:
         return None
 
 
+def _rope_scaling_from_hf(hf: dict, head_dim: int):
+    """HF ``rope_scaling`` → (per-dim inv_freq divisors | None,
+    attention factor). Implements the STATIC schemes — linear, llama3
+    band scaling (Llama-3.1/3.2), and longrope/su short factors (Phi-3;
+    this framework serves contexts within the original window, where HF
+    applies short_factor, and bakes the trained attention factor into
+    cos/sin). Length-dynamic schemes (dynamic NTK, yarn) are rejected
+    loudly — loading them with plain RoPE would generate garbage with no
+    error."""
+    rs = hf.get("rope_scaling")
+    if not rs:
+        return None, 1.0
+    rtype = rs.get("rope_type", rs.get("type", ""))
+    half = head_dim // 2
+    if rtype == "linear":
+        return (float(rs["factor"]),) * half, 1.0
+    if rtype == "llama3":
+        factor = float(rs["factor"])
+        lo = float(rs.get("low_freq_factor", 1.0))
+        hi = float(rs.get("high_freq_factor", 4.0))
+        orig = float(rs.get("original_max_position_embeddings", 8192))
+        theta = float(hf.get("rope_theta", 10000.0))
+        inv_freq = theta ** (-np.arange(0, half, dtype=np.float64) / half)
+        wavelen = 2.0 * np.pi / inv_freq
+        smooth = (orig / wavelen - hi) / (lo - hi)
+        # Divisor per dim: 1 for short wavelengths, `factor` for long,
+        # smoothly interpolated between (HF modeling_rope_utils).
+        div = np.where(
+            wavelen < orig / hi,
+            1.0,
+            np.where(
+                wavelen > orig / lo,
+                factor,
+                1.0 / ((1.0 - smooth) / factor + smooth),
+            ),
+        )
+        return tuple(float(d) for d in div), 1.0
+    if rtype in ("longrope", "su"):
+        short = rs.get("short_factor")
+        if not short or len(short) != half:
+            raise ValueError(
+                f"longrope short_factor must have {half} entries"
+            )
+        orig = float(
+            rs.get(
+                "original_max_position_embeddings",
+                hf.get("original_max_position_embeddings", 4096),
+            )
+        )
+        maxp = float(hf.get("max_position_embeddings", orig))
+        scale = maxp / orig
+        attn = rs.get("attention_factor")
+        if attn is None:
+            attn = (
+                1.0 if scale <= 1.0
+                else float(np.sqrt(1.0 + np.log(scale) / np.log(orig)))
+            )
+        return tuple(float(x) for x in short), float(attn)
+    raise ValueError(
+        f"unsupported rope_scaling type {rtype!r} — loading this "
+        "checkpoint with plain RoPE would silently generate garbage"
+    )
+
+
 def config_from_hf(hf: dict) -> DecoderConfig:
     """Map an HF ``config.json`` onto :class:`DecoderConfig`. Handles
     llama / mistral / qwen2 / gemma / gemma2 / phi3 model types (qwen2:
@@ -208,6 +282,8 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     # 11008 intermediate, 32000 vocab).
     heads = hf.get("num_attention_heads", 32)
     hidden = hf.get("hidden_size", 4096)
+    head_dim = hf.get("head_dim") or hidden // heads
+    rope_factors, rope_attn = _rope_scaling_from_hf(hf, head_dim)
     return DecoderConfig(
         qkv_bias=(mtype == "qwen2"),
         post_norms=(mtype == "gemma2"),
@@ -229,6 +305,9 @@ def config_from_hf(hf: dict) -> DecoderConfig:
         final_logit_softcap=hf.get("final_logit_softcapping") or 0.0,
         attn_logit_softcap=hf.get("attn_logit_softcapping") or 0.0,
         query_pre_attn_scalar=hf.get("query_pre_attn_scalar") or 0.0,
+        rope_factors=rope_factors,
+        rope_attn_factor=rope_attn,
+        sliding_window=hf.get("sliding_window") or 0,
     )
 
 
@@ -430,15 +509,22 @@ def _rmsnorm(x: jax.Array, w: jax.Array, cfg: DecoderConfig) -> jax.Array:
     return x32 * scale * w
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def _rope(x: jax.Array, positions: jax.Array, cfg) -> jax.Array:
     """Rotary embedding, HF half-split convention. x: (..., T, n, hd);
-    positions: broadcastable to (..., T)."""
+    positions: broadcastable to (..., T). ``cfg.rope_factors`` divides
+    the per-dim inverse frequencies (llama3 / longrope scaling) and
+    ``cfg.rope_attn_factor`` scales cos/sin (longrope attention
+    scaling) — both static, baked into the executable."""
     hd = x.shape[-1]
     half = hd // 2
+    theta = cfg.rope_theta
     freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    if cfg.rope_factors is not None:
+        freqs = freqs / jnp.asarray(cfg.rope_factors, jnp.float32)
     ang = positions[..., None].astype(jnp.float32) * freqs  # (..., T, half)
-    cos = jnp.cos(ang)[..., None, :]  # (..., T, 1, half)
-    sin = jnp.sin(ang)[..., None, :]
+    att = cfg.rope_attn_factor
+    cos = (jnp.cos(ang) * att)[..., None, :]  # (..., T, 1, half)
+    sin = (jnp.sin(ang) * att)[..., None, :]
     x32 = x.astype(jnp.float32)
     x1, x2 = x32[..., :half], x32[..., half:]
     return jnp.concatenate(
@@ -484,7 +570,7 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
         q = q + lp["bq"].astype(cd)
     q = q.reshape(B, T, n_kv, g, hd)
     q = _rope(
-        q.reshape(B, T, n_kv * g, hd), positions, cfg.rope_theta
+        q.reshape(B, T, n_kv * g, hd), positions, cfg
     ).reshape(B, T, n_kv, g, hd)
     probs = _attn_scores(q, k_cache, mask, cfg).astype(cd)
     ctx = jnp.einsum(
@@ -516,7 +602,7 @@ def _project_kv(h_norm, lp, positions, cfg):
         v = v + lp["bv"].astype(cd)
     k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    k = _rope(k, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg)
     return k.astype(cd), v.astype(cd)
 
 
@@ -955,6 +1041,18 @@ class TextDecoder:
         # Prompts whose encoded length exceeded the top bucket and lost
         # their head to the tail-keep slice (surfaced via /stats).
         self.truncated_prompts = 0
+        max_ctx = self.prompt_buckets[-1] + GEN_BUCKETS[-1]
+        if cfg.sliding_window and max_ctx > cfg.sliding_window:
+            logger.warning(
+                "Checkpoint was trained with a %d-token sliding attention "
+                "window but the serving context can reach %d tokens "
+                "(prompt bucket %d + generation %d); this decoder attends "
+                "unwindowed, so sequences past the window deviate from "
+                "the training contract — lower TPU_LLM_PROMPT_BUCKETS to "
+                "stay within it.",
+                cfg.sliding_window, max_ctx,
+                self.prompt_buckets[-1], GEN_BUCKETS[-1],
+            )
 
     @staticmethod
     def _maybe_shard_tp(params: Dict, cfg: DecoderConfig) -> Dict:

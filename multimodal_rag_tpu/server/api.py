@@ -171,24 +171,27 @@ def parse_sampling_params(body: dict):
             or not (0.0 < float(p_raw) <= 1.0):
         return None, "top_p must be a number in (0, 1]"
     top_p = float(p_raw)
-    if body.get("n", 1) not in (1, None):
+    n_raw = body.get("n", 1)
+    if isinstance(n_raw, bool) or n_raw not in (1, None):
         return None, "n > 1 is not supported"
     if body.get("logprobs"):
         return None, "logprobs is not supported"
+    if body.get("logit_bias"):
+        return None, "logit_bias is not supported"
     stop_raw = body.get("stop")
-    if stop_raw is None:
+    if stop_raw is None or stop_raw == []:  # clients serialize default []
         stops = []
     elif isinstance(stop_raw, str) and stop_raw:
         stops = [stop_raw]
     elif (
         isinstance(stop_raw, list)
-        and 0 < len(stop_raw) <= 4
+        and len(stop_raw) <= 4
         and all(isinstance(s, str) and s for s in stop_raw)
     ):
         stops = list(stop_raw)
     else:
         return None, (
-            "stop must be a non-empty string or a list of 1-4 "
+            "stop must be a non-empty string or a list of up to 4 "
             "non-empty strings"
         )
     seed_raw = body.get("seed")
@@ -208,6 +211,45 @@ def parse_sampling_params(body: dict):
         "stops": stops,
         "gen_kw": gen_kw,
     }, None
+
+
+async def pump_stream_with_stops(gen_iter, stops, emit):
+    """Drive a ``(delta, finish)`` async generator through the
+    stop-sequence hold-back state machine, awaiting ``emit(text)`` for
+    each safe span. A stop-sized tail is held back so a stop sequence
+    split across deltas is never partially emitted; breaking out of the
+    generator raises GeneratorExit in it, which retires the decode row.
+    Returns the finish reason ("stop" on a stop hit). Shared by
+    /v1/chat/completions and /v1/completions — one copy of the
+    hold-back math to keep correct."""
+
+    def stop_cut(text):
+        hits = [text.find(s) for s in stops]
+        hits = [h for h in hits if h >= 0]
+        return min(hits) if hits else -1
+
+    finish_reason = "stop"
+    hold = max((len(s) for s in stops), default=1) - 1
+    buf, emitted = "", 0
+    async for delta, fin in gen_iter:
+        if delta and not stops:
+            await emit(delta)
+        elif delta:
+            buf += delta
+            cut = stop_cut(buf)
+            if cut >= 0:
+                if cut > emitted:
+                    await emit(buf[emitted:cut])
+                return "stop"  # GeneratorExit retires the decode row
+            safe = max(emitted, len(buf) - hold)
+            if safe > emitted:
+                await emit(buf[emitted:safe])
+                emitted = safe
+        if fin is not None:
+            finish_reason = fin
+    if stops and len(buf) > emitted:  # flush the held-back tail
+        await emit(buf[emitted:])
+    return finish_reason
 
 
 def json_error(status: int, detail: str) -> web.Response:
@@ -721,9 +763,14 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             head, sep, payload = url.partition(",")
             if not sep or "base64" not in head:
                 return None, "image data: URL must be base64-encoded"
-            try:
-                base64.b64decode(payload, validate=True)
-            except Exception:  # noqa: BLE001
+            # Charset/length check only — a full b64decode here would
+            # decode multi-MB payloads twice (the adapter decodes them
+            # again, and raises explicitly on corrupt payloads).
+            import re as _re
+
+            if len(payload) % 4 or not _re.fullmatch(
+                r"[A-Za-z0-9+/]*={0,2}", payload
+            ):
                 return None, "image data: URL carries invalid base64"
             return payload, None
 
@@ -853,34 +900,12 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         text, finish_reason = text[:cut], "stop"
                     await resp.write(chunk({"content": text}))
                 elif gen_stream is not None:
-                    # Hold back a stop-sized tail so a stop sequence that
-                    # arrives split across deltas is never partially sent.
-                    hold = max((len(s) for s in stops), default=1) - 1
-                    buf, emitted, stopped = "", 0, False
-                    async for delta, fin in gen_stream(prompt, **gen_kw):
-                        if delta and not stops:
-                            await resp.write(chunk({"content": delta}))
-                        elif delta:
-                            buf += delta
-                            cut = stop_cut(buf)
-                            if cut >= 0:
-                                if cut > emitted:
-                                    await resp.write(
-                                        chunk({"content": buf[emitted:cut]})
-                                    )
-                                finish_reason = "stop"
-                                stopped = True
-                                break  # GeneratorExit retires the row
-                            safe = max(emitted, len(buf) - hold)
-                            if safe > emitted:
-                                await resp.write(
-                                    chunk({"content": buf[emitted:safe]})
-                                )
-                                emitted = safe
-                        if fin is not None:
-                            finish_reason = fin
-                    if stops and not stopped and len(buf) > emitted:
-                        await resp.write(chunk({"content": buf[emitted:]}))
+                    async def emit(text):
+                        await resp.write(chunk({"content": text}))
+
+                    finish_reason = await pump_stream_with_stops(
+                        gen_stream(prompt, **gen_kw), stops, emit
+                    )
                 else:
                     # HTTP adapters: one coarse delta (the full answer).
                     text = await comps.llm_adapter.generate_text(
@@ -1060,32 +1085,12 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     comps.llm_adapter, "generate_text_stream", None
                 )
                 if gen_stream is not None:
-                    hold = max((len(s) for s in stops), default=1) - 1
-                    buf, emitted, stopped = "", 0, False
-                    async for delta, fin in gen_stream(
-                        prompts[0], **gen_kw
-                    ):
-                        if delta and not stops:
-                            await resp.write(chunk(delta))
-                        elif delta:
-                            buf += delta
-                            cut = stop_cut(buf)
-                            if cut >= 0:
-                                if cut > emitted:
-                                    await resp.write(
-                                        chunk(buf[emitted:cut])
-                                    )
-                                finish_reason = "stop"
-                                stopped = True
-                                break
-                            safe = max(emitted, len(buf) - hold)
-                            if safe > emitted:
-                                await resp.write(chunk(buf[emitted:safe]))
-                                emitted = safe
-                        if fin is not None:
-                            finish_reason = fin
-                    if stops and not stopped and len(buf) > emitted:
-                        await resp.write(chunk(buf[emitted:]))
+                    async def emit(text):
+                        await resp.write(chunk(text))
+
+                    finish_reason = await pump_stream_with_stops(
+                        gen_stream(prompts[0], **gen_kw), stops, emit
+                    )
                 else:
                     text, finish_reason = await generate_one(prompts[0])
                     cut = stop_cut(text)
@@ -1102,7 +1107,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 await resp.write(b"data: [DONE]\n\n")
                 await resp.write_eof()
                 return resp
-            aggregator.record("chat.total", time.time() - start)
+            aggregator.record("completions.total", time.time() - start)
             await resp.write(chunk("", finish_reason))
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
@@ -1110,15 +1115,19 @@ def create_app(components: Optional[Components] = None) -> web.Application:
 
         choices = []
         total_completion = 0
-        try:
-            results = await asyncio.gather(
-                *(generate_one(p) for p in prompts)
-            )
-        except ValueError as e:
-            return bad_request(str(e))
-        except Exception as e:  # noqa: BLE001
+        # return_exceptions: one failing prompt must not leave the other
+        # generations running detached with unretrieved exceptions.
+        results = await asyncio.gather(
+            *(generate_one(p) for p in prompts), return_exceptions=True,
+        )
+        first_err = next(
+            (r for r in results if isinstance(r, BaseException)), None
+        )
+        if isinstance(first_err, ValueError):
+            return bad_request(str(first_err))
+        if first_err is not None:
             return web.json_response(
-                {"error": {"message": f"generation failed: {e}",
+                {"error": {"message": f"generation failed: {first_err}",
                            "type": "server_error"}}, status=503,
             )
         for i, (text, fin) in enumerate(results):
@@ -1132,7 +1141,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 "finish_reason": fin,
                 "logprobs": None,
             })
-        aggregator.record("chat.total", time.time() - start)
+        aggregator.record("completions.total", time.time() - start)
         prompt_tokens = sum(len(p.split()) for p in prompts)
         return web.json_response({
             "id": cid,

@@ -188,6 +188,7 @@ class VectorStore:
         self._layout_gen = getattr(self, "_layout_gen", 0) + 1
         self._ivf_building = False
         self._ivf_build_thread = None
+        self._ivf_build_failures = 0
         self._ivf_layout = None
         self._ivf_rows = None  # layout row → store row (single-device)
         self._ivf_store_to_layout = None  # store row → layout/virtual row
@@ -658,6 +659,12 @@ class VectorStore:
         which discards the build at install time)."""
         if self._ivf_building:
             return
+        if self._ivf_build_failures >= 3:
+            # A deterministic failure (e.g. device OOM at this corpus
+            # size) must not be re-kicked by every query — each doomed
+            # attempt burns ~minutes of chip time. Queries keep serving
+            # the exact path; compaction/reset clears the breaker.
+            return
         self._ivf_building = True
         live = np.asarray(self._live_rows(), dtype=np.int64)
         gen = self._layout_gen
@@ -677,9 +684,16 @@ class VectorStore:
         try:
             pieces = self._compute_ivf(self._vecs[live], live)
         except Exception:  # noqa: BLE001 — a failed build must not wedge
-            logger.exception("background IVF build failed")
             with self._lock:
                 self._ivf_building = False
+                self._ivf_build_failures += 1
+                tripped = self._ivf_build_failures >= 3
+            logger.exception(
+                "background IVF build failed (%d consecutive)%s",
+                self._ivf_build_failures,
+                "; giving up until compaction/reset — queries stay on "
+                "the exact path" if tripped else "",
+            )
             return
         with self._lock:
             try:
@@ -692,6 +706,7 @@ class VectorStore:
                     )
                     return
                 self._install_ivf(pieces, len(live), watermark)
+                self._ivf_build_failures = 0
             finally:
                 self._ivf_building = False
 
@@ -1294,6 +1309,7 @@ class VectorStore:
             ),
             "counters": dict(self.counters),
             "ivf_builds_in_progress": int(self._ivf_building),
+            "ivf_build_failures": self._ivf_build_failures,
             "ivf_built_count": self._ivf_built_count,
             "ivf_tail_rows": max(0, self._size - self._ivf_built_size)
             if self._ivf_layout is not None

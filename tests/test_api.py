@@ -763,6 +763,40 @@ class TestChatSamplingCompat:
             )
             assert resp.status == 400, extra
 
+    def test_empty_stop_list_is_noop(self, client):
+        """OpenAI clients serialize their default stop=[] — it must mean
+        'no stop sequences', not a 400 (review finding r3)."""
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json=self._msg(stop=[]))
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert body["choices"][0]["message"]["content"].startswith("Answer")
+
+    def test_seed_validated(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json=self._msg(seed="x"))
+        )
+        assert resp.status == 400
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json=self._msg(seed=True))
+        )
+        assert resp.status == 400
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json=self._msg(seed=12345))
+        )
+        assert resp.status == 200
+
+    def test_n_true_rejected(self, client):
+        """n: true must not sneak past the ==1 check (bool == 1)."""
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json=self._msg(n=True))
+        )
+        assert resp.status == 400
+
     def test_top_p_accepted(self, client):
         c, loop = client
         resp = loop.run_until_complete(

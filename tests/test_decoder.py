@@ -626,6 +626,61 @@ class TestHFGolden:
         model.save_pretrained(path, safe_serialization=True)
         _golden(model, path)
 
+    def test_llama3_rope_scaling(self, tmp_path):
+        """Llama-3.1-style rope_scaling (band-scaled frequencies) must
+        match the HF forward — plain RoPE on these checkpoints silently
+        rotates with the wrong geometry."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            rope_theta=10000.0, tie_word_embeddings=False,
+            rope_scaling={
+                "rope_type": "llama3", "factor": 8.0,
+                "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 32,
+            },
+        )
+        model = LlamaForCausalLM(cfg)
+        path = str(tmp_path / "llama31")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path)
+
+    def test_phi3_longrope_scaling(self, tmp_path):
+        """Phi-3 128k-style longrope: short factors divide the inverse
+        frequencies and the trained attention factor scales cos/sin."""
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        cfg = Phi3Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            original_max_position_embeddings=32,
+            rope_theta=10000.0, tie_word_embeddings=False,
+            pad_token_id=0,
+            rope_scaling={
+                "type": "longrope",
+                "short_factor": [1.0, 1.5, 2.0, 2.5],
+                "long_factor": [2.0, 3.0, 4.0, 5.0],
+            },
+        )
+        model = Phi3ForCausalLM(cfg)
+        path = str(tmp_path / "phi3long")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path)
+
+    def test_unsupported_rope_scaling_rejected(self):
+        """Length-dynamic schemes must raise, not load with plain RoPE."""
+        from multimodal_rag_tpu.models.decoder import config_from_hf
+
+        with pytest.raises(ValueError, match="rope_scaling"):
+            config_from_hf({
+                "model_type": "llama", "vocab_size": 64,
+                "rope_scaling": {"rope_type": "yarn", "factor": 4.0},
+            })
+
     def test_oversized_batch_chunks(self):
         """generate() with more prompts than the largest batch bucket must
         chunk, not crash (review finding r2)."""
