@@ -146,7 +146,16 @@ class Settings:
     SUMMARIZER_MAX_RETRIES: int = 3
 
     # --- Models (reference config.py:102-106; CLIP_MODEL is real here) ---
+    # BERT-architecture retrieval families are supported by name: MiniLM,
+    # BGE v1/v1.5 (CLS pooling + query instruction), E5 ("query: "/
+    # "passage: " prefixes), GTE. The family sets pooling + prefixes
+    # (models/encoder_families.py); the checkpoint's own config.json /
+    # 1_Pooling/config.json refine them.
     SENTENCE_TRANSFORMER_MODEL: str = "all-MiniLM-L6-v2"
+    # Override the family's retrieval prefixes: empty = family default,
+    # literal "none" = force no prefix.
+    EMBED_QUERY_PREFIX: str = ""
+    EMBED_PASSAGE_PREFIX: str = ""
     CLIP_MODEL: str = "ViT-B/32"  # "siglip-base-patch16-224" → SigLIP towers
     # Cross-modal figure index (text↔image retrieval over extracted
     # figures). Off by default: the dual towers are ~87M params and their

@@ -63,6 +63,11 @@ class EmbeddingManager:
         )
         self.max_retries = max_retries
         self.persist_dir = persist_dir
+        # Retrieval-convention prefixes (E5 "query: "/"passage: ", BGE
+        # query instruction …) — resolved from the model family at
+        # initialize(); EMBED_QUERY_PREFIX / EMBED_PASSAGE_PREFIX override.
+        self._query_prefix = ""
+        self._passage_prefix = ""
         # Debounced autosave (VECTOR_AUTOSAVE_S): the reference's Chroma
         # persisted on every add; flat shard files get the same crash
         # durability by saving shortly after each mutation burst instead
@@ -91,20 +96,57 @@ class EmbeddingManager:
 
             import jax.numpy as jnp
 
-            from multimodal_rag_tpu.models.minilm import MINILM_L6
-
-            cfg = dataclasses.replace(
+            from multimodal_rag_tpu.models import encoder_families as ef
+            from multimodal_rag_tpu.models.minilm import (
                 MINILM_L6,
-                compute_dtype=getattr(
-                    jnp, settings.COMPUTE_DTYPE, jnp.bfloat16
-                ),
+                find_local_checkpoint,
             )
+
+            fam = ef.resolve_family(settings.SENTENCE_TRANSFORMER_MODEL)
+            ckpt = settings.MMRAG_CHECKPOINT_PATH or find_local_checkpoint(
+                fam.hint
+            )
+            compute_dtype = getattr(
+                jnp, settings.COMPUTE_DTYPE, jnp.bfloat16
+            )
+            pooling = fam.pooling
+            cfg = None
+            if ckpt:
+                # Checkpoint truth beats name heuristics for both the
+                # architecture (config.json) and the pooling mode
+                # (sentence-transformers 1_Pooling/config.json).
+                pooling = ef.pooling_from_snapshot(ckpt) or pooling
+                try:
+                    cfg = ef.config_from_hf(
+                        ckpt, compute_dtype=compute_dtype, pooling=pooling
+                    )
+                except (OSError, ValueError) as e:
+                    logger.warning(
+                        "No usable config.json next to %s (%s); assuming "
+                        "MiniLM-L6 architecture", ckpt, e,
+                    )
+            if cfg is None:
+                cfg = dataclasses.replace(
+                    MINILM_L6, compute_dtype=compute_dtype, pooling=pooling
+                )
+            self._family = fam
+            self._query_prefix = self._resolve_prefix(
+                settings.EMBED_QUERY_PREFIX, fam.query_prefix
+            )
+            self._passage_prefix = self._resolve_prefix(
+                settings.EMBED_PASSAGE_PREFIX, fam.passage_prefix
+            )
+            if fam.name != "minilm":
+                logger.info(
+                    "Encoder family %s (pooling=%s, query_prefix=%r)",
+                    fam.name, pooling, self._query_prefix,
+                )
             self._encoder = await asyncio.to_thread(
                 TextEncoder,
                 cfg=cfg,
                 seq_buckets=settings.seq_buckets,
                 batch_buckets=settings.batch_buckets,
-                checkpoint_path=settings.MMRAG_CHECKPOINT_PATH or None,
+                checkpoint_path=ckpt or None,
             )
         if self._store is None:
             loaded = None
@@ -120,6 +162,18 @@ class EmbeddingManager:
                     )
                 except FileNotFoundError:
                     loaded = None
+            if loaded is not None and loaded.dim != self._encoder.dim:
+                # Same recovery posture as the cross-modal figure index
+                # (crossmodal.py): embeddings from a different encoder are
+                # unsearchable with the new one — start fresh, loudly.
+                logger.warning(
+                    "Persisted vector store dim=%d != encoder dim=%d "
+                    "(SENTENCE_TRANSFORMER_MODEL changed?); starting a "
+                    "FRESH store — prior vectors will be overwritten on "
+                    "the next save. Re-ingest documents to re-embed.",
+                    loaded.dim, self._encoder.dim,
+                )
+                loaded = None
             self._store = loaded or VectorStore(
                 dim=self._encoder.dim,
                 name=settings.CHROMA_COLLECTION_NAME,
@@ -182,14 +236,40 @@ class EmbeddingManager:
     def _key(text: str) -> str:
         return hashlib.md5(text.encode("utf-8")).hexdigest()
 
+    @staticmethod
+    def _resolve_prefix(override: str, family_default: str) -> str:
+        """EMBED_*_PREFIX override semantics: empty = family default,
+        literal "none" = force no prefix, anything else = the prefix."""
+        if not override:
+            return family_default
+        if override.strip().lower() == "none":
+            return ""
+        return override
+
+    def _prefix_one(self, text: str, role: Optional[str]) -> str:
+        if role == "query" and self._query_prefix:
+            return self._query_prefix + text
+        if role == "passage" and self._passage_prefix:
+            return self._passage_prefix + text
+        return text
+
     async def embed_texts_batch(
-        self, texts: Sequence[str], show_progress: bool = False
+        self,
+        texts: Sequence[str],
+        show_progress: bool = False,
+        role: Optional[str] = None,
     ) -> np.ndarray:
-        """Texts → (N, dim) float32 unit-norm embeddings, LRU-cached."""
+        """Texts → (N, dim) float32 unit-norm embeddings, LRU-cached.
+
+        ``role`` ("query" | "passage" | None) applies the model family's
+        retrieval prefix (E5/BGE conventions) before encoding; cache keys
+        include the prefix so the two roles never collide."""
         if not self.is_initialized:
             await self.initialize()
         if len(texts) == 0:
             return np.zeros((0, self._encoder.dim), np.float32)
+        if role is not None:
+            texts = [self._prefix_one(t, role) for t in texts]
 
         out = np.empty((len(texts), self._encoder.dim), np.float32)
         todo_idx: List[int] = []
@@ -245,7 +325,9 @@ class EmbeddingManager:
             return counts
         start = time.time()
         texts = [item["summary"] for item in summaries]
-        embeddings = await self.embed_texts_batch(texts, show_progress=True)
+        embeddings = await self.embed_texts_batch(
+            texts, show_progress=True, role="passage"
+        )
 
         ids, documents, metadatas = [], [], []
         for item in summaries:
@@ -286,8 +368,9 @@ class EmbeddingManager:
             raise ValueError("Query text cannot be empty")
 
         res = None
+        prefixed_q = self._prefix_one(query_text, "query")
         cached = (
-            self.cache.get(self._key(query_text))
+            self.cache.get(self._key(prefixed_q))
             if self.cache is not None
             else None
         )
@@ -296,15 +379,15 @@ class EmbeddingManager:
             and filter_dict is None
             and hasattr(self._encoder, "prepare")
         ):
-            fused = await asyncio.to_thread(self._fused_query, query_text,
+            fused = await asyncio.to_thread(self._fused_query, prefixed_q,
                                             n_results)
             if fused is not None:
                 res, emb_row = fused
                 self.stats["total_embeddings_created"] += 1
                 if self.cache is not None:
-                    self.cache.put(self._key(query_text), emb_row)
+                    self.cache.put(self._key(prefixed_q), emb_row)
         if res is None:
-            emb = await self.embed_texts_batch([query_text])
+            emb = await self.embed_texts_batch([query_text], role="query")
             res = await self._with_retry(
                 self._store.query, emb, n_results,
                 ("metadatas", "documents", "distances"), filter_dict,
@@ -319,7 +402,8 @@ class EmbeddingManager:
 
     def _fused_query(self, query_text: str, n_results: int):
         """Host half of the fused path: tokenize, then one jit dispatch of
-        embed→top-k. Returns (results, embedding row) or None."""
+        embed→top-k. Returns (results, embedding row) or None. The caller
+        passes the already-prefixed query text (family conventions)."""
         ids, mask = self._encoder.prepare([query_text])
         out = self._store.search_fused(
             self._encoder.embed_fn,
@@ -348,7 +432,7 @@ class EmbeddingManager:
             await self.initialize()
         if len(query_texts) == 0:
             return []
-        emb = await self.embed_texts_batch(list(query_texts))
+        emb = await self.embed_texts_batch(list(query_texts), role="query")
         res = await self._with_retry(
             self._store.query, emb, n_results,
             ("metadatas", "documents", "distances"), filter_dict,
@@ -517,6 +601,9 @@ class EmbeddingManager:
             "device": jax.default_backend(),
             "embedding_dim": self._encoder.dim,
             "batch_size": self.batch_size,
+            "pooling": getattr(
+                getattr(self._encoder, "cfg", None), "pooling", "mean"
+            ),
             "stats": dict(self.stats),
         }
         if self.cache is not None:

@@ -80,6 +80,10 @@ class EncoderConfig:
     # cosine < 1e-5 vs exact (tests/test_minilm.py::test_gelu_tanh_cosine),
     # far below retrieval significance. Golden HF-parity tests pin "exact".
     gelu: str = "tanh"  # tanh | exact
+    # Sentence pooling: "mean" (MiniLM/E5/GTE) or "cls" (BGE). Family
+    # conventions live in models/encoder_families.py; checkpoints shipping
+    # a sentence-transformers 1_Pooling/config.json override the family.
+    pooling: str = "mean"  # mean | cls
 
     @property
     def head_dim(self) -> int:
@@ -374,11 +378,19 @@ def encoder_forward(
 def embed(
     params: Dict, ids: jax.Array, mask: jax.Array, cfg: EncoderConfig = MINILM_L6
 ) -> jax.Array:
-    """Sentence embeddings: masked mean pool + L2 normalize (reference
-    ``embedder.py:397-403`` contract: unit-norm vectors, cosine == dot)."""
+    """Sentence embeddings: pooled + L2 normalized (reference
+    ``embedder.py:397-403`` contract: unit-norm vectors, cosine == dot).
+
+    ``cfg.pooling`` picks masked mean pooling (MiniLM/E5/GTE) or the CLS
+    token (BGE — position 0 is [CLS] in every supported tokenizer)."""
     hidden = encoder_forward(params, ids, mask, cfg)
-    m = mask.astype(jnp.float32)[:, :, None]
-    pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+    if cfg.pooling == "cls":
+        pooled = hidden[:, 0, :]
+    else:
+        m = mask.astype(jnp.float32)[:, :, None]
+        pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(
+            jnp.sum(m, axis=1), 1e-9
+        )
     norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
     return pooled / jnp.maximum(norm, 1e-12)
 
@@ -406,7 +418,10 @@ class TextEncoder:
         quantize: bool = False,
         checkpoint_path: str | None = None,
     ) -> None:
-        from multimodal_rag_tpu.models.tokenizer import get_tokenizer
+        from multimodal_rag_tpu.models.tokenizer import (
+            get_tokenizer,
+            tokenizer_from_dir,
+        )
 
         self.cfg = cfg
         self.pretrained = params is not None
@@ -441,6 +456,10 @@ class TextEncoder:
         self.params = params
         if quantize and "wq_q" not in self.params["layers"]:
             self.params = quantize_params(self.params)
+        if tokenizer is None and self.pretrained and checkpoint_path:
+            # Checkpoint-exact vocab beats the cache-scan chain: BGE/E5/GTE
+            # snapshots ship their own tokenizer next to the weights.
+            tokenizer = tokenizer_from_dir(checkpoint_path)
         self.tokenizer = tokenizer or get_tokenizer(vocab_size=cfg.vocab_size)
         # Out-of-range ids would silently clamp in the embedding gather.
         assert self.tokenizer.vocab_size <= cfg.vocab_size, (

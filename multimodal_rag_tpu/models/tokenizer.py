@@ -342,6 +342,29 @@ def load_decoder_tokenizer(checkpoint_path: str):
         return None
 
 
+def tokenizer_from_dir(path: str):
+    """Checkpoint-exact encoder tokenizer from the snapshot directory a
+    safetensors file lives in (tokenizer.json preferred, vocab.txt
+    fallback). Returns None when neither ships — the caller falls back to
+    :func:`get_tokenizer`'s cache-scan/hashing chain. This is what makes
+    non-MiniLM families (BGE/E5/GTE) tokenize with their own vocab: the
+    global ``find_local_tokenizer`` scan is MiniLM-pinned by design."""
+    base = path if os.path.isdir(path) else os.path.dirname(path)
+    cand = os.path.join(base, "tokenizer.json")
+    if os.path.exists(cand):
+        try:
+            return HFTokenizer(cand)
+        except Exception:  # noqa: BLE001 — malformed file → next option
+            pass
+    cand = os.path.join(base, "vocab.txt")
+    if os.path.exists(cand):
+        try:
+            return WordPieceTokenizer(cand)
+        except Exception:  # noqa: BLE001
+            pass
+    return None
+
+
 def find_local_tokenizer() -> Optional[str]:
     """Look for a tokenizer.json or vocab.txt without touching the network."""
     cand = os.environ.get("MMRAG_TOKENIZER_PATH")
