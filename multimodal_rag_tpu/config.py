@@ -85,6 +85,15 @@ class Settings:
     # extra bucket costs one more compiled executable per generation
     # preset.
     TPU_LLM_PROMPT_BUCKETS: str = "128,256,512,1024"
+    # Prompt-lookup speculative decoding for the coalesced on-TPU decode
+    # path: drafts come from n-gram matches against the prompt (RAG
+    # answers quote their context), verified K+1-at-a-time in one weight
+    # pass. Greedy output is bit-identical to plain decode; sampled
+    # output is distribution-identical (rejection sampling) but uses a
+    # different pseudo-random stream than spec-off. No effect in
+    # continuous-batching mode (TPU_LLM_CONTINUOUS).
+    TPU_LLM_SPECULATIVE: bool = False
+    TPU_LLM_SPEC_K: int = 7
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None

@@ -88,6 +88,28 @@ class TPULLMAdapter(BaseLLMAdapter):
         return getattr(self._decoder, "truncated_prompts", 0)
 
     @property
+    def spec_stats(self) -> Optional[Dict[str, Any]]:
+        """Speculative-decoding acceptance stats (None when disabled or
+        in continuous mode, where spec does not apply). tokens_per_step
+        is the realized speedup over one-token-per-pass decoding."""
+        d = self._decoder
+        if (
+            d is None
+            or not getattr(d, "spec_enabled", False)
+            or self._server is not None
+        ):
+            return None
+        return {
+            "enabled": True,
+            "spec_k": d.spec_k,
+            "verify_steps": d.spec_iters,
+            "tokens_emitted": d.spec_emitted,
+            "tokens_per_step": round(
+                d.spec_emitted / max(1, d.spec_iters), 2
+            ),
+        }
+
+    @property
     def batches_run(self) -> int:
         """Device dispatches that carried batched work: coalesced batches
         in queue mode; decode steps (each one advances every joined row)
@@ -122,6 +144,13 @@ class TPULLMAdapter(BaseLLMAdapter):
         if self._continuous:
             from multimodal_rag_tpu.serving_decode import DecodeServer
 
+            if getattr(self._decoder, "spec_enabled", False):
+                logger.warning(
+                    "TPU_LLM_SPECULATIVE has no effect in continuous-"
+                    "batching mode (TPU_LLM_CONTINUOUS=true): the decode "
+                    "server advances one token per step so rows can join "
+                    "at token boundaries."
+                )
             self._server = DecodeServer(self._decoder)
         else:
             self._queue = asyncio.Queue()

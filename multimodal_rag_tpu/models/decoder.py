@@ -766,6 +766,63 @@ def decode_step_rows(
     return logits, {"k": k_new, "v": v_new}
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def decode_verify(
+    params: Dict,
+    cache: Dict,
+    tokens: jax.Array,
+    pos0: jax.Array,
+    key_mask: jax.Array,
+    positions0: jax.Array,
+    cfg: DecoderConfig,
+) -> Tuple[jax.Array, Dict]:
+    """Chunked decode: T tokens per row in ONE weight pass — the verify
+    step of speculative decoding. Decode is weight-streaming bound (the
+    full weight set crosses HBM per step), so scoring T=K+1 tokens costs
+    barely more than one token; every accepted draft is nearly free.
+
+    tokens: (B, T) — the current token followed by K drafted tokens;
+    pos0: (B,) per-row cache slot of ``tokens[:, 0]`` (rows may sit at
+    different depths, same contract as :func:`decode_step_rows`);
+    key_mask: (B, S_max) attendable slots BEFORE this chunk; positions0:
+    (B,) semantic RoPE position of ``tokens[:, 0]``. The chunk occupies
+    cache slots [pos0, pos0+T); chunk token j attends key_mask slots plus
+    chunk slots <= j (causal within the chunk). Returns ((B, T, vocab)
+    f32 logits — row i is the next-token distribution AFTER tokens[:, :i+1]
+    — and the updated cache; the caller is responsible for marking only
+    the slots of ACCEPTED tokens attendable (rejected drafts' cache
+    entries are left un-attendable and overwritten on later steps).
+    """
+    B, T = tokens.shape
+    S_max = key_mask.shape[1]
+    x = _embed_tokens(params, tokens, cfg)  # (B, T, H)
+    slots = jnp.arange(S_max)[None, None, :]  # (1, 1, S)
+    qidx = jnp.arange(T)[None, :, None]  # (1, T, 1)
+    p0 = pos0[:, None, None]
+    chunk_vis = (slots >= p0) & (slots <= p0 + qidx)
+    visible = (key_mask[:, None, :] > 0) | chunk_vis
+    add_mask = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
+    pos_q = positions0[:, None] + jnp.arange(T)[None, :]  # (B, T)
+    rows = jnp.arange(B)[:, None]
+    pos_slots = pos0[:, None] + jnp.arange(T)[None, :]  # (B, T)
+
+    def body(x, scanned):
+        lp, kc, vc = scanned
+        h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
+        k, v = _project_kv(h_norm, lp, pos_q, cfg)
+        kc = kc.at[rows, pos_slots].set(k)
+        vc = vc.at[rows, pos_slots].set(v)
+        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    x = _rmsnorm(x, params["final_norm"], cfg)
+    logits = _logits(params, x, cfg)  # (B, T, vocab)
+    return logits, {"k": k_new, "v": v_new}
+
+
 # ---------------------------------------------------------------------------
 # Generation loop
 # ---------------------------------------------------------------------------
@@ -967,12 +1024,31 @@ class TextDecoder:
         batch_buckets: Sequence[int] = (1, 4, 8),
         seed: int = 0,
         quantize: bool = False,
+        speculative: Optional[bool] = None,
+        spec_k: Optional[int] = None,
     ) -> None:
         from multimodal_rag_tpu.models.tokenizer import (
             ByteTokenizer,
             load_decoder_tokenizer,
         )
 
+        if speculative is None or spec_k is None:
+            # Prompt-lookup speculative decoding (models/spec_decode.py):
+            # RAG answers quote retrieved context, so n-gram drafts verify
+            # K+1 tokens per weight pass. Greedy output is bit-identical;
+            # sampled output is distribution-identical (different stream).
+            from multimodal_rag_tpu.config import settings as _s
+
+            if speculative is None:
+                speculative = bool(
+                    getattr(_s, "TPU_LLM_SPECULATIVE", False)
+                )
+            if spec_k is None:
+                spec_k = int(getattr(_s, "TPU_LLM_SPEC_K", 7))
+        self.spec_enabled = bool(speculative)
+        self.spec_k = max(1, int(spec_k))
+        self.spec_iters = 0  # verify passes run (spec mode only)
+        self.spec_emitted = 0  # tokens those passes produced
         if prompt_buckets is None:
             # RAG prompts with several 1000-char chunks overflow 1024
             # tokens; the ceiling is an operator knob so full context can
@@ -1187,18 +1263,41 @@ class TextDecoder:
                 if s_i is not None
                 else jax.random.fold_in(base, i)
             )
-        toks, lengths = generate_tokens(
-            self.params,
-            jnp.asarray(ids),
-            jnp.asarray(mask),
-            jnp.stack(row_keys),
-            self.cfg,
-            max_new_tokens=max_new,
-            temperature=snap_temperature(temperature),
-            top_k=int(top_k),
-            eos_id=int(self.eos_id),
-            top_p=float(top_p),
-        )
+        if self.spec_enabled:
+            from multimodal_rag_tpu.models.spec_decode import (
+                generate_tokens_spec,
+            )
+
+            toks, lengths, iters = generate_tokens_spec(
+                self.params,
+                jnp.asarray(ids),
+                jnp.asarray(mask),
+                jnp.stack(row_keys),
+                self.cfg,
+                max_new_tokens=max_new,
+                temperature=snap_temperature(temperature),
+                top_k=int(top_k),
+                eos_id=int(self.eos_id),
+                top_p=float(top_p),
+                spec_k=self.spec_k,
+            )
+            self.spec_iters += int(iters)
+            self.spec_emitted += int(
+                np.sum(np.asarray(lengths)[: len(prompts)])
+            )
+        else:
+            toks, lengths = generate_tokens(
+                self.params,
+                jnp.asarray(ids),
+                jnp.asarray(mask),
+                jnp.stack(row_keys),
+                self.cfg,
+                max_new_tokens=max_new,
+                temperature=snap_temperature(temperature),
+                top_k=int(top_k),
+                eos_id=int(self.eos_id),
+                top_p=float(top_p),
+            )
         toks = np.asarray(toks)
         lengths = np.asarray(lengths)
         out = []

@@ -701,6 +701,19 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                                     comps.llm_adapter,
                                     "truncated_prompts", 0,
                                 ),
+                                # Prompt-lookup speculative decoding
+                                # acceptance stats (absent when off).
+                                **(
+                                    {
+                                        "speculative": comps.llm_adapter
+                                        .spec_stats
+                                    }
+                                    if getattr(
+                                        comps.llm_adapter, "spec_stats",
+                                        None,
+                                    )
+                                    else {}
+                                ),
                             }
                         }
                         if hasattr(comps.llm_adapter, "batches_run")
