@@ -85,6 +85,14 @@ class DecoderConfig:
     # This decoder attends unwindowed; TextDecoder warns when the serving
     # context could exceed it.
     sliding_window: int = 0
+    # Mixture-of-experts (Mixtral family; reference serves it via Ollama's
+    # ``mixtral`` models — /root/reference/app/models/llm_adapter.py:64
+    # discovers whatever model tags Ollama hosts). 0 = dense MLP.
+    num_experts: int = 0
+    experts_per_tok: int = 2
+    # Renormalize the top-k routing weights to sum to 1 (Mixtral: always;
+    # HF qwen2_moe exposes it as ``norm_topk_prob``).
+    norm_topk_prob: bool = True
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -168,12 +176,19 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
         "wk": tn(keys[2], (L, h, kvd)),
         "wv": tn(keys[3], (L, h, kvd)),
         "wo": tn(keys[4], (L, qd, h)),
-        "w_gate": tn(keys[5], (L, h, f)),
-        "w_up": tn(keys[6], (L, h, f)),
-        "w_down": tn(keys[7], (L, f, h)),
         "ln_attn": norm_init((L, h)),
         "ln_mlp": norm_init((L, h)),
     }
+    if cfg.num_experts:
+        E = cfg.num_experts
+        layers["w_router"] = tn(keys[9], (L, h, E))
+        layers["w_gate"] = tn(keys[5], (L, E, h, f))
+        layers["w_up"] = tn(keys[6], (L, E, h, f))
+        layers["w_down"] = tn(keys[7], (L, E, f, h))
+    else:
+        layers["w_gate"] = tn(keys[5], (L, h, f))
+        layers["w_up"] = tn(keys[6], (L, h, f))
+        layers["w_down"] = tn(keys[7], (L, f, h))
     if cfg.qkv_bias:
         layers["bq"] = jnp.zeros((L, qd), jnp.float32)
         layers["bk"] = jnp.zeros((L, kvd), jnp.float32)
@@ -268,13 +283,15 @@ def _rope_scaling_from_hf(hf: dict, head_dim: int):
 
 def config_from_hf(hf: dict) -> DecoderConfig:
     """Map an HF ``config.json`` onto :class:`DecoderConfig`. Handles
-    llama / mistral / qwen2 / gemma / gemma2 / phi3 model types (qwen2:
-    qkv biases; gemma2: four norms per block + softcaps; mistral and
-    phi3 are llama-shaped — phi3's fused qkv/gate_up projections are
+    llama / mistral / mixtral / qwen2 / gemma / gemma2 / phi3 model types
+    (qwen2: qkv biases; gemma2: four norms per block + softcaps; mistral
+    and phi3 are llama-shaped — phi3's fused qkv/gate_up projections are
     split at load time, and sliding windows never bind at this
-    framework's context caps)."""
+    framework's context caps; mixtral: top-2-of-8 routed SwiGLU experts
+    per block)."""
     mtype = hf.get("model_type", "llama")
     gemma = mtype.startswith("gemma")
+    moe = mtype == "mixtral"
     # Nested text_configs (llava's) ship SPARSE — HF relies on the
     # LlamaConfig defaults for omitted keys, so a KeyError here would
     # reject real llava-1.5 snapshots. Use the same defaults (HF
@@ -308,6 +325,8 @@ def config_from_hf(hf: dict) -> DecoderConfig:
         rope_factors=rope_factors,
         rope_attn_factor=rope_attn,
         sliding_window=hf.get("sliding_window") or 0,
+        num_experts=hf.get("num_local_experts", 8) if moe else 0,
+        experts_per_tok=hf.get("num_experts_per_tok", 2) if moe else 2,
     )
 
 
@@ -400,6 +419,37 @@ def map_hf_causal_lm(
             "w_down": stacked(p + "mlp.down_proj.weight"),
             "ln_attn": stacked(p + "input_layernorm.weight", False),
         }
+    elif cfg.num_experts:
+        # Mixtral: per-block router + E SwiGLU experts. HF expert names:
+        # w1 = gate, w3 = up, w2 = down (modeling_mixtral.MixtralBlockTop2MLP).
+        def experts(wname):
+            mats = [
+                np.stack([
+                    np.asarray(
+                        tensors[
+                            prefix
+                            + p.format(i)
+                            + f"block_sparse_moe.experts.{e}.{wname}.weight"
+                        ],
+                        np.float32,
+                    ).T
+                    for e in range(cfg.num_experts)
+                ])
+                for i in range(cfg.num_layers)
+            ]
+            return jnp.asarray(np.stack(mats))  # (L, E, in, out)
+
+        layers = {
+            "wq": stacked(p + "self_attn.q_proj.weight"),
+            "wk": stacked(p + "self_attn.k_proj.weight"),
+            "wv": stacked(p + "self_attn.v_proj.weight"),
+            "wo": stacked(p + "self_attn.o_proj.weight"),
+            "w_router": stacked(p + "block_sparse_moe.gate.weight"),
+            "w_gate": experts("w1"),
+            "w_up": experts("w3"),
+            "w_down": experts("w2"),
+            "ln_attn": stacked(p + "input_layernorm.weight", False),
+        }
     else:
         layers = {
             "wq": stacked(p + "self_attn.q_proj.weight"),
@@ -462,8 +512,13 @@ def quantize_decoder_params(params: Dict) -> Dict:
     ``w_s`` (f32 per-channel scale)."""
     out_layers: Dict[str, jax.Array] = {}
     for name, w in params["layers"].items():
-        if name.startswith("w") and w.ndim == 3:  # (L, in, out)
-            absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+        # (L, in, out) dense matmuls and (L, E, in, out) MoE experts both
+        # quantize along their input dim. The MoE ROUTER stays f32: it is
+        # tiny (h·E) and its argmax-like top-k decisions are the one place
+        # where quantization noise changes WHICH weights apply, not just
+        # their precision.
+        if name != "w_router" and name.startswith("w") and w.ndim in (3, 4):
+            absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
             scale = jnp.maximum(absmax, 1e-8) / 127.0
             out_layers[name + "_q"] = jnp.clip(
                 jnp.round(w / scale), -127, 127
@@ -553,6 +608,100 @@ def _attn_scores(q, k, mask, cfg: DecoderConfig):
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
+def _qexpert(x, lp, name: str, cd) -> jax.Array:
+    """(B, T, in) × expert weight ``name`` (E, in, out) → (B, T, E, out).
+
+    Same int8 dispatch contract as :func:`_qmatmul`: quantized expert
+    weights are (E, in, out) int8 with (E, 1, out) per-channel scales;
+    activations get one shared per-token dynamic scale (computed once per
+    call, reused across experts)."""
+    if name + "_q" in lp:
+        w_q, w_s = lp[name + "_q"], lp[name + "_s"]
+        x32 = x.astype(jnp.float32)
+        x_s = jnp.maximum(
+            jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8
+        ) / 127.0
+        x_q = jnp.clip(jnp.round(x32 / x_s), -127, 127).astype(jnp.int8)
+        y = jnp.einsum(
+            "bth,ehf->btef", x_q, w_q, preferred_element_type=jnp.int32
+        )
+        return (
+            y.astype(jnp.float32)
+            * x_s[..., None]                      # (B, T, 1, 1)
+            * jnp.transpose(w_s, (1, 0, 2))       # (1, E, out)
+        ).astype(cd)
+    return jnp.einsum(
+        "bth,ehf->btef", x.astype(cd), lp[name].astype(cd),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+
+
+def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
+    """Mixtral-style sparse-MoE MLP over a normed hidden (B, T, H).
+
+    Routing follows HF ``MixtralSparseMoeBlock``: f32 softmax over the
+    router logits → top-``experts_per_tok`` → (optionally) renormalize.
+
+    Compute is **dense over the expert axis** — every expert's SwiGLU runs
+    for every token and the top-k mask zeroes the combine. The TPU
+    rationale: decode streams ALL expert weights from HBM each step
+    regardless of routing (weight-streaming bound, same argument as
+    ``quantize_decoder_params``), so skipping non-routed experts saves no
+    bytes, only MXU FLOPs that are free under the HBM bound at serving
+    token counts (B·T ≲ 2k). Dense compute keeps shapes static (no
+    per-token gather/scatter XLA can't tile) and makes expert parallelism
+    a pure sharding annotation: shard the ``e`` axis and the final
+    combine's contraction becomes one psum over the model axis
+    (``parallel/decoder_tp.py``).
+    """
+    router = lp["w_router"]
+    if router.dtype != jnp.float32:  # router decisions stay full-precision
+        router = router.astype(jnp.float32)
+    logits = jnp.einsum(
+        "bth,he->bte", h.astype(jnp.float32), router,
+        preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_vals, top_idx = jax.lax.top_k(probs, cfg.experts_per_tok)
+    if cfg.norm_topk_prob:
+        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    # (B, T, E) combine weights: zero off the non-selected experts.
+    weights = jnp.sum(
+        jax.nn.one_hot(top_idx, cfg.num_experts, dtype=jnp.float32)
+        * top_vals[..., None],
+        axis=-2,
+    )
+    gate = _act(_qexpert(h, lp, "w_gate", cd), cfg.act)
+    up = _qexpert(h, lp, "w_up", cd)
+    hidden = (gate * up).astype(cd)
+    if "w_down_q" in lp:
+        w_q, w_s = lp["w_down_q"], lp["w_down_s"]  # (E,f,h) i8, (E,1,h)
+        x32 = hidden.astype(jnp.float32)
+        x_s = jnp.maximum(
+            jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8
+        ) / 127.0
+        x_q = jnp.clip(jnp.round(x32 / x_s), -127, 127).astype(jnp.int8)
+        down = jnp.einsum(
+            "btef,efh->bteh", x_q, w_q, preferred_element_type=jnp.int32
+        )
+        down = (
+            down.astype(jnp.float32)
+            * x_s
+            * jnp.transpose(w_s, (1, 0, 2))
+        )
+    else:
+        down = jnp.einsum(
+            "btef,efh->bteh", hidden, lp["w_down"].astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+    # Weighted combine in f32 (matches HF summing expert outputs scaled by
+    # routing weights); contracts the expert axis — the EP psum point.
+    return jnp.einsum(
+        "bteh,bte->bth", down.astype(jnp.float32), weights,
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+
+
 def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
     """One pre-norm block over a (possibly length-1) query chunk.
 
@@ -583,9 +732,12 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
     x = x + attn.astype(x.dtype)
 
     h = _rmsnorm(x, lp["ln_mlp"], cfg).astype(cd)
-    gate = _act(_qmatmul(h, lp, "w_gate", cd), cfg.act)
-    up = _qmatmul(h, lp, "w_up", cd)
-    down = _qmatmul((gate * up).astype(cd), lp, "w_down", cd)
+    if cfg.num_experts:
+        down = _moe_mlp(h, lp, cfg, cd)
+    else:
+        gate = _act(_qmatmul(h, lp, "w_gate", cd), cfg.act)
+        up = _qmatmul(h, lp, "w_up", cd)
+        down = _qmatmul((gate * up).astype(cd), lp, "w_down", cd)
     if cfg.post_norms:
         down = _rmsnorm(down, lp["ln_mlp_post"], cfg).astype(cd)
     return x + down.astype(x.dtype)

@@ -80,6 +80,27 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
     col = P(None, None, MODEL_AXIS)  # (L, in, out) → shard out
     row = P(None, MODEL_AXIS, None)  # (L, in, out) → shard in
     rep1 = P(None, None)
+    # MoE experts (L, E, in, out): **expert parallelism** over the same
+    # model axis when the expert count divides it — each chip owns E/tp
+    # whole experts, the dense-routed combine in decoder._moe_mlp
+    # contracts the expert axis, and GSPMD turns that contraction into
+    # the single psum per block the EP recipe calls for. When E doesn't
+    # divide tp, fall back to Megatron-within-every-expert (shard the
+    # FFN dim instead — two psums per block, still no replicated expert
+    # weights).
+    if cfg.num_experts and cfg.num_experts % tp == 0:
+        e_gate = e_up = P(None, MODEL_AXIS, None, None)
+        e_down = P(None, MODEL_AXIS, None, None)
+    else:
+        if cfg.num_experts:
+            assert cfg.ff_dim % tp == 0, (cfg.ff_dim, tp)
+            logger.warning(
+                "num_experts=%d does not divide tp=%d: sharding the FFN "
+                "dim within every expert instead of expert-parallel",
+                cfg.num_experts, tp,
+            )
+        e_gate = e_up = P(None, None, None, MODEL_AXIS)
+        e_down = P(None, None, MODEL_AXIS, None)
     specs = {
         "embed": P(),
         "final_norm": P(),
@@ -89,9 +110,10 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
             "wk": col if cfg.num_kv_heads % tp == 0 else P(),
             "wv": col if cfg.num_kv_heads % tp == 0 else P(),
             "wo": row,
-            "w_gate": col,
-            "w_up": col,
-            "w_down": row,
+            "w_gate": e_gate if cfg.num_experts else col,
+            "w_up": e_up if cfg.num_experts else col,
+            "w_down": e_down if cfg.num_experts else row,
+            "w_router": P(),  # (L, h, E): tiny, replicated
             "ln_attn": rep1,
             "ln_mlp": rep1,
             # Optional (qwen2 biases follow their projection's out-dim
