@@ -85,14 +85,17 @@ class DecoderConfig:
     # This decoder attends unwindowed; TextDecoder warns when the serving
     # context could exceed it.
     sliding_window: int = 0
-    # Mixture-of-experts (Mixtral family; reference serves it via Ollama's
-    # ``mixtral`` models — /root/reference/app/models/llm_adapter.py:64
-    # discovers whatever model tags Ollama hosts). 0 = dense MLP.
+    # Mixture-of-experts (Mixtral / Qwen2-MoE families; reference serves
+    # them via Ollama's model tags — /root/reference/app/models/
+    # llm_adapter.py:64 discovers whatever Ollama hosts). 0 = dense MLP.
     num_experts: int = 0
     experts_per_tok: int = 2
     # Renormalize the top-k routing weights to sum to 1 (Mixtral: always;
-    # HF qwen2_moe exposes it as ``norm_topk_prob``).
+    # HF qwen2_moe exposes it as ``norm_topk_prob``, default False).
     norm_topk_prob: bool = True
+    # Qwen2-MoE: an always-on shared expert of this FFN width added to the
+    # routed combine, scaled by a sigmoid scalar gate. 0 = none (Mixtral).
+    shared_expert_dim: int = 0
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -185,6 +188,15 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
         layers["w_gate"] = tn(keys[5], (L, E, h, f))
         layers["w_up"] = tn(keys[6], (L, E, h, f))
         layers["w_down"] = tn(keys[7], (L, E, f, h))
+        if cfg.shared_expert_dim:
+            fs = cfg.shared_expert_dim
+            skeys = jax.random.split(keys[8], 4)
+            layers["w_shared_gate"] = tn(skeys[0], (L, h, fs))
+            layers["w_shared_up"] = tn(skeys[1], (L, h, fs))
+            layers["w_shared_down"] = tn(skeys[2], (L, fs, h))
+            # "shared_gate" (no "w" prefix) keeps it out of int8
+            # quantization, like the router.
+            layers["shared_gate"] = tn(skeys[3], (L, h, 1))
     else:
         layers["w_gate"] = tn(keys[5], (L, h, f))
         layers["w_up"] = tn(keys[6], (L, h, f))
@@ -291,7 +303,18 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     per block)."""
     mtype = hf.get("model_type", "llama")
     gemma = mtype.startswith("gemma")
-    moe = mtype == "mixtral"
+    qwen_moe = mtype == "qwen2_moe"
+    moe = mtype == "mixtral" or qwen_moe
+    if qwen_moe:
+        # The uniform stacked-layer scan requires every block sparse;
+        # checkpoints that interleave dense layers would silently compute
+        # the wrong function, so reject them.
+        if hf.get("mlp_only_layers") or hf.get("decoder_sparse_step", 1) != 1:
+            raise ValueError(
+                "qwen2_moe checkpoints with dense layers interleaved "
+                "(mlp_only_layers / decoder_sparse_step != 1) are not "
+                "supported by the uniform layer scan"
+            )
     # Nested text_configs (llava's) ship SPARSE — HF relies on the
     # LlamaConfig defaults for omitted keys, so a KeyError here would
     # reject real llava-1.5 snapshots. Use the same defaults (HF
@@ -302,7 +325,7 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     head_dim = hf.get("head_dim") or hidden // heads
     rope_factors, rope_attn = _rope_scaling_from_hf(hf, head_dim)
     return DecoderConfig(
-        qkv_bias=(mtype == "qwen2"),
+        qkv_bias=(mtype in ("qwen2", "qwen2_moe")),
         post_norms=(mtype == "gemma2"),
         vocab_size=hf.get("vocab_size", 32000),
         hidden_dim=hidden,
@@ -311,7 +334,14 @@ def config_from_hf(hf: dict) -> DecoderConfig:
         num_kv_heads=hf.get("num_key_value_heads", heads),
         # `or` (not a .get default): some configs write "head_dim": null.
         head_dim=hf.get("head_dim") or hidden // heads,
-        ff_dim=hf.get("intermediate_size", 11008),
+        # Qwen2-MoE routed experts use the (narrow) moe_intermediate_size;
+        # intermediate_size there describes only dense blocks, which the
+        # uniform scan rejects above.
+        ff_dim=(
+            hf.get("moe_intermediate_size", 1408)
+            if qwen_moe
+            else hf.get("intermediate_size", 11008)
+        ),
         max_position=hf.get("max_position_embeddings", 4096),
         rope_theta=hf.get("rope_theta", 10000.0),
         norm_eps=hf.get("rms_norm_eps", 1e-6),
@@ -325,8 +355,20 @@ def config_from_hf(hf: dict) -> DecoderConfig:
         rope_factors=rope_factors,
         rope_attn_factor=rope_attn,
         sliding_window=hf.get("sliding_window") or 0,
-        num_experts=hf.get("num_local_experts", 8) if moe else 0,
-        experts_per_tok=hf.get("num_experts_per_tok", 2) if moe else 2,
+        num_experts=(
+            hf.get("num_experts", 60)      # Qwen2MoeConfig default
+            if qwen_moe
+            else (hf.get("num_local_experts", 8) if moe else 0)
+        ),
+        experts_per_tok=hf.get("num_experts_per_tok", 4 if qwen_moe else 2),
+        # Mixtral always renormalizes the top-k weights; Qwen2-MoE makes
+        # it a config knob defaulting to False (HF Qwen2MoeConfig).
+        norm_topk_prob=(
+            bool(hf.get("norm_topk_prob", False)) if qwen_moe else True
+        ),
+        shared_expert_dim=(
+            hf.get("shared_expert_intermediate_size", 5632) if qwen_moe else 0
+        ),
     )
 
 
@@ -420,8 +462,22 @@ def map_hf_causal_lm(
             "ln_attn": stacked(p + "input_layernorm.weight", False),
         }
     elif cfg.num_experts:
-        # Mixtral: per-block router + E SwiGLU experts. HF expert names:
-        # w1 = gate, w3 = up, w2 = down (modeling_mixtral.MixtralBlockTop2MLP).
+        # Per-block router + E SwiGLU experts. Two HF naming schemes:
+        # Mixtral nests under ``block_sparse_moe`` with w1=gate / w3=up /
+        # w2=down (modeling_mixtral.MixtralBlockTop2MLP); Qwen2-MoE nests
+        # under ``mlp`` with gate/up/down_proj plus an always-on shared
+        # expert (modeling_qwen2_moe.Qwen2MoeSparseMoeBlock).
+        qwen_moe = (
+            prefix + p.format(0) + "mlp.experts.0.gate_proj.weight"
+            in tensors
+        )
+        moe_base = "mlp." if qwen_moe else "block_sparse_moe."
+        names = (
+            {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
+            if qwen_moe
+            else {"gate": "w1", "up": "w3", "down": "w2"}
+        )
+
         def experts(wname):
             mats = [
                 np.stack([
@@ -429,7 +485,7 @@ def map_hf_causal_lm(
                         tensors[
                             prefix
                             + p.format(i)
-                            + f"block_sparse_moe.experts.{e}.{wname}.weight"
+                            + f"{moe_base}experts.{e}.{wname}.weight"
                         ],
                         np.float32,
                     ).T
@@ -444,12 +500,26 @@ def map_hf_causal_lm(
             "wk": stacked(p + "self_attn.k_proj.weight"),
             "wv": stacked(p + "self_attn.v_proj.weight"),
             "wo": stacked(p + "self_attn.o_proj.weight"),
-            "w_router": stacked(p + "block_sparse_moe.gate.weight"),
-            "w_gate": experts("w1"),
-            "w_up": experts("w3"),
-            "w_down": experts("w2"),
+            "w_router": stacked(p + moe_base + "gate.weight"),
+            "w_gate": experts(names["gate"]),
+            "w_up": experts(names["up"]),
+            "w_down": experts(names["down"]),
             "ln_attn": stacked(p + "input_layernorm.weight", False),
         }
+        if cfg.shared_expert_dim:
+            layers["w_shared_gate"] = stacked(
+                p + "mlp.shared_expert.gate_proj.weight"
+            )
+            layers["w_shared_up"] = stacked(
+                p + "mlp.shared_expert.up_proj.weight"
+            )
+            layers["w_shared_down"] = stacked(
+                p + "mlp.shared_expert.down_proj.weight"
+            )
+            # HF Linear(h, 1) stores (1, h); transposed → (h, 1).
+            layers["shared_gate"] = stacked(
+                p + "mlp.shared_expert_gate.weight"
+            )
     else:
         layers = {
             "wq": stacked(p + "self_attn.q_proj.weight"),
@@ -696,10 +766,24 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
         )
     # Weighted combine in f32 (matches HF summing expert outputs scaled by
     # routing weights); contracts the expert axis — the EP psum point.
-    return jnp.einsum(
+    out = jnp.einsum(
         "bteh,bte->bth", down.astype(jnp.float32), weights,
         preferred_element_type=jnp.float32,
-    ).astype(cd)
+    )
+    if cfg.shared_expert_dim:
+        # Qwen2-MoE: always-on shared expert, sigmoid-scalar gated
+        # (HF Qwen2MoeSparseMoeBlock: shared_expert_gate is Linear(h, 1)).
+        s_gate = _act(_qmatmul(h, lp, "w_shared_gate", cd), cfg.act)
+        s_up = _qmatmul(h, lp, "w_shared_up", cd)
+        shared = _qmatmul((s_gate * s_up).astype(cd), lp, "w_shared_down", cd)
+        scale = jax.nn.sigmoid(
+            jnp.einsum(
+                "bth,ho->bto", h.astype(jnp.float32),
+                lp["shared_gate"].astype(jnp.float32),
+            )
+        )
+        out = out + shared.astype(jnp.float32) * scale
+    return out.astype(cd)
 
 
 def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):

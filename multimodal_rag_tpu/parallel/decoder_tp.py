@@ -114,6 +114,19 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
             "w_up": e_up if cfg.num_experts else col,
             "w_down": e_down if cfg.num_experts else row,
             "w_router": P(),  # (L, h, E): tiny, replicated
+            # Qwen2-MoE shared expert: ordinary Megatron column/row split
+            # over its own FFN dim (it runs for every token, dense) when
+            # it divides; replicated otherwise.
+            "w_shared_gate": (
+                col if cfg.shared_expert_dim % tp == 0 else P()
+            ),
+            "w_shared_up": (
+                col if cfg.shared_expert_dim % tp == 0 else P()
+            ),
+            "w_shared_down": (
+                row if cfg.shared_expert_dim % tp == 0 else P()
+            ),
+            "shared_gate": P(),  # (L, h, 1): scalar gate, replicated
             "ln_attn": rep1,
             "ln_mlp": rep1,
             # Optional (qwen2 biases follow their projection's out-dim
