@@ -64,6 +64,9 @@ class DecoderConfig:
     act: str = "silu"  # silu (Llama/Qwen) | gelu_tanh (Gemma)
     tie_embeddings: bool = True
     qkv_bias: bool = False  # Qwen2: q/k/v projections carry biases
+    # Qwen3: per-head RMSNorm on q and k (over head_dim, BEFORE RoPE —
+    # HF Qwen3Attention applies q_norm/k_norm to the reshaped heads).
+    qk_norm: bool = False
     # Gemma conventions (all False/0 for Llama-family):
     rms_one_offset: bool = False  # RMSNorm scale is (1 + w)
     scale_embeddings: bool = False  # x *= sqrt(hidden_dim) after embed
@@ -205,6 +208,9 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
         layers["bq"] = jnp.zeros((L, qd), jnp.float32)
         layers["bk"] = jnp.zeros((L, kvd), jnp.float32)
         layers["bv"] = jnp.zeros((L, kvd), jnp.float32)
+    if cfg.qk_norm:
+        layers["ln_q"] = norm_init((L, cfg.head_dim))
+        layers["ln_k"] = norm_init((L, cfg.head_dim))
     if cfg.post_norms:
         layers["ln_attn_post"] = norm_init((L, h))
         layers["ln_mlp_post"] = norm_init((L, h))
@@ -295,15 +301,16 @@ def _rope_scaling_from_hf(hf: dict, head_dim: int):
 
 def config_from_hf(hf: dict) -> DecoderConfig:
     """Map an HF ``config.json`` onto :class:`DecoderConfig`. Handles
-    llama / mistral / mixtral / qwen2 / gemma / gemma2 / phi3 model types
-    (qwen2: qkv biases; gemma2: four norms per block + softcaps; mistral
-    and phi3 are llama-shaped — phi3's fused qkv/gate_up projections are
-    split at load time, and sliding windows never bind at this
-    framework's context caps; mixtral: top-2-of-8 routed SwiGLU experts
-    per block)."""
+    llama / mistral / mixtral / qwen2 / qwen3 / gemma / gemma2 / phi3
+    model types (qwen2: qkv biases; qwen3: per-head q/k RMSNorm instead;
+    gemma2: four norms per block + softcaps; mistral and phi3 are
+    llama-shaped — phi3's fused qkv/gate_up projections are split at
+    load time, and sliding windows never bind at this framework's
+    context caps; mixtral: top-2-of-8 routed SwiGLU experts per block;
+    qwen2_moe adds a sigmoid-gated shared expert, qwen3_moe drops it)."""
     mtype = hf.get("model_type", "llama")
     gemma = mtype.startswith("gemma")
-    qwen_moe = mtype == "qwen2_moe"
+    qwen_moe = mtype in ("qwen2_moe", "qwen3_moe")
     moe = mtype == "mixtral" or qwen_moe
     if qwen_moe:
         # The uniform stacked-layer scan requires every block sparse;
@@ -311,7 +318,7 @@ def config_from_hf(hf: dict) -> DecoderConfig:
         # the wrong function, so reject them.
         if hf.get("mlp_only_layers") or hf.get("decoder_sparse_step", 1) != 1:
             raise ValueError(
-                "qwen2_moe checkpoints with dense layers interleaved "
+                f"{mtype} checkpoints with dense layers interleaved "
                 "(mlp_only_layers / decoder_sparse_step != 1) are not "
                 "supported by the uniform layer scan"
             )
@@ -326,6 +333,7 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     rope_factors, rope_attn = _rope_scaling_from_hf(hf, head_dim)
     return DecoderConfig(
         qkv_bias=(mtype in ("qwen2", "qwen2_moe")),
+        qk_norm=(mtype in ("qwen3", "qwen3_moe")),
         post_norms=(mtype == "gemma2"),
         vocab_size=hf.get("vocab_size", 32000),
         hidden_dim=hidden,
@@ -356,18 +364,27 @@ def config_from_hf(hf: dict) -> DecoderConfig:
         rope_attn_factor=rope_attn,
         sliding_window=hf.get("sliding_window") or 0,
         num_experts=(
-            hf.get("num_experts", 60)      # Qwen2MoeConfig default
+            # Qwen2MoeConfig defaults 60 experts, Qwen3MoeConfig 128.
+            hf.get("num_experts", 60 if mtype == "qwen2_moe" else 128)
             if qwen_moe
             else (hf.get("num_local_experts", 8) if moe else 0)
         ),
-        experts_per_tok=hf.get("num_experts_per_tok", 4 if qwen_moe else 2),
-        # Mixtral always renormalizes the top-k weights; Qwen2-MoE makes
-        # it a config knob defaulting to False (HF Qwen2MoeConfig).
+        experts_per_tok=hf.get(
+            "num_experts_per_tok",
+            {"qwen2_moe": 4, "qwen3_moe": 8}.get(mtype, 2),
+        ),
+        # Mixtral always renormalizes the top-k weights; the Qwen MoEs
+        # make it a config knob defaulting to False (HF Qwen2MoeConfig /
+        # Qwen3MoeConfig — released checkpoints usually set it true).
         norm_topk_prob=(
             bool(hf.get("norm_topk_prob", False)) if qwen_moe else True
         ),
+        # Qwen2-MoE carries an always-on shared expert; Qwen3-MoE
+        # dropped it (no shared_expert_intermediate_size in its config).
         shared_expert_dim=(
-            hf.get("shared_expert_intermediate_size", 5632) if qwen_moe else 0
+            hf.get("shared_expert_intermediate_size", 5632)
+            if mtype == "qwen2_moe"
+            else 0
         ),
     )
 
@@ -535,6 +552,9 @@ def map_hf_causal_lm(
         layers["bq"] = stacked(p + "self_attn.q_proj.bias", False)
         layers["bk"] = stacked(p + "self_attn.k_proj.bias", False)
         layers["bv"] = stacked(p + "self_attn.v_proj.bias", False)
+    if cfg.qk_norm:  # Qwen3: per-head (head_dim,) RMSNorm weights
+        layers["ln_q"] = stacked(p + "self_attn.q_norm.weight", False)
+        layers["ln_k"] = stacked(p + "self_attn.k_norm.weight", False)
     if cfg.post_norms:  # Gemma2: four norms per block
         layers["ln_attn_post"] = stacked(
             p + "post_attention_layernorm.weight", False
@@ -801,10 +821,10 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
     q = _qmatmul(h, lp, "wq", cd)
     if cfg.qkv_bias:
         q = q + lp["bq"].astype(cd)
-    q = q.reshape(B, T, n_kv, g, hd)
-    q = _rope(
-        q.reshape(B, T, n_kv * g, hd), positions, cfg
-    ).reshape(B, T, n_kv, g, hd)
+    q = q.reshape(B, T, n_kv * g, hd)
+    if cfg.qk_norm:  # Qwen3: per-head norm over head_dim, before RoPE
+        q = _rmsnorm(q, lp["ln_q"], cfg).astype(cd)
+    q = _rope(q, positions, cfg).reshape(B, T, n_kv, g, hd)
     probs = _attn_scores(q, k_cache, mask, cfg).astype(cd)
     ctx = jnp.einsum(
         "btngs,bsnh->btngh", probs, v_cache,
@@ -838,6 +858,8 @@ def _project_kv(h_norm, lp, positions, cfg):
         v = v + lp["bv"].astype(cd)
     k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:  # Qwen3: per-head norm over head_dim, before RoPE
+        k = _rmsnorm(k, lp["ln_k"], cfg).astype(cd)
     k = _rope(k, positions, cfg)
     return k.astype(cd), v.astype(cd)
 

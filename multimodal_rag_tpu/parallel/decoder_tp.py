@@ -134,6 +134,11 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
             "bq": P(None, MODEL_AXIS),
             "bk": P(None, MODEL_AXIS) if cfg.num_kv_heads % tp == 0 else P(),
             "bv": P(None, MODEL_AXIS) if cfg.num_kv_heads % tp == 0 else P(),
+            # Qwen3 per-head q/k norms: (L, head_dim) — the normalized
+            # axis is head_dim, identical on every head, so they
+            # replicate regardless of how the heads shard.
+            "ln_q": rep1,
+            "ln_k": rep1,
             "ln_attn_post": rep1,
             "ln_mlp_post": rep1,
         },

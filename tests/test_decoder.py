@@ -588,6 +588,60 @@ class TestHFGolden:
         model.save_pretrained(path, safe_serialization=True)
         _golden(model, path)
 
+    def test_qwen3(self, tmp_path):
+        """Qwen3 drops the qkv biases and instead RMS-normalizes q and k
+        PER HEAD (over head_dim) before RoPE — skipping q_norm/k_norm
+        computes a different attention for every Qwen3 checkpoint."""
+        try:
+            from transformers import Qwen3Config, Qwen3ForCausalLM
+        except ImportError:
+            pytest.skip("transformers too old for Qwen3")
+
+        cfg = Qwen3Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64,
+            rope_theta=10000.0, tie_word_embeddings=False,
+        )
+        model = Qwen3ForCausalLM(cfg)
+        path = str(tmp_path / "qwen3")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path)
+
+    def test_qwen3_qk_norm_weights_load_and_matter(self, tmp_path):
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        from multimodal_rag_tpu.models.decoder import load_hf_causal_lm
+
+        cfg = Qwen3Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64, tie_word_embeddings=False,
+        )
+        model = Qwen3ForCausalLM(cfg)
+        path = str(tmp_path / "qwen3")
+        model.save_pretrained(path, safe_serialization=True)
+        params, dcfg = load_hf_causal_lm(path)
+        assert dcfg.qk_norm and not dcfg.qkv_bias
+        assert params["layers"]["ln_q"].shape == (2, 8)
+        # Perturbing the q-norm weight must move the logits (proves the
+        # weight actually participates in attention).
+        dcfg = DecoderConfig(**{**dcfg.__dict__, "compute_dtype": jnp.float32})
+        ids = jnp.asarray([[3, 14, 15, 9]], jnp.int32)
+        mask = jnp.ones_like(ids)
+        base, _ = prefill(params, ids, mask, dcfg, 5)
+        mutated = {
+            **params,
+            "layers": {
+                **params["layers"],
+                "ln_q": params["layers"]["ln_q"] * 3.0,
+            },
+        }
+        moved, _ = prefill(mutated, ids, mask, dcfg, 5)
+        assert np.abs(np.asarray(moved) - np.asarray(base)).max() > 1e-4
+
     def test_gemma2(self, tmp_path):
         """Gemma2: four norms per block (post-attention/post-feedforward
         applied to the block OUTPUT before the residual) + softcaps."""

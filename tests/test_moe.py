@@ -308,6 +308,26 @@ class TestHFConfig:
         assert cfg.norm_topk_prob is False
         assert cfg.qkv_bias is True
 
+    def test_config_from_hf_qwen3_moe(self):
+        cfg = config_from_hf({
+            "model_type": "qwen3_moe",
+            "vocab_size": 64,
+            "hidden_size": 32,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "num_key_value_heads": 2,
+            "head_dim": 8,
+            "moe_intermediate_size": 48,
+            "num_experts": 4,
+            "num_experts_per_tok": 2,
+            "norm_topk_prob": True,
+        })
+        assert cfg.num_experts == 4
+        assert cfg.qk_norm is True          # Qwen3 per-head q/k norms
+        assert cfg.qkv_bias is False        # Qwen3 dropped the biases
+        assert cfg.shared_expert_dim == 0   # Qwen3-MoE has no shared expert
+        assert cfg.norm_topk_prob is True
+
     def test_qwen2_moe_rejects_interleaved_dense(self):
         base = {
             "model_type": "qwen2_moe",
@@ -433,6 +453,51 @@ class TestHFGolden:
 
         params, cfg = load_hf_causal_lm(path)
         assert cfg.num_experts == 4 and cfg.experts_per_tok == 2
+        cfg = DecoderConfig(**{**cfg.__dict__, "compute_dtype": jnp.float32})
+        ids = np.array([[3, 14, 15, 9, 2, 6]], np.int32)
+        with torch.no_grad():
+            ref = model(torch.tensor(ids, dtype=torch.long)).logits.numpy()
+        logits, _ = prefill(
+            params, jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)), cfg,
+            ids.shape[1] + 1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), ref[:, -1, :], rtol=2e-4, atol=2e-4
+        )
+
+    def test_qwen3_moe(self, tmp_path):
+        """Qwen3-MoE = routed experts with per-head q/k norms and NO
+        shared expert; norm_topk_prob renormalization per config."""
+        import os
+
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        torch.manual_seed(2)
+        try:
+            from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+        except ImportError:
+            pytest.skip("transformers too old for Qwen3-MoE")
+
+        from multimodal_rag_tpu.models.decoder import load_hf_causal_lm
+
+        hf_cfg = Qwen3MoeConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=96,
+            moe_intermediate_size=48,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64,
+            num_experts=4, num_experts_per_tok=2,
+            decoder_sparse_step=1, mlp_only_layers=[],
+            norm_topk_prob=True, rope_theta=10000.0,
+            tie_word_embeddings=False,
+        )
+        model = Qwen3MoeForCausalLM(hf_cfg)
+        model.eval()
+        path = str(tmp_path / "qwen3moe")
+        model.save_pretrained(path, safe_serialization=True)
+
+        params, cfg = load_hf_causal_lm(path)
+        assert cfg.num_experts == 4 and cfg.shared_expert_dim == 0
+        assert cfg.qk_norm is True and cfg.norm_topk_prob is True
         cfg = DecoderConfig(**{**cfg.__dict__, "compute_dtype": jnp.float32})
         ids = np.array([[3, 14, 15, 9, 2, 6]], np.int32)
         with torch.no_grad():
