@@ -120,11 +120,23 @@ class EmbeddingManager:
                     cfg = ef.config_from_hf(
                         ckpt, compute_dtype=compute_dtype, pooling=pooling
                     )
-                except (OSError, ValueError) as e:
+                except OSError as e:
+                    # Missing/unreadable config.json: the checkpoint may
+                    # still be a bare MiniLM safetensors file — fall back
+                    # to the default architecture and let the weight
+                    # loader decide.
                     logger.warning(
                         "No usable config.json next to %s (%s); assuming "
                         "MiniLM-L6 architecture", ckpt, e,
                     )
+                except ValueError:
+                    # An EXPLICIT architecture rejection (unsupported
+                    # model_type, dim mismatch): falling back to MiniLM
+                    # here would random-init against a real checkpoint
+                    # and serve semantically meaningless retrieval —
+                    # the silent-garbage path config_from_hf exists to
+                    # prevent. Fail loudly instead (review finding r3).
+                    raise
             if cfg is None:
                 cfg = dataclasses.replace(
                     MINILM_L6, compute_dtype=compute_dtype, pooling=pooling

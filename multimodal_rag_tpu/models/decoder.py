@@ -259,7 +259,11 @@ def _rope_scaling_from_hf(hf: dict, head_dim: int):
         theta = float(hf.get("rope_theta", 10000.0))
         inv_freq = theta ** (-np.arange(0, half, dtype=np.float64) / half)
         wavelen = 2.0 * np.pi / inv_freq
-        smooth = (orig / wavelen - hi) / (lo - hi)
+        # HF modeling_rope_utils._compute_llama3_parameters:
+        # smooth 1 at the high-frequency edge (divisor → 1) down to 0 at
+        # the low-frequency edge (divisor → factor) — continuous at both
+        # band boundaries.
+        smooth = (orig / wavelen - lo) / (hi - lo)
         # Divisor per dim: 1 for short wavelengths, `factor` for long,
         # smoothly interpolated between (HF modeling_rope_utils).
         div = np.where(
@@ -1112,18 +1116,21 @@ def _sample(logits, keys, temperature: float, top_k: int, top_p=1.0):
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
-    if top_k > 0:
-        vals, idx = jax.lax.top_k(logits, top_k)  # sorted descending
-        probs = jax.nn.softmax(vals, axis=-1)
-        # Keep tokens whose *preceding* cumulative mass is < top_p: the
-        # first token always survives, and top_p=1.0 keeps everything.
-        exclusive = jnp.cumsum(probs, axis=-1) - probs
-        vals = jnp.where(exclusive < top_p, vals, -1e9)
-        choice = _row_categorical(keys, vals)
-        return jnp.take_along_axis(idx, choice[:, None], axis=1)[
-            :, 0
-        ].astype(jnp.int32)
-    return _row_categorical(keys, logits)
+    # top_k <= 0 means "no candidate cap": sort the FULL vocab so the
+    # nucleus filter still applies — the old fast path silently ignored
+    # top_p there (review finding r3). Serving always caps (k=64), so
+    # the full-vocab sort only runs for explicit top_k=0 callers.
+    k = top_k if top_k > 0 else logits.shape[-1]
+    vals, idx = jax.lax.top_k(logits, k)  # sorted descending
+    probs = jax.nn.softmax(vals, axis=-1)
+    # Keep tokens whose *preceding* cumulative mass is < top_p: the
+    # first token always survives, and top_p=1.0 keeps everything.
+    exclusive = jnp.cumsum(probs, axis=-1) - probs
+    vals = jnp.where(exclusive < top_p, vals, -1e9)
+    choice = _row_categorical(keys, vals)
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[
+        :, 0
+    ].astype(jnp.int32)
 
 
 @partial(
@@ -1258,8 +1265,12 @@ def find_local_lm_checkpoint() -> Optional[str]:
                 # files in the hub cache; discovery must skip them, not
                 # crash server startup with a JSONDecodeError.
                 continue
-            if mtype in ("llama", "mistral", "qwen2", "gemma", "gemma2",
-                         "phi3"):
+            # Keep in sync with config_from_hf's supported families —
+            # a type loadable there but missing here makes discovery
+            # skip a perfectly servable snapshot (review finding r3).
+            if mtype in ("llama", "mistral", "mixtral", "qwen2",
+                         "qwen2_moe", "qwen3", "qwen3_moe", "gemma",
+                         "gemma2", "phi3"):
                 return root
     return None
 

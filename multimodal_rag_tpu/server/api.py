@@ -213,6 +213,15 @@ def parse_sampling_params(body: dict):
     }, None
 
 
+def stop_cut_at(text: str, stops) -> int:
+    """Earliest stop-sequence hit in ``text``, or -1. The ONE copy of
+    the stop-scan used by the streaming hold-back pump and both
+    non-streaming completion paths."""
+    hits = [text.find(s) for s in stops]
+    hits = [h for h in hits if h >= 0]
+    return min(hits) if hits else -1
+
+
 async def pump_stream_with_stops(gen_iter, stops, emit):
     """Drive a ``(delta, finish)`` async generator through the
     stop-sequence hold-back state machine, awaiting ``emit(text)`` for
@@ -224,9 +233,7 @@ async def pump_stream_with_stops(gen_iter, stops, emit):
     hold-back math to keep correct."""
 
     def stop_cut(text):
-        hits = [text.find(s) for s in stops]
-        hits = [h for h in hits if h >= 0]
-        return min(hits) if hits else -1
+        return stop_cut_at(text, stops)
 
     finish_reason = "stop"
     hold = max((len(s) for s in stops), default=1) - 1
@@ -839,10 +846,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         stops = sampling["stops"]
 
         def stop_cut(text):
-            """Earliest stop-sequence hit, or -1."""
-            hits = [text.find(s) for s in stops]
-            hits = [h for h in hits if h >= 0]
-            return min(hits) if hits else -1
+            return stop_cut_at(text, stops)
 
         # Vision routing: image parts need a vision-capable backend — a
         # text adapter would silently answer without looking at the image
@@ -1046,9 +1050,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             return bad_request("stream supports a single prompt")
 
         def stop_cut(text):
-            hits = [text.find(s) for s in stops]
-            hits = [h for h in hits if h >= 0]
-            return min(hits) if hits else -1
+            return stop_cut_at(text, stops)
 
         cid = f"cmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())

@@ -76,19 +76,20 @@ def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-    if top_k > 0:
-        vals, idx = jax.lax.top_k(scaled, top_k)  # sorted descending
-        if top_ps is None:
-            top_ps = jnp.ones_like(temps)
-        probs = jax.nn.softmax(vals, axis=-1)
-        exclusive = jnp.cumsum(probs, axis=-1) - probs
-        vals = jnp.where(exclusive < top_ps[:, None], vals, -1e9)
-        choice = _row_categorical(keys, vals)
-        sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[
-            :, 0
-        ].astype(jnp.int32)
-    else:
-        sampled = _row_categorical(keys, scaled)
+    # top_k <= 0 means "no candidate cap": sort the full vocab so the
+    # per-row nucleus threshold still applies (same contract as
+    # decoder._sample — review finding r3).
+    k = top_k if top_k > 0 else scaled.shape[-1]
+    vals, idx = jax.lax.top_k(scaled, k)  # sorted descending
+    if top_ps is None:
+        top_ps = jnp.ones_like(temps)
+    probs = jax.nn.softmax(vals, axis=-1)
+    exclusive = jnp.cumsum(probs, axis=-1) - probs
+    vals = jnp.where(exclusive < top_ps[:, None], vals, -1e9)
+    choice = _row_categorical(keys, vals)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[
+        :, 0
+    ].astype(jnp.int32)
     return jnp.where(temps <= 0.0, greedy, sampled)
 
 

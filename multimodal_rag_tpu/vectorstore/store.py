@@ -353,6 +353,12 @@ class VectorStore:
             self._save_all = True  # rows were remapped on disk too
             self._layout_gen += 1  # invalidate any in-flight IVF build
             self._drop_ivf()  # store rows were remapped
+            # The corpus changed shape: a deterministic build failure
+            # (e.g. device OOM at the old size) may no longer apply, so
+            # give background builds a fresh 3-strike budget — this is
+            # the "compaction clears the breaker" recovery contract
+            # documented at _start_ivf_build.
+            self._ivf_build_failures = 0
             self.counters["compactions"] += 1
 
     def _rebuild_meta_indexes(self) -> None:

@@ -337,6 +337,21 @@ class TestTextDecoder:
         assert len(set(outs_tight)) == 1
         assert len(set(outs_wide)) > 1
 
+    def test_top_p_applies_without_top_k_cap(self):
+        """top_k=0 ("no candidate cap") must still honor top_p: a
+        vanishing nucleus over the FULL vocab keeps only the argmax.
+        The old fast path sampled the raw distribution and silently
+        dropped top_p (review finding r3)."""
+        from multimodal_rag_tpu.models.decoder import _sample
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(0, 3, (4, 97)), jnp.float32)
+        keys = jax.random.split(jax.random.key(5), 4)
+        out = _sample(logits, keys, temperature=1.0, top_k=0, top_p=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(jnp.argmax(logits, axis=-1))
+        )
+
     def test_seed_per_row_reproducible_across_batches(self):
         """OpenAI ``seed``: a (prompt, seed) pair must reproduce the same
         sampled completion regardless of what else shares the batch —
@@ -701,6 +716,50 @@ class TestHFGolden:
         path = str(tmp_path / "llama31")
         model.save_pretrained(path, safe_serialization=True)
         _golden(model, path)
+
+    def test_llama3_rope_divisors_match_hf_at_real_scale(self):
+        """The tiny golden above leaves the MEDIUM band empty (its dims
+        are all high/low frequency), so it cannot catch an inverted
+        interpolation (review finding r3). Compare every divisor against
+        transformers' _compute_llama3_parameters at the real
+        Llama-3.1-8B geometry: head_dim=128, theta=500000, factor=8."""
+        import torch as _torch
+        from transformers import LlamaConfig
+        from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+        from multimodal_rag_tpu.models.decoder import _rope_scaling_from_hf
+
+        hf = {
+            "rope_theta": 500000.0,
+            "rope_scaling": {
+                "rope_type": "llama3", "factor": 8.0,
+                "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 8192,
+            },
+        }
+        head_dim = 128
+        divisors, attn = _rope_scaling_from_hf(hf, head_dim)
+        assert attn == 1.0
+
+        cfg = LlamaConfig(
+            hidden_size=4096, num_attention_heads=32,
+            rope_theta=500000.0, max_position_embeddings=131072,
+            rope_scaling=dict(hf["rope_scaling"]),
+        )
+        hf_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](cfg, device="cpu")
+        hf_inv = np.asarray(hf_inv if not _torch.is_tensor(hf_inv)
+                            else hf_inv.numpy(), np.float64)
+        half = head_dim // 2
+        base = 500000.0 ** (-np.arange(0, half, dtype=np.float64) / half)
+        ours = base / np.asarray(divisors, np.float64)
+        # HF computes in f32; an inverted interpolation is off by 2-4x
+        # in the medium band, far outside this tolerance.
+        np.testing.assert_allclose(ours, hf_inv, rtol=1e-5)
+        # The medium band must actually be populated and monotone:
+        # divisors go 1 → 8 through the interpolation region.
+        mid = [d for d in divisors if 1.0 + 1e-9 < d < 8.0 - 1e-9]
+        assert len(mid) >= 3
+        assert mid == sorted(mid)
 
     def test_phi3_longrope_scaling(self, tmp_path):
         """Phi-3 128k-style longrope: short factors divide the inverse

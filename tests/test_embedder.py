@@ -44,6 +44,31 @@ SUMMARIES = [
 ]
 
 
+class TestInitializeArchRejection:
+    def test_unsupported_model_type_fails_loudly(self, tmp_path,
+                                                 monkeypatch):
+        """A cached checkpoint whose config.json names a non-BERT
+        architecture must FAIL initialize(), not silently fall back to
+        random-init MiniLM weights (review finding r3: the ValueError
+        from encoder_families.config_from_hf was being swallowed)."""
+        import json
+
+        from multimodal_rag_tpu.config import settings
+
+        (tmp_path / "config.json").write_text(json.dumps({
+            "model_type": "xlm-roberta", "vocab_size": 250002,
+            "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "intermediate_size": 128,
+        }))
+        (tmp_path / "model.safetensors").write_text("")
+        monkeypatch.setattr(
+            settings, "MMRAG_CHECKPOINT_PATH", str(tmp_path)
+        )
+        mgr = EmbeddingManager()
+        with pytest.raises(ValueError, match="model_type"):
+            run(mgr.initialize())
+
+
 class TestEmbedStore:
     def test_counts_by_type(self, manager):
         counts = run(manager.embed_and_store(SUMMARIES, "doc_1"))

@@ -240,6 +240,38 @@ class TestHonestMutation:
         res = store.query(X[700:701], n_results=1)
         assert res["ids"][0][0] == "i700"
 
+    def test_compaction_resets_build_failure_breaker(self, monkeypatch):
+        """Three failed builds trip the breaker (no more build kicks);
+        compaction changes the corpus shape and must hand back a fresh
+        3-strike budget — otherwise a once-OOMing corpus that has since
+        shrunk stays on the slow exact path until process restart
+        (review finding r3)."""
+        from multimodal_rag_tpu.vectorstore.store import VectorStore as VS
+
+        store, X = make_store(n=1500, threshold=1000)
+        real_compute = VS._compute_ivf
+
+        def boom(self, vecs, live):
+            raise RuntimeError("synthetic build failure")
+
+        monkeypatch.setattr(VS, "_compute_ivf", boom)
+        for _ in range(3):
+            store.query(X[:1], n_results=1)
+            store.wait_for_ivf()
+        assert store._ivf_build_failures >= 3
+        # Breaker tripped: queries no longer kick builds.
+        store.query(X[:1], n_results=1)
+        store.wait_for_ivf()
+        assert store._ivf_layout is None
+
+        monkeypatch.setattr(VS, "_compute_ivf", real_compute)
+        store.delete(ids=["i0"])
+        store.compact()
+        assert store._ivf_build_failures == 0
+        store.query(X[1:2], n_results=1)  # re-kicks a (now healthy) build
+        store.wait_for_ivf()
+        assert store._ivf_layout is not None
+
     def test_delete_then_upsert_same_id(self):
         store, X = make_store(n=2000, threshold=1000)
         store.query(X[:1], n_results=5)
