@@ -86,8 +86,18 @@ class DecoderConfig:
     rope_attn_factor: float = 1.0
     # Informational: the checkpoint's sliding-attention window (0 = none).
     # This decoder attends unwindowed; TextDecoder warns when the serving
-    # context could exceed it.
+    # context could exceed it. (Distinct from ``layer_windows`` below,
+    # which this decoder DOES enforce.)
     sliding_window: int = 0
+    # Gemma3: per-layer interleaved attention — entry l is the sliding
+    # window of layer l (0 = full/global attention). None = uniform
+    # full attention everywhere. Enforced in the mask (slot-index
+    # window, exact vs HF's create_sliding_window_causal_mask).
+    layer_windows: Optional[Tuple[int, ...]] = None
+    # Gemma3: rope theta for the WINDOWED layers (global layers use
+    # ``rope_theta`` + ``rope_factors``; local layers use this theta
+    # unscaled). None = all layers share ``rope_theta``.
+    rope_local_theta: Optional[float] = None
     # Mixture-of-experts (Mixtral / Qwen2-MoE families; reference serves
     # them via Ollama's model tags — /root/reference/app/models/
     # llm_adapter.py:64 discovers whatever Ollama hosts). 0 = dense MLP.
@@ -158,6 +168,31 @@ def snap_top_p(p: float) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _interleaved_rope_leaves(cfg: DecoderConfig):
+    """Derived per-layer leaves for interleaved local/global attention
+    (Gemma3): ``rope_inv`` (L, head_dim//2) inverse frequencies —
+    windowed layers use ``rope_local_theta`` unscaled, global layers
+    ``rope_theta`` with the ``rope_factors`` divisors — and
+    ``attn_window`` (L,) int32 sliding windows (0 = full attention).
+    Stored in the layers pytree so every scan slices them per layer with
+    no signature changes; they replicate under TP and reshape under PP
+    like any other layer-stacked leaf."""
+    half = cfg.head_dim // 2
+    exps = -np.arange(0, half, dtype=np.float64) / half
+    inv_g = np.asarray(cfg.rope_theta, np.float64) ** exps
+    if cfg.rope_factors is not None:
+        inv_g = inv_g / np.asarray(cfg.rope_factors, np.float64)
+    inv_l = (
+        np.asarray(cfg.rope_local_theta or cfg.rope_theta, np.float64)
+        ** exps
+    )
+    inv = np.stack([inv_l if w else inv_g for w in cfg.layer_windows])
+    return {
+        "rope_inv": jnp.asarray(inv, jnp.float32),
+        "attn_window": jnp.asarray(cfg.layer_windows, jnp.int32),
+    }
+
+
 def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
     """Seeded truncated-normal init; per-layer tensors stacked on axis 0."""
     keys = jax.random.split(rng, 10)
@@ -211,6 +246,9 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
     if cfg.qk_norm:
         layers["ln_q"] = norm_init((L, cfg.head_dim))
         layers["ln_k"] = norm_init((L, cfg.head_dim))
+    if cfg.layer_windows is not None:
+        assert len(cfg.layer_windows) == L, (len(cfg.layer_windows), L)
+        layers.update(_interleaved_rope_leaves(cfg))
     if cfg.post_norms:
         layers["ln_attn_post"] = norm_init((L, h))
         layers["ln_mlp_post"] = norm_init((L, h))
@@ -314,8 +352,31 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     qwen2_moe adds a sigmoid-gated shared expert, qwen3_moe drops it)."""
     mtype = hf.get("model_type", "llama")
     gemma = mtype.startswith("gemma")
+    gemma3 = mtype in ("gemma3_text", "gemma3")
     qwen_moe = mtype in ("qwen2_moe", "qwen3_moe")
     moe = mtype == "mixtral" or qwen_moe
+    layer_windows = None
+    if gemma3:
+        # Interleaved local/global attention: layer_types (newer
+        # configs) or the sliding_window_pattern cadence (every p-th
+        # layer is global — HF Gemma3Attention.is_sliding).
+        n_layers = hf.get("num_hidden_layers", 26)
+        win = hf.get("sliding_window", 4096) or 4096
+        lt = hf.get("layer_types")
+        if lt:
+            if len(lt) != n_layers:
+                raise ValueError(
+                    f"layer_types has {len(lt)} entries for "
+                    f"{n_layers} layers"
+                )
+            layer_windows = tuple(
+                win if t == "sliding_attention" else 0 for t in lt
+            )
+        else:
+            pattern = hf.get("sliding_window_pattern", 6) or 6
+            layer_windows = tuple(
+                win if (i + 1) % pattern else 0 for i in range(n_layers)
+            )
     if qwen_moe:
         # The uniform stacked-layer scan requires every block sparse;
         # checkpoints that interleave dense layers would silently compute
@@ -337,8 +398,8 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     rope_factors, rope_attn = _rope_scaling_from_hf(hf, head_dim)
     return DecoderConfig(
         qkv_bias=(mtype in ("qwen2", "qwen2_moe")),
-        qk_norm=(mtype in ("qwen3", "qwen3_moe")),
-        post_norms=(mtype == "gemma2"),
+        qk_norm=(mtype in ("qwen3", "qwen3_moe") or gemma3),
+        post_norms=(mtype == "gemma2" or gemma3),
         vocab_size=hf.get("vocab_size", 32000),
         hidden_dim=hidden,
         num_layers=hf.get("num_hidden_layers", 32),
@@ -367,6 +428,10 @@ def config_from_hf(hf: dict) -> DecoderConfig:
         rope_factors=rope_factors,
         rope_attn_factor=rope_attn,
         sliding_window=hf.get("sliding_window") or 0,
+        layer_windows=layer_windows,
+        rope_local_theta=(
+            hf.get("rope_local_base_freq", 10000.0) if gemma3 else None
+        ),
         num_experts=(
             # Qwen2MoeConfig defaults 60 experts, Qwen3MoeConfig 128.
             hf.get("num_experts", 60 if mtype == "qwen2_moe" else 128)
@@ -556,9 +621,11 @@ def map_hf_causal_lm(
         layers["bq"] = stacked(p + "self_attn.q_proj.bias", False)
         layers["bk"] = stacked(p + "self_attn.k_proj.bias", False)
         layers["bv"] = stacked(p + "self_attn.v_proj.bias", False)
-    if cfg.qk_norm:  # Qwen3: per-head (head_dim,) RMSNorm weights
+    if cfg.qk_norm:  # Qwen3/Gemma3: per-head (head_dim,) RMSNorm weights
         layers["ln_q"] = stacked(p + "self_attn.q_norm.weight", False)
         layers["ln_k"] = stacked(p + "self_attn.k_norm.weight", False)
+    if cfg.layer_windows is not None:  # Gemma3 interleaved local/global
+        layers.update(_interleaved_rope_leaves(cfg))
     if cfg.post_norms:  # Gemma2: four norms per block
         layers["ln_attn_post"] = stacked(
             p + "post_attention_layernorm.weight", False
@@ -658,18 +725,24 @@ def _rmsnorm(x: jax.Array, w: jax.Array, cfg: DecoderConfig) -> jax.Array:
     return x32 * scale * w
 
 
-def _rope(x: jax.Array, positions: jax.Array, cfg) -> jax.Array:
+def _rope(x: jax.Array, positions: jax.Array, cfg, inv_freq=None) -> jax.Array:
     """Rotary embedding, HF half-split convention. x: (..., T, n, hd);
     positions: broadcastable to (..., T). ``cfg.rope_factors`` divides
     the per-dim inverse frequencies (llama3 / longrope scaling) and
     ``cfg.rope_attn_factor`` scales cos/sin (longrope attention
-    scaling) — both static, baked into the executable."""
+    scaling) — both static, baked into the executable. ``inv_freq``
+    ((half,) f32), when given, REPLACES the cfg-derived frequencies —
+    the per-layer path for interleaved local/global rope (Gemma3),
+    sliced from the scanned ``rope_inv`` layer leaf."""
     hd = x.shape[-1]
     half = hd // 2
-    theta = cfg.rope_theta
-    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    if cfg.rope_factors is not None:
-        freqs = freqs / jnp.asarray(cfg.rope_factors, jnp.float32)
+    if inv_freq is not None:
+        freqs = inv_freq.astype(jnp.float32)
+    else:
+        theta = cfg.rope_theta
+        freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+        if cfg.rope_factors is not None:
+            freqs = freqs / jnp.asarray(cfg.rope_factors, jnp.float32)
     ang = positions[..., None].astype(jnp.float32) * freqs  # (..., T, half)
     att = cfg.rope_attn_factor
     cos = (jnp.cos(ang) * att)[..., None, :]  # (..., T, 1, half)
@@ -810,25 +883,43 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
     return out.astype(cd)
 
 
-def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg):
+def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
+                   slots=None):
     """One pre-norm block over a (possibly length-1) query chunk.
 
     x: (B, T, H); k_cache/v_cache: (B, S, n_kv, hd) — already containing
     this chunk's keys/values (caller updates the cache first); positions:
-    (B, T) semantic positions for RoPE on queries; mask: (B, T, S).
+    (B, T) semantic positions for RoPE on queries; mask: (B, T, S);
+    slots: optional (q_slots broadcastable to (B, T), k_slots (S,))
+    CACHE-slot indexes — required for interleaved sliding-window layers
+    (``cfg.layer_windows``), where the per-layer window restricts
+    visibility to the last W slots. Slot distance equals semantic
+    distance for real tokens (left padding precedes them and is masked
+    anyway), matching HF's absolute-index sliding mask.
     """
     cd = cfg.compute_dtype
     B, T, H = x.shape
     n_kv, g, hd = cfg.num_kv_heads, cfg.q_per_kv, cfg.head_dim
+
+    if "attn_window" in lp:
+        assert slots is not None, "windowed layers need cache-slot indexes"
+        q_slots, k_slots = slots
+        w = lp["attn_window"]  # per-layer scalar (scan-sliced), 0=global
+        q_s = jnp.asarray(q_slots)[..., None]   # (..., T, 1)
+        k_s = jnp.asarray(k_slots)              # (S,)
+        in_window = (w <= 0) | (k_s > q_s - w)
+        mask = mask + jnp.where(in_window, 0.0, -1e9).astype(jnp.float32)
 
     h = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
     q = _qmatmul(h, lp, "wq", cd)
     if cfg.qkv_bias:
         q = q + lp["bq"].astype(cd)
     q = q.reshape(B, T, n_kv * g, hd)
-    if cfg.qk_norm:  # Qwen3: per-head norm over head_dim, before RoPE
+    if cfg.qk_norm:  # Qwen3/Gemma3: per-head norm over head_dim, pre-RoPE
         q = _rmsnorm(q, lp["ln_q"], cfg).astype(cd)
-    q = _rope(q, positions, cfg).reshape(B, T, n_kv, g, hd)
+    q = _rope(q, positions, cfg, lp.get("rope_inv")).reshape(
+        B, T, n_kv, g, hd
+    )
     probs = _attn_scores(q, k_cache, mask, cfg).astype(cd)
     ctx = jnp.einsum(
         "btngs,bsnh->btngh", probs, v_cache,
@@ -862,9 +953,9 @@ def _project_kv(h_norm, lp, positions, cfg):
         v = v + lp["bv"].astype(cd)
     k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    if cfg.qk_norm:  # Qwen3: per-head norm over head_dim, before RoPE
+    if cfg.qk_norm:  # Qwen3/Gemma3: per-head norm over head_dim, pre-RoPE
         k = _rmsnorm(k, lp["ln_k"], cfg).astype(cd)
-    k = _rope(k, positions, cfg)
+    k = _rope(k, positions, cfg, lp.get("rope_inv"))
     return k.astype(cd), v.astype(cd)
 
 
@@ -937,13 +1028,15 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int):
 
     cache = init_cache(cfg, B, max_seq)
 
+    slots = (jnp.arange(P), jnp.arange(P))
+
     def body(x, scanned):
         lp, kc, vc = scanned
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, positions, cfg)
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, 0, axis=1)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, 0, axis=1)
-        x = _layer_forward(x, lp, k, v, positions, add_mask, cfg)
+        x = _layer_forward(x, lp, k, v, positions, add_mask, cfg, slots)
         return x, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(
@@ -973,13 +1066,15 @@ def decode_step(
     add_mask = jnp.where(key_mask > 0, 0.0, -1e9).astype(jnp.float32)[:, None, :]
     pos_q = positions[:, None]  # (B, 1)
 
+    slots = (jnp.full((1,), pos), jnp.arange(key_mask.shape[1]))
+
     def body(x, scanned):
         lp, kc, vc = scanned
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, pos_q, cfg)
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=1)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=1)
-        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg)
+        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(
@@ -1011,13 +1106,15 @@ def decode_step_rows(
     pos_q = positions[:, None]  # (B, 1)
     rows = jnp.arange(B)
 
+    slots = (pos[:, None], jnp.arange(key_mask.shape[1]))
+
     def body(x, scanned):
         lp, kc, vc = scanned
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, pos_q, cfg)
         kc = kc.at[rows, pos].set(k[:, 0])
         vc = vc.at[rows, pos].set(v[:, 0])
-        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg)
+        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(
@@ -1068,13 +1165,15 @@ def decode_verify(
     rows = jnp.arange(B)[:, None]
     pos_slots = pos0[:, None] + jnp.arange(T)[None, :]  # (B, T)
 
+    slots = (pos_slots, jnp.arange(S_max))
+
     def body(x, scanned):
         lp, kc, vc = scanned
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, pos_q, cfg)
         kc = kc.at[rows, pos_slots].set(k)
         vc = vc.at[rows, pos_slots].set(v)
-        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg)
+        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(
@@ -1270,7 +1369,7 @@ def find_local_lm_checkpoint() -> Optional[str]:
             # skip a perfectly servable snapshot (review finding r3).
             if mtype in ("llama", "mistral", "mixtral", "qwen2",
                          "qwen2_moe", "qwen3", "qwen3_moe", "gemma",
-                         "gemma2", "phi3"):
+                         "gemma2", "gemma3_text", "phi3"):
                 return root
     return None
 
@@ -1387,7 +1486,10 @@ class TextDecoder:
         # their head to the tail-keep slice (surfaced via /stats).
         self.truncated_prompts = 0
         max_ctx = self.prompt_buckets[-1] + GEN_BUCKETS[-1]
-        if cfg.sliding_window and max_ctx > cfg.sliding_window:
+        # layer_windows set ⇒ the window is ENFORCED in the mask
+        # (Gemma3 interleaved attention) — nothing to warn about.
+        if (cfg.sliding_window and cfg.layer_windows is None
+                and max_ctx > cfg.sliding_window):
             logger.warning(
                 "Checkpoint was trained with a %d-token sliding attention "
                 "window but the serving context can reach %d tokens "

@@ -204,10 +204,14 @@ def pp_generate(
             visible = causal[None, :, :] & (mask_m[:, None, :] > 0)
             add_mask = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
 
+            slots = (jnp.arange(Pr), jnp.arange(Pr))
+
             def body(x, lp):
                 h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
                 k, v = _project_kv(h_norm, lp, positions, cfg)
-                x = _layer_forward(x, lp, k, v, positions, add_mask, cfg)
+                x = _layer_forward(
+                    x, lp, k, v, positions, add_mask, cfg, slots
+                )
                 return x, (k, v)
 
             act, (k_new, v_new) = jax.lax.scan(body, act, layers)
@@ -293,13 +297,17 @@ def pp_generate(
             kc_m = jax.lax.dynamic_slice(kc, idx, sizes)
             vc_m = jax.lax.dynamic_slice(vc, idx, sizes)
 
+            slots = (jnp.full((1,), pos), jnp.arange(S_max))
+
             def body(x, scanned):
                 lp, kcl, vcl = scanned
                 h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
                 k, v = _project_kv(h_norm, lp, pos_q, cfg)
                 kcl = jax.lax.dynamic_update_slice(kcl, k, (0, pos, 0, 0))
                 vcl = jax.lax.dynamic_update_slice(vcl, v, (0, pos, 0, 0))
-                x = _layer_forward(x, lp, kcl, vcl, pos_q, add_mask, cfg)
+                x = _layer_forward(
+                    x, lp, kcl, vcl, pos_q, add_mask, cfg, slots
+                )
                 return x, (kcl, vcl)
 
             x, (kc_new, vc_new) = jax.lax.scan(body, x, (layers, kc_m, vc_m))

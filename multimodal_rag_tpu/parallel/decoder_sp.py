@@ -74,7 +74,8 @@ def sp_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), (SEQ_AXIS,))
 
 
-def _ring_attention(q, k_blk, v_blk, q_global, mask, cfg, S, T_loc):
+def _ring_attention(q, k_blk, v_blk, q_global, mask, cfg, S, T_loc,
+                    window=None):
     """Blockwise-causal ring attention for the local query block.
 
     q: (B, T_loc, n_kv, g, hd) — already RoPE'd/normed local queries;
@@ -105,6 +106,15 @@ def _ring_attention(q, k_blk, v_blk, q_global, mask, cfg, S, T_loc):
             (kv_global[None, :] <= q_global[:, None])[None, :, :]
             & (pad[:, None, :] > 0)
         )  # (B, T_loc_q, T_loc_kv)
+        if window is not None:
+            # Gemma3 interleaved attention: this layer sees only the
+            # last `window` slots (0 = global). Global slot distance ==
+            # semantic distance for real tokens (left pads precede
+            # them), same contract as decoder._layer_forward.
+            in_win = (window <= 0) | (
+                kv_global[None, :] > q_global[:, None] - window
+            )
+            visible = visible & in_win[None, :, :]
         add_mask = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
 
         # Same order as decoder._attn_scores: scale → softcap → mask.
@@ -179,11 +189,14 @@ def sp_prefill(
             q = q.reshape(B, T_loc, n_kv * g, hd)
             if cfg.qk_norm:
                 q = _rmsnorm(q, lp["ln_q"], cfg).astype(cd)
-            q = _rope(q, pos_loc, cfg).reshape(B, T_loc, n_kv, g, hd)
+            q = _rope(q, pos_loc, cfg, lp.get("rope_inv")).reshape(
+                B, T_loc, n_kv, g, hd
+            )
             k, v = _project_kv(h, lp, pos_loc, cfg)
 
             ctx = _ring_attention(
-                q.astype(jnp.float32), k, v, q_global, mask, cfg, S, T_loc
+                q.astype(jnp.float32), k, v, q_global, mask, cfg, S,
+                T_loc, window=lp.get("attn_window"),
             ).astype(cd)
             attn = _qmatmul(
                 ctx.reshape(B, T_loc, n_kv * g * hd), lp, "wo", cd

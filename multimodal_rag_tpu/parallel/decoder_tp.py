@@ -141,6 +141,10 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
             "ln_k": rep1,
             "ln_attn_post": rep1,
             "ln_mlp_post": rep1,
+            # Gemma3 interleaved-attention leaves: tiny per-layer
+            # derived constants, replicated.
+            "rope_inv": rep1,
+            "attn_window": P(None),
         },
     }
     return specs

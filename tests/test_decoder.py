@@ -677,6 +677,119 @@ class TestHFGolden:
         model.save_pretrained(path, safe_serialization=True)
         _golden(model, path, rtol=5e-4, atol=5e-4)
 
+    def test_gemma3(self, tmp_path):
+        """Gemma3 text: interleaved sliding/global attention (per-layer
+        windows ENFORCED in the mask), per-layer rope theta (local 10k
+        unscaled vs global 1M linear-scaled), (1+w) q/k norms, sandwich
+        norms. The window (4) binds inside the 6-token probe prompt, so
+        a decoder that ignores layer_types diverges here."""
+        try:
+            from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+        except ImportError:
+            pytest.skip("transformers too old for Gemma3")
+
+        cfg = Gemma3TextConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64,
+            query_pre_attn_scalar=8,
+            sliding_window=4,
+            layer_types=[
+                "sliding_attention", "sliding_attention",
+                "full_attention", "sliding_attention",
+            ],
+            rope_theta=1000000.0, rope_local_base_freq=10000.0,
+            rope_scaling={"rope_type": "linear", "factor": 8.0},
+        )
+        model = Gemma3ForCausalLM(cfg)
+        path = str(tmp_path / "gemma3")
+        model.save_pretrained(path, safe_serialization=True)
+        _golden(model, path, rtol=5e-4, atol=5e-4)
+
+    def test_gemma3_window_binds(self, tmp_path):
+        """Zeroing layer_windows (all-global) must CHANGE the logits on
+        a prompt longer than the window — proves the sliding mask is
+        actually applied, not just carried as config."""
+        from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+        from multimodal_rag_tpu.models.decoder import load_hf_causal_lm
+
+        cfg = Gemma3TextConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64, query_pre_attn_scalar=8,
+            sliding_window=3,
+            layer_types=["sliding_attention", "sliding_attention"],
+            rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        )
+        model = Gemma3ForCausalLM(cfg)
+        path = str(tmp_path / "gemma3w")
+        model.save_pretrained(path, safe_serialization=True)
+        params, dcfg = load_hf_causal_lm(path)
+        assert dcfg.layer_windows == (3, 3)
+        dcfg = DecoderConfig(**{**dcfg.__dict__, "compute_dtype": jnp.float32})
+        ids = jnp.asarray([[3, 14, 15, 9, 2, 6, 11, 4]], jnp.int32)
+        mask = jnp.ones_like(ids)
+        windowed, _ = prefill(params, ids, mask, dcfg, 9)
+
+        # Zero ONLY the window leaf (rope_inv stays put) so the delta is
+        # attributable to the mask alone.
+        nowin_params = {
+            **params,
+            "layers": {
+                **params["layers"],
+                "attn_window": jnp.zeros_like(
+                    params["layers"]["attn_window"]
+                ),
+            },
+        }
+        unwindowed, _ = prefill(nowin_params, ids, mask, dcfg, 9)
+        assert np.abs(
+            np.asarray(windowed) - np.asarray(unwindowed)
+        ).max() > 1e-4
+
+    def test_gemma3_greedy_decode_matches_hf_generate(self, tmp_path):
+        """Multi-token greedy generation vs HF: the decode steps must
+        apply the per-layer window against the growing cache (the
+        prefill golden alone cannot catch a decode-path mask bug)."""
+        from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+        from multimodal_rag_tpu.models.decoder import (
+            generate_tokens,
+            load_hf_causal_lm,
+        )
+
+        torch.manual_seed(4)
+        cfg = Gemma3TextConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64, query_pre_attn_scalar=8,
+            sliding_window=3,
+            layer_types=["sliding_attention", "full_attention"],
+            rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        )
+        model = Gemma3ForCausalLM(cfg)
+        model.eval()
+        path = str(tmp_path / "gemma3g")
+        model.save_pretrained(path, safe_serialization=True)
+        params, dcfg = load_hf_causal_lm(path)
+        dcfg = DecoderConfig(**{**dcfg.__dict__, "compute_dtype": jnp.float32})
+
+        ids = np.array([[3, 14, 15, 9, 2, 6]], np.int32)
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor(ids, dtype=torch.long),
+                max_new_tokens=5, do_sample=False,
+            ).numpy()[:, ids.shape[1]:]
+        toks, _ = generate_tokens(
+            params, jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)),
+            jax.random.key(0), dcfg, max_new_tokens=5, temperature=0.0,
+        )
+        np.testing.assert_array_equal(np.asarray(toks), hf_out)
+
     def test_phi3(self, tmp_path):
         """Phi-3 stores FUSED projections (qkv_proj = [q;k;v] rows,
         gate_up_proj = [gate;up] rows) — the loader must split them at

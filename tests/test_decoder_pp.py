@@ -221,6 +221,33 @@ class TestVariants:
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_gemma3_windows_compose_with_pp(self):
+        """Per-layer sliding windows + per-layer rope (Gemma3): the
+        derived (L,) / (L, half) leaves must reshape into stages and
+        slice correctly inside each stage's local scan."""
+        mesh = pp_mesh(8)
+        cfg = DecoderConfig(
+            **{
+                **CFG.__dict__,
+                "qk_norm": True,
+                "layer_windows": (4, 0) * 4,  # alternate local/global
+                "rope_local_theta": 10000.0,
+                "rope_theta": 1000000.0,
+            }
+        )
+        params = init_params(jax.random.key(13), cfg)
+        ids, mask = _ids(B=8, P=6, seed=13)
+        ref, _ = generate_tokens(
+            params, ids, mask, jax.random.key(0), cfg,
+            max_new_tokens=4, temperature=0.0,
+        )
+        staged = shard_decoder_pp(params, mesh, cfg)
+        out, _ = pp_generate(
+            staged, ids, mask, jax.random.key(0), cfg, mesh,
+            max_new_tokens=4, temperature=0.0,
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_multi_layer_stages(self):
         """num_layers=16 on 8 stages → 2 layers per stage."""
         mesh = pp_mesh(8)

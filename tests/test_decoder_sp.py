@@ -109,6 +109,23 @@ class TestPrefillEquality:
         params = init_params(jax.random.key(4), cfg)
         _check_prefill(cfg, params, seed=4)
 
+    def test_gemma3_interleaved_windows(self):
+        """Per-layer sliding windows (Gemma3) must mask identically in
+        the ring — a visiting kv block partially outside a query's
+        window contributes only its in-window slots. Window 5 < P=16
+        binds across block boundaries on the 8-chip mesh (T_loc=2)."""
+        cfg = DecoderConfig(
+            **{
+                **CFG.__dict__,
+                "qk_norm": True,
+                "layer_windows": (5, 0),
+                "rope_local_theta": 10000.0,
+                "rope_theta": 1000000.0,
+            }
+        )
+        params = init_params(jax.random.key(11), cfg)
+        _check_prefill(cfg, params, seed=11)
+
     def test_int8_params(self):
         params = quantize_decoder_params(init_params(jax.random.key(5), CFG))
         _check_prefill(CFG, params, seed=5)
