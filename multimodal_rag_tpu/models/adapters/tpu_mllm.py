@@ -52,20 +52,49 @@ class TPUMLLMAdapter(BaseLLMAdapter):
                 return
             if self._gen is None:
                 from multimodal_rag_tpu.config import settings
-                from multimodal_rag_tpu.models.llava import LlavaGenerator
 
+                ckpt = settings.MMRAG_MLLM_CHECKPOINT_PATH or None
+                gen_cls = self._generator_class(ckpt)
                 self._gen = await asyncio.to_thread(
-                    LlavaGenerator,
-                    checkpoint_path=(
-                        settings.MMRAG_MLLM_CHECKPOINT_PATH or None
-                    ),
+                    gen_cls, checkpoint_path=ckpt,
                 )
             if self._gen.pretrained:
-                self.model_name = "tpu-llava (pretrained)"
+                kind = type(self._gen).__name__.replace(
+                    "Generator", ""
+                ).lower()
+                self.model_name = f"tpu-{kind} (pretrained)"
             self.is_initialized = True
         logger.info(
             "TPUMLLMAdapter initialized (pretrained=%s)", self._gen.pretrained
         )
+
+    @staticmethod
+    def _generator_class(checkpoint_path):
+        """Pick the vision family from the checkpoint's config.json:
+        ``gemma3`` → the SigLIP-tower Gemma3 VLM (models/gemma3_vlm.py),
+        anything else (incl. no checkpoint) → the CLIP-tower llava."""
+        if checkpoint_path:
+            import json
+            import os
+
+            try:
+                with open(
+                    os.path.join(checkpoint_path, "config.json")
+                ) as f:
+                    if json.load(f).get("model_type") == "gemma3":
+                        from multimodal_rag_tpu.models.gemma3_vlm import (
+                            Gemma3VLMGenerator,
+                        )
+
+                        return Gemma3VLMGenerator
+            except (OSError, ValueError) as e:
+                logger.warning(
+                    "Could not read %s/config.json (%s); defaulting to "
+                    "the llava generator", checkpoint_path, e,
+                )
+        from multimodal_rag_tpu.models.llava import LlavaGenerator
+
+        return LlavaGenerator
 
     async def cleanup(self):
         self.is_initialized = False

@@ -884,7 +884,7 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
 
 
 def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
-                   slots=None):
+                   slots=None, overlay=None):
     """One pre-norm block over a (possibly length-1) query chunk.
 
     x: (B, T, H); k_cache/v_cache: (B, S, n_kv, hd) — already containing
@@ -901,6 +901,12 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
     B, T, H = x.shape
     n_kv, g, hd = cfg.num_kv_heads, cfg.q_per_kv, cfg.head_dim
 
+    if overlay is not None:
+        # Bidirectional OR-overlay (Gemma3 VLM: image tokens attend
+        # within their own image block regardless of order — HF
+        # token_type_ids_mask_function). Overlay pairs become visible
+        # even where the causal/pad base mask said no.
+        mask = jnp.where(overlay, 0.0, mask)
     if "attn_window" in lp:
         assert slots is not None, "windowed layers need cache-slot indexes"
         q_slots, k_slots = slots
@@ -908,6 +914,10 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
         q_s = jnp.asarray(q_slots)[..., None]   # (..., T, 1)
         k_s = jnp.asarray(k_slots)              # (S,)
         in_window = (w <= 0) | (k_s > q_s - w)
+        if overlay is not None:
+            # The image-block overlay bypasses the sliding window too
+            # (HF passes the same or_mask to the sliding mask builder).
+            in_window = in_window | overlay
         mask = mask + jnp.where(in_window, 0.0, -1e9).astype(jnp.float32)
 
     h = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
@@ -1008,15 +1018,19 @@ def prefill_embeds(
     mask: jax.Array,
     cfg: DecoderConfig,
     max_seq: int,
+    overlay: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict]:
     """Like :func:`prefill` but over pre-computed input embeddings
-    (B, P, H) — the multimodal path (models/llava.py) splices projected
-    image-patch embeddings between token embeddings before prefill."""
+    (B, P, H) — the multimodal path (models/llava.py, gemma3_vlm.py)
+    splices projected image embeddings between token embeddings before
+    prefill. ``overlay``: optional (B, P, P) bool OR-mask making extra
+    (query, key) pairs visible — Gemma3's bidirectional image blocks."""
     return _prefill_core(params, embeds.astype(cfg.compute_dtype), mask,
-                         cfg, max_seq)
+                         cfg, max_seq, overlay)
 
 
-def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int):
+def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
+                  overlay=None):
     B, P = mask.shape
     # Semantic positions: left pads clamp to 0 and are masked anyway.
     positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)  # (B, P)
@@ -1036,7 +1050,8 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int):
         k, v = _project_kv(h_norm, lp, positions, cfg)
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, 0, axis=1)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, 0, axis=1)
-        x = _layer_forward(x, lp, k, v, positions, add_mask, cfg, slots)
+        x = _layer_forward(x, lp, k, v, positions, add_mask, cfg, slots,
+                           overlay)
         return x, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(
@@ -1125,8 +1140,7 @@ def decode_step_rows(
     return logits, {"k": k_new, "v": v_new}
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def decode_verify(
+def _decode_verify_impl(
     params: Dict,
     cache: Dict,
     tokens: jax.Array,
@@ -1182,6 +1196,14 @@ def decode_verify(
     x = _rmsnorm(x, params["final_norm"], cfg)
     logits = _logits(params, x, cfg)  # (B, T, vocab)
     return logits, {"k": k_new, "v": v_new}
+
+
+# The jitted public entry point; the unjitted ``_decode_verify_impl`` is
+# also composed into larger dispatches (serving_decode's fused
+# chunked-prefill + decode step) without nesting jits.
+decode_verify = partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
+)(_decode_verify_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -1276,11 +1298,15 @@ def generate_tokens_embeds(
     top_k: int = 64,
     eos_id: int = -1,
     top_p: float = 1.0,
+    overlay: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """:func:`generate_tokens` over pre-computed input embeddings (B,P,H)
-    — the multimodal entry point."""
+    — the multimodal entry point. ``overlay`` is the optional prefill
+    OR-visibility mask (see :func:`prefill_embeds`); generated tokens
+    are text, so the decode steps stay purely causal."""
     S_max = embeds.shape[1] + max_new_tokens
-    logits, cache = prefill_embeds(params, embeds, mask, cfg, S_max)
+    logits, cache = prefill_embeds(params, embeds, mask, cfg, S_max,
+                                   overlay)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
         max_new_tokens, temperature, top_k, eos_id, top_p,

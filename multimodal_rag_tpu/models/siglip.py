@@ -468,6 +468,89 @@ class SigLIPEncoder:
         return out[: len(images)]
 
 
+def _tower_from_tensors(tensors: Dict, prefix: str, layers: int) -> Dict:
+    """Stack one SigLIP encoder tower's layers from HF-named tensors."""
+    def stacked(fmt, transpose=False):
+        mats = [np.asarray(tensors[fmt.format(i)]) for i in range(layers)]
+        return jnp.asarray(
+            np.stack([m.T if transpose else m for m in mats]),
+            jnp.float32,
+        )
+
+    p = prefix + ".encoder.layers.{}."
+    return {
+        "wq": stacked(p + "self_attn.q_proj.weight", True),
+        "bq": stacked(p + "self_attn.q_proj.bias"),
+        "wk": stacked(p + "self_attn.k_proj.weight", True),
+        "bk": stacked(p + "self_attn.k_proj.bias"),
+        "wv": stacked(p + "self_attn.v_proj.weight", True),
+        "bv": stacked(p + "self_attn.v_proj.bias"),
+        "wo": stacked(p + "self_attn.out_proj.weight", True),
+        "bo": stacked(p + "self_attn.out_proj.bias"),
+        "ln1_scale": stacked(p + "layer_norm1.weight"),
+        "ln1_bias": stacked(p + "layer_norm1.bias"),
+        "w1": stacked(p + "mlp.fc1.weight", True),
+        "b1": stacked(p + "mlp.fc1.bias"),
+        "w2": stacked(p + "mlp.fc2.weight", True),
+        "b2": stacked(p + "mlp.fc2.bias"),
+        "ln2_scale": stacked(p + "layer_norm2.weight"),
+        "ln2_bias": stacked(p + "layer_norm2.bias"),
+    }
+
+
+def map_hf_siglip_vision(
+    tensors: Dict, cfg: SigLIPConfig, prefix: str = ""
+) -> Dict:
+    """Vision tower WITHOUT the MAP pooling head, from HF
+    ``SiglipVisionModel`` naming under ``prefix`` (e.g. Gemma3's
+    ``model.vision_tower.``) — the patch-feature path
+    (:func:`encode_image_patches`) that VLM projectors consume."""
+    def t(name):
+        return jnp.asarray(np.asarray(tensors[prefix + name]), jnp.float32)
+
+    conv = np.asarray(
+        tensors[prefix + "vision_model.embeddings.patch_embedding.weight"]
+    )
+    return {
+        "patch_embed": jnp.asarray(
+            conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0]),
+            jnp.float32,
+        ),
+        "patch_bias": t("vision_model.embeddings.patch_embedding.bias"),
+        "pos_embed": t("vision_model.embeddings.position_embedding.weight"),
+        "blocks": _tower_from_tensors(
+            {k[len(prefix):]: v for k, v in tensors.items()
+             if k.startswith(prefix)},
+            "vision_model", cfg.vision_layers,
+        ),
+        "ln_post_scale": t("vision_model.post_layernorm.weight"),
+        "ln_post_bias": t("vision_model.post_layernorm.bias"),
+    }
+
+
+def encode_image_patches(
+    params: Dict, pixels: jax.Array, cfg: SigLIPConfig = SIGLIP_B16
+) -> jax.Array:
+    """Preprocessed pixels (B, H, W, 3) f32 → PATCH features
+    (B, n_patches, vision_width) f32 — the tower output after the final
+    layernorm, before MAP pooling (HF ``last_hidden_state``). The VLM
+    feature path: Gemma3's projector pools these."""
+    vp = params["vision"] if "vision" in params else params
+    B, H, W, _ = pixels.shape
+    P = cfg.patch_size
+    gh, gw = H // P, W // P
+    patches = pixels.reshape(B, gh, P, gw, P, 3)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, -1)
+    x = jnp.dot(
+        patches.astype(cfg.compute_dtype),
+        vp["patch_embed"].astype(cfg.compute_dtype),
+        preferred_element_type=jnp.float32,
+    ) + vp["patch_bias"]
+    x = x + vp["pos_embed"][None]
+    x = _run_tower(x, None, vp["blocks"], cfg.vision_heads, cfg)
+    return _layernorm(x, vp["ln_post_scale"], vp["ln_post_bias"], cfg.ln_eps)
+
+
 def load_hf_siglip_params(
     path: str, cfg: SigLIPConfig = SIGLIP_B16
 ) -> Dict:
@@ -491,32 +574,7 @@ def load_hf_siglip_params(
         return jnp.asarray(tensors[name], jnp.float32)
 
     def tower(prefix, layers):
-        def stacked(fmt, transpose=False):
-            mats = [np.asarray(tensors[fmt.format(i)]) for i in range(layers)]
-            return jnp.asarray(
-                np.stack([m.T if transpose else m for m in mats]),
-                jnp.float32,
-            )
-
-        p = prefix + ".encoder.layers.{}."
-        return {
-            "wq": stacked(p + "self_attn.q_proj.weight", True),
-            "bq": stacked(p + "self_attn.q_proj.bias"),
-            "wk": stacked(p + "self_attn.k_proj.weight", True),
-            "bk": stacked(p + "self_attn.k_proj.bias"),
-            "wv": stacked(p + "self_attn.v_proj.weight", True),
-            "bv": stacked(p + "self_attn.v_proj.bias"),
-            "wo": stacked(p + "self_attn.out_proj.weight", True),
-            "bo": stacked(p + "self_attn.out_proj.bias"),
-            "ln1_scale": stacked(p + "layer_norm1.weight"),
-            "ln1_bias": stacked(p + "layer_norm1.bias"),
-            "w1": stacked(p + "mlp.fc1.weight", True),
-            "b1": stacked(p + "mlp.fc1.bias"),
-            "w2": stacked(p + "mlp.fc2.weight", True),
-            "b2": stacked(p + "mlp.fc2.bias"),
-            "ln2_scale": stacked(p + "layer_norm2.weight"),
-            "ln2_bias": stacked(p + "layer_norm2.bias"),
-        }
+        return _tower_from_tensors(tensors, prefix, layers)
 
     conv = np.asarray(
         tensors["vision_model.embeddings.patch_embedding.weight"]
