@@ -77,6 +77,22 @@ class Settings:
     # local host — but dominant over a relay/tunnel), while the coalescer
     # runs the whole generation as one fused device loop.
     TPU_LLM_CONTINUOUS: bool = False
+    # Chunked prefill for the continuous-batching server (Sarathi-style):
+    # prompts are consumed TPU_LLM_PREFILL_CHUNK tokens per fused pass
+    # while decoding rows piggyback one token each, so a long prompt
+    # never stalls in-flight generations (the classic admission prefill
+    # blocks the loop for a full prompt-bucket pass). Also switches rows
+    # to an unpadded cache layout, which is what enables the prefix
+    # cache below. Only meaningful with TPU_LLM_CONTINUOUS=true.
+    TPU_LLM_CHUNKED_PREFILL: bool = False
+    TPU_LLM_PREFILL_CHUNK: int = 128
+    # Device-resident prompt-prefix KV cache (requires chunked prefill):
+    # N cache entries of up to the largest prompt bucket, LRU-evicted.
+    # RAG traffic shares the system preamble and often the retrieved
+    # context across turns; a hit skips recomputing the matched
+    # chunk-aligned prefix entirely (device-to-device block copy). HBM
+    # cost per entry: L*Lp*n_kv*head_dim*4 bytes (k+v, bf16). 0 = off.
+    TPU_LLM_PREFIX_CACHE: int = 0
     # Prompt-length buckets (tokens) for the on-TPU decoder; the LAST
     # entry is the hard prompt ceiling — longer prompts keep only their
     # tail (counted in /stats as generation.truncated_prompts). A top-5

@@ -142,6 +142,7 @@ class TPULLMAdapter(BaseLLMAdapter):
 
             self._continuous = settings.TPU_LLM_CONTINUOUS
         if self._continuous:
+            from multimodal_rag_tpu.config import settings
             from multimodal_rag_tpu.serving_decode import DecodeServer
 
             if getattr(self._decoder, "spec_enabled", False):
@@ -151,7 +152,17 @@ class TPULLMAdapter(BaseLLMAdapter):
                     "server advances one token per step so rows can join "
                     "at token boundaries."
                 )
-            self._server = DecodeServer(self._decoder)
+            self._server = DecodeServer(
+                self._decoder,
+                chunk_tokens=(
+                    settings.TPU_LLM_PREFILL_CHUNK
+                    if settings.TPU_LLM_CHUNKED_PREFILL else None
+                ),
+                prefix_entries=(
+                    settings.TPU_LLM_PREFIX_CACHE
+                    if settings.TPU_LLM_CHUNKED_PREFILL else 0
+                ),
+            )
         else:
             self._queue = asyncio.Queue()
             self._worker = asyncio.create_task(self._drain())

@@ -24,6 +24,21 @@ positions):
 
 Wall-clock effect: under concurrent load, latency per request approaches
 (own tokens) x (step time) instead of (queue depth) x (batch time).
+
+**Chunked prefill** (``chunk_tokens=C``, Sarathi-style): instead of a
+blocking B=1 bucket prefill at admission, prompts are consumed C tokens
+per *fused* pass in which decoding rows piggyback one token each — a
+long prompt never stalls in-flight generations, and admission needs no
+prompt-bucket executables at all (one ``(slots, C)`` chunk executable +
+the decode step serve everything). Rows are laid out UNPADDED from cache
+slot 0, so equal prompt prefixes land in identical cache slots — which
+makes the **prefix cache** (``prefix_entries=N``) a plain device-to-
+device block copy: the chunk-aligned longest cached prefix of an
+incoming prompt is copied into the row and never recomputed. RAG traffic
+(shared system preamble + retrieved context reused across turns) is the
+motivating workload. Greedy outputs are identical to the classic path;
+sampled outputs are distribution-identical but consume the per-row key
+streams in a different order.
 """
 
 from __future__ import annotations
@@ -40,6 +55,7 @@ import numpy as np
 
 from multimodal_rag_tpu.models.decoder import (
     DecoderConfig,
+    _decode_verify_impl,
     decode_step_rows,
     init_cache,
     prefill,
@@ -93,6 +109,70 @@ def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
     return jnp.where(temps <= 0.0, greedy, sampled)
 
 
+@partial(
+    jax.jit, static_argnames=("cfg", "top_k"), donate_argnames=("cache",)
+)
+def _fused_chunk_step(
+    params, cache, tokens, pos0, key_mask, positions0, gather, keys,
+    temps, top_ps, cfg: DecoderConfig, top_k: int,
+):
+    """ONE dispatch that advances a mixed batch (Sarathi-style chunked
+    prefill fused with decode): each row's C-token chunk is either the
+    next slice of a prompt being prefilled, or ``[cur_tok, pad...]`` for
+    a row that is decoding (decode is weight-streaming bound, so the
+    extra chunk columns are nearly free). ``gather`` picks the logits row
+    that matters per request — ``chunk_len - 1`` for a prompt finishing
+    this pass, ``0`` for a decoding row — and sampling runs on it with
+    the usual per-row key/temperature/nucleus streams. Pad columns write
+    garbage k/v at slots ``[pos0 + real, pos0 + C)``; the caller never
+    marks those attendable and later writes overwrite them (the cache
+    carries a C-slot scratch tail so the scatter never clamps onto a
+    live slot)."""
+    logits, cache = _decode_verify_impl(
+        params, cache, tokens, pos0, key_mask, positions0, cfg
+    )
+    row_logits = jnp.take_along_axis(
+        logits, gather[:, None, None], axis=1
+    )[:, 0]
+    nxt = _sample_rows(row_logits, keys, temps, top_k, top_ps)
+    return nxt, cache
+
+
+@partial(jax.jit, donate_argnames=("pool",))
+def _load_prefix(pool: Dict, ppool: Dict, entry: jax.Array,
+                 slot: jax.Array) -> Dict:
+    """Copy prefix-cache entry ``entry`` (all ``Lp_max`` slots) into the
+    batch pool's row ``slot`` at cache slots [0, Lp_max) — device-to-
+    device, no host round trip. The caller marks only the matched length
+    attendable; trailing slots are stale and stay masked."""
+    out = {}
+    for n in ("k", "v"):
+        blk = jax.lax.dynamic_slice_in_dim(ppool[n], entry, 1, axis=1)
+        out[n] = jax.lax.dynamic_update_slice(
+            pool[n], blk, (0, slot, 0, 0, 0)
+        )
+    return out
+
+
+@partial(jax.jit, donate_argnames=("ppool",))
+def _store_prefix(ppool: Dict, pool: Dict, slot: jax.Array,
+                  entry: jax.Array) -> Dict:
+    """Snapshot row ``slot``'s first Lp_max cache slots into prefix-cache
+    entry ``entry`` (called right after a prompt's prefill completes, so
+    those slots hold prompt k/v only)."""
+    Lp = ppool["k"].shape[2]
+    out = {}
+    for n in ("k", "v"):
+        L, _, _, nk, hd = pool[n].shape
+        blk = jax.lax.dynamic_slice(
+            pool[n], (0, slot, 0, 0, 0), (L, 1, Lp, nk, hd)
+        )
+        out[n] = jax.lax.dynamic_update_slice(
+            ppool[n], blk, (0, entry, 0, 0, 0)
+        )
+    return out
+
+
 @dataclass
 class _Request:
     prompt_ids: List[int]
@@ -103,6 +183,10 @@ class _Request:
     seed: Optional[int] = None
     tokens: List[int] = field(default_factory=list)
     slot: int = -1
+    # Chunked-prefill mode: prompt tokens consumed so far. A row is
+    # "decoding" once consumed == len(prompt_ids) AND its first token has
+    # been sampled (the two happen in the same fused pass).
+    consumed: int = 0
     finish: str = "stop"  # "stop" (EOS) | "length" (budget exhausted)
     # Streaming (submit_stream): per-request delta queue, drained by the
     # consumer. Items are (text_delta, finish|None) or an exception.
@@ -123,7 +207,9 @@ class DecodeServer:
     """
 
     def __init__(self, decoder, slots: int = 8, max_new_cap: int = 1024,
-                 top_k: int = 64, seed: int = 0):
+                 top_k: int = 64, seed: int = 0,
+                 chunk_tokens: Optional[int] = None,
+                 prefix_entries: int = 0):
         self.dec = decoder
         self.cfg: DecoderConfig = decoder.cfg
         self.slots = slots
@@ -133,10 +219,41 @@ class DecodeServer:
         self.eos_id = int(decoder.eos_id)
         self._key = jax.random.key(seed)
 
-        self.pool = init_cache(self.cfg, slots, self.max_seq)
+        # Chunked-prefill mode (chunk_tokens = C > 0): prompts are
+        # consumed C tokens per fused pass (decoding rows piggyback one
+        # token each — no admission stall), laid out UNPADDED from cache
+        # slot 0 so a shared prefix lands in identical slots for every
+        # request — which is what makes the prefix cache a plain block
+        # copy. The pool carries a C-slot scratch tail (pad-column writes
+        # land there instead of clamping onto live slots).
+        self.chunk = int(chunk_tokens) if chunk_tokens else 0
+        if prefix_entries and not self.chunk:
+            raise ValueError(
+                "prefix_entries requires chunked prefill (chunk_tokens)"
+            )
+        pool_seq = self.max_seq + (self.chunk if self.chunk else 0)
+        self.pool = init_cache(self.cfg, slots, pool_seq)
+        self.prefix_entries = int(prefix_entries)
+        if self.prefix_entries > 0:
+            lp_max = (decoder.prompt_buckets[-1] // self.chunk) * self.chunk
+            self.prefix_len_max = max(lp_max, self.chunk)
+            self.prefix_pool = init_cache(
+                self.cfg, self.prefix_entries, self.prefix_len_max
+            )
+            # Per entry: (token tuple, stored_len) or None; parallel
+            # last-use tick for LRU eviction.
+            self.prefix_meta: List[Optional[tuple]] = (
+                [None] * self.prefix_entries
+            )
+            self._prefix_use = [0] * self.prefix_entries
+            self._prefix_tick = 0
+        self.prefix_hits = 0
+        self.prefix_tokens_reused = 0
+        self.chunk_passes = 0
         self.requests: List[Optional[_Request]] = [None] * slots
-        # Host-side per-slot state, shipped each step.
-        self.key_mask = np.zeros((slots, self.max_seq), np.int32)
+        # Host-side per-slot state, shipped each step (width matches the
+        # pool's cache length, incl. the chunked-mode scratch tail).
+        self.key_mask = np.zeros((slots, pool_seq), np.int32)
         self.key_mask[:, 0] = 1  # idle rows attend to slot 0 (no NaN softmax)
         self.pos = np.zeros((slots,), np.int32)
         self.sem_pos = np.zeros((slots,), np.int32)
@@ -294,6 +411,8 @@ class DecodeServer:
         immediately (first token = EOS / budget 1) instead of resolving
         its future here — futures are only touched on the loop thread
         (``set_result`` from another thread is not loop-safe)."""
+        if self.chunk:
+            return self._admit_chunked(req, slot)
         ids = req.prompt_ids
         P = next(
             (b for b in self.dec.prompt_buckets if len(ids) <= b),
@@ -340,6 +459,97 @@ class DecodeServer:
         req.tokens.append(first)
         return []
 
+    def _admit_chunked(self, req: _Request, slot: int) -> List[_Request]:
+        """Chunked-mode admission: assign the slot and per-row sampling
+        state; the prompt itself is consumed by the fused passes in
+        :meth:`_step_chunked` (C tokens per pass), so admission does no
+        model work. With a prefix-cache hit, the matched block is copied
+        device-to-device into the row and those tokens are never
+        recomputed."""
+        req.slot = slot
+        req.consumed = 0
+        self.requests[slot] = req
+        self.key_mask[slot] = 0
+        self.pos[slot] = 0
+        self.sem_pos[slot] = 0
+        self.temps[slot] = req.temperature
+        self.top_ps[slot] = req.top_p
+        self._admitted += 1
+        row_key = (
+            jax.random.key(int(req.seed))
+            if req.seed is not None
+            else jax.random.fold_in(self._key, self._admitted)
+        )
+        self.keys = self.keys.at[slot].set(row_key)
+        if self.prefix_entries > 0:
+            entry, match = self._match_prefix(req.prompt_ids)
+            if entry >= 0:
+                self.pool = _load_prefix(
+                    self.pool, self.prefix_pool,
+                    jnp.int32(entry), jnp.int32(slot),
+                )
+                self.key_mask[slot, :match] = 1
+                req.consumed = match
+                self._prefix_tick += 1
+                self._prefix_use[entry] = self._prefix_tick
+                self.prefix_hits += 1
+                self.prefix_tokens_reused += match
+        return []
+
+    def _match_prefix(self, ids: List[int]) -> tuple:
+        """Longest cached chunk-aligned prefix of ``ids`` that still
+        leaves at least one token to run (the final prompt token must be
+        processed to produce first-token logits). Returns (entry, length)
+        or (-1, 0)."""
+        C = self.chunk
+        limit = ((len(ids) - 1) // C) * C
+        best, best_len = -1, 0
+        for e, meta in enumerate(self.prefix_meta):
+            if meta is None:
+                continue
+            toks, stored = meta
+            usable = min(stored, limit)
+            # Longest chunk-aligned common prefix (entries diverge from
+            # the prompt wherever the question/suffix starts).
+            lcp = 0
+            for j in range(0, usable, C):
+                if tuple(ids[j:j + C]) != toks[j:j + C]:
+                    break
+                lcp = j + C
+            if lcp > best_len:
+                best, best_len = e, lcp
+        return best, best_len
+
+    def _maybe_store_prefix(self, req: _Request) -> None:
+        """Right after ``req``'s prefill completes (cache slots [0, len)
+        hold prompt k/v only): snapshot the chunk-aligned prompt prefix
+        into the LRU prefix-cache entry, unless an existing entry already
+        covers it."""
+        ids = req.prompt_ids
+        stored = min(
+            (len(ids) // self.chunk) * self.chunk, self.prefix_len_max
+        )
+        if stored < self.chunk:
+            return
+        key = tuple(ids[:stored])
+        for meta in self.prefix_meta:
+            if meta is not None and meta[1] >= stored \
+                    and meta[0][:stored] == key:
+                return
+        # Evict the least-recently-used entry (empty entries first).
+        entry = min(
+            range(self.prefix_entries),
+            key=lambda e: (-1 if self.prefix_meta[e] is None
+                           else self._prefix_use[e]),
+        )
+        self.prefix_pool = _store_prefix(
+            self.prefix_pool, self.pool,
+            jnp.int32(req.slot), jnp.int32(entry),
+        )
+        self._prefix_tick += 1
+        self._prefix_use[entry] = self._prefix_tick
+        self.prefix_meta[entry] = (key, stored)
+
     def _retire(self, slot: int) -> _Request:
         req = self.requests[slot]
         self.requests[slot] = None
@@ -367,6 +577,11 @@ class DecodeServer:
         for i, r in enumerate(self.requests):
             if r is not None and r.cancelled:
                 self._retire(i)
+        if self.chunk and any(
+            r is not None and r.consumed < len(r.prompt_ids)
+            for r in self.requests
+        ):
+            return self._step_chunked()
         active = [i for i, r in enumerate(self.requests) if r is not None]
         if not active:
             return []
@@ -403,6 +618,91 @@ class DecodeServer:
             if len(req.tokens) >= req.max_new_tokens:
                 req.finish = "length"
                 finished.append(self._retire(i))
+        return finished
+
+    def _step_chunked(self) -> List[_Request]:
+        """One fused chunked-prefill + decode pass (worker thread): every
+        mid-prefill row consumes its next C prompt tokens, every decoding
+        row advances one token, in a single (slots, C) dispatch. Returns
+        the requests that finished."""
+        C = self.chunk
+        tokens = np.zeros((self.slots, C), np.int32)
+        # Idle rows write their (masked) garbage chunk at scratch slots
+        # [1, 1 + C) — slot 0 is their anti-NaN attendable key.
+        pos0 = np.ones((self.slots,), np.int32)
+        positions0 = np.zeros((self.slots,), np.int32)
+        gather = np.zeros((self.slots,), np.int32)
+        chunk_lens: Dict[int, int] = {}
+        decoding: List[int] = []
+        for i, req in enumerate(self.requests):
+            if req is None:
+                continue
+            ids = req.prompt_ids
+            if req.consumed < len(ids):
+                part = ids[req.consumed:req.consumed + C]
+                tokens[i, :len(part)] = part
+                pos0[i] = req.consumed
+                positions0[i] = req.consumed
+                chunk_lens[i] = len(part)
+                if req.consumed + len(part) == len(ids):
+                    gather[i] = len(part) - 1  # first-token logits row
+            else:
+                tokens[i, 0] = self.cur_tok[i]
+                pos0[i] = self.pos[i]
+                positions0[i] = self.sem_pos[i]
+                decoding.append(i)
+        from multimodal_rag_tpu.models.decoder import _split_rows
+
+        self.keys, sub = _split_rows(self.keys)
+        nxt, self.pool = _fused_chunk_step(
+            self.dec.params, self.pool, jnp.asarray(tokens),
+            jnp.asarray(pos0), jnp.asarray(self.key_mask),
+            jnp.asarray(positions0), jnp.asarray(gather), sub,
+            jnp.asarray(self.temps), jnp.asarray(self.top_ps),
+            self.cfg, self.top_k,
+        )
+        nxt = np.asarray(nxt)
+        self.steps_run += 1
+        self.chunk_passes += 1
+        finished: List[_Request] = []
+        for i, req in list(enumerate(self.requests)):
+            if req is None:
+                continue
+            if i in chunk_lens:
+                n = chunk_lens[i]
+                self.key_mask[i, req.consumed:req.consumed + n] = 1
+                req.consumed += n
+                if req.consumed < len(req.prompt_ids):
+                    continue  # more prompt to go; no token yet
+                if self.prefix_entries > 0:
+                    self._maybe_store_prefix(req)
+                self.pos[i] = req.consumed
+                self.sem_pos[i] = req.consumed
+                tok = int(nxt[i])
+                if tok == self.eos_id or req.max_new_tokens <= 1:
+                    if tok != self.eos_id:
+                        req.tokens.append(tok)
+                        req.finish = "length"
+                    finished.append(self._retire(i))
+                    continue
+                req.tokens.append(tok)
+                self.cur_tok[i] = tok
+            elif i in decoding:
+                # Same bookkeeping as the plain decode step: the token's
+                # k/v landed at slot pos this pass — mark it attendable
+                # for the NEXT step, then advance.
+                self.key_mask[i, self.pos[i]] = 1
+                self.pos[i] += 1
+                self.sem_pos[i] += 1
+                tok = int(nxt[i])
+                if tok == self.eos_id:
+                    finished.append(self._retire(i))
+                    continue
+                req.tokens.append(tok)
+                self.cur_tok[i] = tok
+                if len(req.tokens) >= req.max_new_tokens:
+                    req.finish = "length"
+                    finished.append(self._retire(i))
         return finished
 
     def _fail_all(self, exc: BaseException) -> None:
@@ -469,10 +769,20 @@ class DecodeServer:
                 self._fail_all(e)
 
     def get_stats(self) -> Dict:
-        return {
+        stats = {
             "slots": self.slots,
             "active": sum(r is not None for r in self.requests),
             "pending": self.pending.qsize(),
             "steps_run": self.steps_run,
             "requests_done": self.requests_done,
         }
+        if self.chunk:
+            stats["chunk_tokens"] = self.chunk
+            stats["chunk_passes"] = self.chunk_passes
+        if self.prefix_entries > 0:
+            stats["prefix_cache_entries"] = sum(
+                m is not None for m in self.prefix_meta
+            )
+            stats["prefix_cache_hits"] = self.prefix_hits
+            stats["prefix_tokens_reused"] = self.prefix_tokens_reused
+        return stats
