@@ -70,18 +70,45 @@ from multimodal_rag_tpu.models.decoder import (
     _sample,
     _split_rows,
 )
+from multimodal_rag_tpu.parallel.decoder_tp import (
+    MODEL_AXIS,
+    decoder_param_specs,
+)
 
 logger = logging.getLogger(__name__)
 
 PIPE_AXIS = "pipe"
 
 
-def pp_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """A 1-D ("pipe",) mesh over the first ``n_devices`` devices."""
+def pp_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
+    """A ("pipe",) mesh over the first ``n_devices`` devices — or, with
+    ``tp > 1``, a 2-D ("pipe", "model") mesh composing pipeline stages
+    with Megatron-style tensor parallelism inside every stage (PP for
+    HBM capacity, TP for per-token latency)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (PIPE_AXIS,))
+    n = len(devices)
+    if tp <= 1:
+        return Mesh(np.asarray(devices), (PIPE_AXIS,))
+    assert n % tp == 0, (n, tp)
+    return Mesh(
+        np.asarray(devices).reshape(n // tp, tp), (PIPE_AXIS, MODEL_AXIS)
+    )
+
+
+def _tp_layer_spec(key: str, specs: Dict):
+    """TP PartitionSpec for a stacked-layer leaf, deriving the int8
+    companions: ``X_q`` shards like ``X``; ``X_s`` (scale, in-dim = 1)
+    keeps X's out-dim sharding with the in axis unsharded."""
+    if key in specs:
+        return specs[key]
+    if key.endswith("_q"):
+        return specs[key[:-2]]
+    if key.endswith("_s"):
+        base = specs[key[:-2]]
+        return P(*base[:-2], None, base[-1])
+    raise KeyError(key)
 
 
 def _stage_layers(layers: Dict, n_stages: int) -> Dict:
@@ -102,10 +129,32 @@ def shard_decoder_pp(
     leading stage axis sharded over ``"pipe"``; everything else (embed,
     final norm, logit head) replicates. Accepts f32/bf16 or int8
     (quantize_decoder_params) params — every quantized leaf keeps its
-    leading L axis, so the same reshape applies."""
-    S = mesh.devices.size
+    leading L axis, so the same reshape applies.
+
+    On a 2-D ("pipe", "model") mesh (``pp_mesh(tp=...)``), each leaf
+    ADDITIONALLY carries its Megatron TP sharding (decoder_tp.
+    decoder_param_specs) over the model axis: stage s's layer slice is
+    column/row-split across that stage's TP group."""
+    S = mesh.shape[PIPE_AXIS]
     staged = dict(params)
     staged["layers"] = _stage_layers(params["layers"], S)
+    if MODEL_AXIS in mesh.axis_names:
+        tp_specs = decoder_param_specs(cfg, mesh.shape[MODEL_AXIS])
+        out = {
+            k: jax.device_put(v, NamedSharding(mesh, tp_specs[k]))
+            for k, v in staged.items() if k != "layers"
+        }
+        out["layers"] = {
+            k: jax.device_put(
+                v,
+                NamedSharding(
+                    mesh,
+                    P(PIPE_AXIS, *_tp_layer_spec(k, tp_specs["layers"])),
+                ),
+            )
+            for k, v in staged["layers"].items()
+        }
+        return out
     pipe = NamedSharding(mesh, P(PIPE_AXIS))
     rep = NamedSharding(mesh, P())
     out = {
@@ -160,8 +209,14 @@ def pp_generate(
     ``generate_tokens``: ids/mask (B, P) left-padded; returns (tokens
     (B, max_new_tokens) int32, lengths (B,)). ``params`` must come from
     :func:`shard_decoder_pp` over the same ``mesh``. B must divide into
-    S microbatches (B % S == 0)."""
-    S = mesh.devices.size
+    S microbatches (B % S == 0).
+
+    On a 2-D ("pipe", "model") mesh the pipe axis stays MANUAL (the ring
+    schedule below) while the model axis is left to GSPMD: every stage's
+    per-layer matmuls carry their Megatron shardings, so XLA inserts the
+    usual two TP all-reduces per block inside each stage — TP×PP without
+    a line of TP-specific code in the schedule."""
+    S = mesh.shape[PIPE_AXIS]
     B, Pr = ids.shape
     assert B % S == 0, f"batch {B} must be divisible by n_stages {S}"
     mb = B // S
@@ -371,6 +426,9 @@ def pp_generate(
         mesh=mesh,
         in_specs=(param_specs, P(), P(), P()),
         out_specs=(P(), P()),
+        # Only the pipe axis is manual; a model axis (TP×PP) stays
+        # automatic so GSPMD propagates the Megatron shardings.
+        axis_names=frozenset({PIPE_AXIS}),
         check_vma=False,
     )
     return fn(params, ids, mask, key)
