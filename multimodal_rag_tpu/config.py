@@ -106,8 +106,10 @@ class Settings:
     # answers quote their context), verified K+1-at-a-time in one weight
     # pass. Greedy output is bit-identical to plain decode; sampled
     # output is distribution-identical (rejection sampling) but uses a
-    # different pseudo-random stream than spec-off. No effect in
-    # continuous-batching mode (TPU_LLM_CONTINUOUS).
+    # different pseudo-random stream than spec-off. In continuous-
+    # batching mode it additionally requires TPU_LLM_CHUNKED_PREFILL
+    # (decode-only passes then draft+verify K+1 tokens per dispatch with
+    # per-row accept/reject — fewer host round trips per token).
     TPU_LLM_SPECULATIVE: bool = False
     TPU_LLM_SPEC_K: int = 7
     OLLAMA_MODEL: str = "gemma2:4b"

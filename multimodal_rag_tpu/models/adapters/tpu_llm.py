@@ -145,13 +145,20 @@ class TPULLMAdapter(BaseLLMAdapter):
             from multimodal_rag_tpu.config import settings
             from multimodal_rag_tpu.serving_decode import DecodeServer
 
+            spec_k = 0
             if getattr(self._decoder, "spec_enabled", False):
-                logger.warning(
-                    "TPU_LLM_SPECULATIVE has no effect in continuous-"
-                    "batching mode (TPU_LLM_CONTINUOUS=true): the decode "
-                    "server advances one token per step so rows can join "
-                    "at token boundaries."
-                )
+                if settings.TPU_LLM_CHUNKED_PREFILL:
+                    # Decode-only passes draft+verify K+1 tokens per
+                    # dispatch (serving_decode._step_spec) — rows still
+                    # join at token boundaries.
+                    spec_k = settings.TPU_LLM_SPEC_K
+                else:
+                    logger.warning(
+                        "TPU_LLM_SPECULATIVE in continuous-batching mode "
+                        "requires TPU_LLM_CHUNKED_PREFILL=true (the "
+                        "speculative scheduler rides the chunked unpadded "
+                        "layout); running plain one-token steps."
+                    )
             self._server = DecodeServer(
                 self._decoder,
                 chunk_tokens=(
@@ -162,6 +169,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                     settings.TPU_LLM_PREFIX_CACHE
                     if settings.TPU_LLM_CHUNKED_PREFILL else 0
                 ),
+                spec_k=spec_k,
             )
         else:
             self._queue = asyncio.Queue()

@@ -176,6 +176,75 @@ def _speculative_accept(
     return emit, j + 1
 
 
+def _speculative_accept_rows(
+    draft: jax.Array,
+    logits: jax.Array,
+    k_acc: jax.Array,
+    k_rep: jax.Array,
+    temps: jax.Array,
+    top_ps: jax.Array,
+    top_k: int,
+    eos_id: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-row variant of :func:`_speculative_accept` for the continuous
+    decode server: ``temps``/``top_ps`` are TRACED (B,) vectors (greedy
+    and sampled rows share one dispatch; a new value never mints a new
+    executable). Rows with ``temps <= 0`` take the exact greedy
+    acceptance (bit-equal to sequential greedy); others take the
+    rejection-sampling path with their own temperature/nucleus."""
+    B, T, V = logits.shape
+    K = T - 1
+    arange_T = jnp.arange(T)[None, :]
+    draft_pad = jnp.concatenate(
+        [draft, jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+
+    def emit_from(j, corr):
+        return jnp.where(
+            arange_T < j[:, None],
+            draft_pad,
+            jnp.where(arange_T == j[:, None], corr[:, None], eos_id),
+        ).astype(jnp.int32)
+
+    # Greedy path.
+    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+    acc_g = draft == g[:, :K]
+    j_g = jnp.sum(jnp.cumprod(acc_g.astype(jnp.int32), axis=1), axis=1)
+    corr_g = jnp.take_along_axis(g, j_g[:, None], axis=1)[:, 0]
+
+    # Sampled path (per-row temperature + nucleus within top-k).
+    k_eff = top_k if top_k > 0 else min(64, V)
+    l = (logits / jnp.maximum(temps, 1e-6)[:, None, None]).reshape(
+        B * T, V
+    )
+    vals, idx = jax.lax.top_k(l, k_eff)  # (BT, k) sorted desc
+    probs = jax.nn.softmax(vals, axis=-1)
+    exclusive = jnp.cumsum(probs, axis=-1) - probs
+    tp_bt = jnp.broadcast_to(top_ps[:, None], (B, T)).reshape(B * T, 1)
+    fvals = jnp.where(exclusive < tp_bt, vals, -1e9)
+
+    d_bt = draft_pad.at[:, K].set(-1).reshape(B * T, 1)  # no draft at K
+    match = idx == d_bt
+    val_d = jnp.max(jnp.where(match, fvals, -jnp.inf), axis=-1)
+    logz = jax.nn.logsumexp(fvals, axis=-1)
+    p_d = jnp.exp(val_d - logz).reshape(B, T)
+
+    u = _row_uniform(k_acc, K)
+    acc_s = u < p_d[:, :K]
+    j_s = jnp.sum(jnp.cumprod(acc_s.astype(jnp.int32), axis=1), axis=1)
+    ex_vals = jnp.where(match, -1e9, fvals)
+    rep_keys = _row_split_n(k_rep, T).reshape(B * T)
+    choice = jax.vmap(jax.random.categorical)(rep_keys, ex_vals)
+    rep = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+    rep = rep.reshape(B, T).astype(jnp.int32)
+    corr_s = jnp.take_along_axis(rep, j_s[:, None], axis=1)[:, 0]
+
+    greedy = (temps <= 0.0)[:, None]
+    emit = jnp.where(greedy, emit_from(j_g, corr_g), emit_from(j_s, corr_s))
+    n_emit = jnp.where(temps <= 0.0, j_g, j_s) + 1
+    return emit, n_emit
+
+
 @partial(
     jax.jit,
     static_argnames=(

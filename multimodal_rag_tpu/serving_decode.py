@@ -138,6 +138,42 @@ def _fused_chunk_step(
     return nxt, cache
 
 
+@partial(
+    jax.jit, static_argnames=("cfg", "top_k", "spec_k"),
+    donate_argnames=("cache",),
+)
+def _spec_step_rows(
+    params, cache, seq, cur, prev, pos, key_mask, sem_pos,
+    k_acc, k_rep, temps, top_ps, cfg: DecoderConfig, top_k: int,
+    spec_k: int,
+):
+    """One speculative pass for a decode-only batch: per-row bigram
+    prompt-lookup drafts K tokens from ``seq`` (the slot-aligned token
+    record — RAG answers quote their context), one ``decode_verify``
+    chunk scores [cur, d_1..d_K], and per-row accept/reject emits 1..K+1
+    tokens per row per dispatch. Greedy rows are bit-equal to the plain
+    sequential step; sampled rows are distribution-identical (rejection
+    sampling). Host dispatches drop by the acceptance factor — the
+    relay/tunnel-latency lever for continuous batching."""
+    from multimodal_rag_tpu.models.spec_decode import (
+        _propose_ngram,
+        _speculative_accept_rows,
+    )
+
+    match_valid = key_mask | (
+        jnp.arange(key_mask.shape[1])[None, :] == pos[:, None]
+    ).astype(key_mask.dtype)
+    draft = _propose_ngram(seq, match_valid, prev, cur, spec_k)
+    tokens = jnp.concatenate([cur[:, None], draft], axis=1)  # (B, K+1)
+    logits, cache = _decode_verify_impl(
+        params, cache, tokens, pos, key_mask, sem_pos, cfg
+    )
+    emit, n_emit = _speculative_accept_rows(
+        draft, logits, k_acc, k_rep, temps, top_ps, top_k, -1
+    )
+    return emit, n_emit, cache
+
+
 @partial(jax.jit, donate_argnames=("pool",))
 def _load_prefix(pool: Dict, ppool: Dict, entry: jax.Array,
                  slot: jax.Array) -> Dict:
@@ -209,7 +245,8 @@ class DecodeServer:
     def __init__(self, decoder, slots: int = 8, max_new_cap: int = 1024,
                  top_k: int = 64, seed: int = 0,
                  chunk_tokens: Optional[int] = None,
-                 prefix_entries: int = 0):
+                 prefix_entries: int = 0,
+                 spec_k: int = 0):
         self.dec = decoder
         self.cfg: DecoderConfig = decoder.cfg
         self.slots = slots
@@ -231,6 +268,23 @@ class DecodeServer:
             raise ValueError(
                 "prefix_entries requires chunked prefill (chunk_tokens)"
             )
+        # Prompt-lookup speculative decoding for decode-only passes
+        # (spec_k drafted tokens verified per dispatch). Requires the
+        # chunked unpadded layout (the seq record is slot-aligned), and
+        # the scratch tail must cover the K+1 chunk.
+        self.spec_k = int(spec_k)
+        if self.spec_k:
+            if not self.chunk:
+                raise ValueError(
+                    "spec_k requires chunked prefill (chunk_tokens)"
+                )
+            if self.spec_k + 1 > self.chunk:
+                raise ValueError(
+                    f"spec_k={self.spec_k} needs chunk_tokens >= "
+                    f"{self.spec_k + 1}"
+                )
+        self.spec_emitted = 0
+        self.spec_passes = 0
         pool_seq = self.max_seq + (self.chunk if self.chunk else 0)
         self.pool = init_cache(self.cfg, slots, pool_seq)
         self.prefix_entries = int(prefix_entries)
@@ -258,6 +312,10 @@ class DecodeServer:
         self.pos = np.zeros((slots,), np.int32)
         self.sem_pos = np.zeros((slots,), np.int32)
         self.cur_tok = np.zeros((slots,), np.int32)
+        # Speculative mode: slot-aligned token record (prompt + accepted
+        # generation) for the n-gram drafter, and the token before cur.
+        self.seq = np.zeros((slots, pool_seq), np.int32)
+        self.prev_tok = np.zeros((slots,), np.int32)
         self.temps = np.full((slots,), -1.0, np.float32)
         self.top_ps = np.ones((slots,), np.float32)
         # Per-slot sampling keys: each row advances its OWN stream.
@@ -472,6 +530,10 @@ class DecodeServer:
         self.key_mask[slot] = 0
         self.pos[slot] = 0
         self.sem_pos[slot] = 0
+        self.seq[slot] = 0
+        ids = req.prompt_ids
+        self.seq[slot, :len(ids)] = ids
+        self.prev_tok[slot] = ids[-1] if ids else 0
         self.temps[slot] = req.temperature
         self.top_ps[slot] = req.top_p
         self._admitted += 1
@@ -585,6 +647,8 @@ class DecodeServer:
         active = [i for i, r in enumerate(self.requests) if r is not None]
         if not active:
             return []
+        if self.spec_k:
+            return self._step_spec(active)
         for i in active:
             self.key_mask[i, self.pos[i]] = 1
         from multimodal_rag_tpu.models.decoder import _split_rows
@@ -618,6 +682,59 @@ class DecodeServer:
             if len(req.tokens) >= req.max_new_tokens:
                 req.finish = "length"
                 finished.append(self._retire(i))
+        return finished
+
+    def _step_spec(self, active: List[int]) -> List[_Request]:
+        """One speculative pass for a decode-only batch (worker thread):
+        every active row drafts ``spec_k`` tokens by prompt lookup and
+        emits 1..K+1 verified tokens in a single dispatch. Greedy rows
+        reproduce the sequential greedy tokens exactly; sampled rows are
+        distribution-identical with per-row key streams."""
+        from multimodal_rag_tpu.models.decoder import _split_rows
+
+        self.keys, k_acc = _split_rows(self.keys)
+        self.keys, k_rep = _split_rows(self.keys)
+        emit, n_emit, self.pool = _spec_step_rows(
+            self.dec.params, self.pool, jnp.asarray(self.seq),
+            jnp.asarray(self.cur_tok), jnp.asarray(self.prev_tok),
+            jnp.asarray(self.pos), jnp.asarray(self.key_mask),
+            jnp.asarray(self.sem_pos), k_acc, k_rep,
+            jnp.asarray(self.temps), jnp.asarray(self.top_ps),
+            self.cfg, self.top_k, self.spec_k,
+        )
+        emit, n_emit = np.asarray(emit), np.asarray(n_emit)
+        self.steps_run += 1
+        self.spec_passes += 1
+        finished: List[_Request] = []
+        for i in active:
+            req = self.requests[i]
+            p0 = int(self.pos[i])
+            toks: List[int] = []
+            fin: Optional[str] = None
+            for t in emit[i, : int(n_emit[i])].tolist():
+                if t == self.eos_id:
+                    fin = "stop"
+                    break
+                toks.append(int(t))
+                if len(req.tokens) + len(toks) >= req.max_new_tokens:
+                    fin = "length"
+                    break
+            req.tokens.extend(toks)
+            self.spec_emitted += len(toks)
+            n = len(toks)
+            if fin is not None:
+                req.finish = fin
+                finished.append(self._retire(i))
+                continue
+            # KV chunk slots [p0, p0+n) hold cur + the accepted drafts;
+            # the LAST kept token is the next cur — its slot (p0+n)
+            # stays unmarked and is recomputed next pass.
+            self.key_mask[i, p0:p0 + n] = 1
+            self.seq[i, p0 + 1:p0 + 1 + n] = toks
+            self.pos[i] = p0 + n
+            self.sem_pos[i] += n
+            self.prev_tok[i] = toks[-2] if n >= 2 else self.cur_tok[i]
+            self.cur_tok[i] = toks[-1]
         return finished
 
     def _step_chunked(self) -> List[_Request]:
@@ -687,6 +804,7 @@ class DecodeServer:
                     continue
                 req.tokens.append(tok)
                 self.cur_tok[i] = tok
+                self.seq[i, req.consumed] = tok  # cur at its slot
             elif i in decoding:
                 # Same bookkeeping as the plain decode step: the token's
                 # k/v landed at slot pos this pass — mark it attendable
@@ -699,7 +817,9 @@ class DecodeServer:
                     finished.append(self._retire(i))
                     continue
                 req.tokens.append(tok)
+                self.prev_tok[i] = self.cur_tok[i]
                 self.cur_tok[i] = tok
+                self.seq[i, self.pos[i]] = tok  # new cur at new slot
                 if len(req.tokens) >= req.max_new_tokens:
                     req.finish = "length"
                     finished.append(self._retire(i))
@@ -779,6 +899,10 @@ class DecodeServer:
         if self.chunk:
             stats["chunk_tokens"] = self.chunk
             stats["chunk_passes"] = self.chunk_passes
+        if self.spec_k:
+            stats["spec_k"] = self.spec_k
+            stats["spec_passes"] = self.spec_passes
+            stats["spec_tokens_emitted"] = self.spec_emitted
         if self.prefix_entries > 0:
             stats["prefix_cache_entries"] = sum(
                 m is not None for m in self.prefix_meta
