@@ -212,7 +212,9 @@ class TPULLMAdapter(BaseLLMAdapter):
         carryover first — FIFO across rounds), opportunistically absorb
         requests with the same generation preset, run one batched
         generate, fan results back out. Queue items are
-        ``(prompts, preset_key, raw_max_tokens, seed, future)``."""
+        ``(prompts, preset_key, raw_max_tokens, seed, (pres, freq),
+        future)`` — penalties ride per-row (like seed/budget), so they
+        never fragment coalescing."""
         while True:
             if self._carry:
                 first = self._carry.pop(0)
@@ -241,6 +243,8 @@ class TPULLMAdapter(BaseLLMAdapter):
             # key stream (reproducible regardless of batch neighbors);
             # unseeded rows fold the evolving batch seed.
             row_seeds = [req[3] for req in batch for _ in req[0]]
+            row_pres = [req[4][0] for req in batch for _ in req[0]]
+            row_freq = [req[4][1] for req in batch for _ in req[0]]
             seed = self._seed
             self._seed += 1
             try:
@@ -257,11 +261,13 @@ class TPULLMAdapter(BaseLLMAdapter):
                         top_p=top_p,
                         seed=seed,
                         seed_per_row=row_seeds,
+                        presence_per_row=row_pres,
+                        frequency_per_row=row_freq,
                         return_finish=True,
                     )
                 )
                 i = 0
-                for req_prompts, _key, _raw, _seed, fut in batch:
+                for req_prompts, _key, _raw, _seed, _pen, fut in batch:
                     n = len(req_prompts)
                     if not fut.done():
                         fut.set_result((outs[i:i + n], fins[i:i + n]))
@@ -296,6 +302,12 @@ class TPULLMAdapter(BaseLLMAdapter):
                         temperature=temperature, return_finish=True,
                         top_p=float(kw.get("top_p", 1.0)),
                         seed=kw.get("seed"),
+                        presence_penalty=float(
+                            kw.get("presence_penalty", 0.0)
+                        ),
+                        frequency_penalty=float(
+                            kw.get("frequency_penalty", 0.0)
+                        ),
                     )
                     for p in prompts
                 )
@@ -323,11 +335,19 @@ class TPULLMAdapter(BaseLLMAdapter):
             snap_top_p(kw.get("top_p", 1.0)),
         )
         fut = asyncio.get_running_loop().create_future()
-        # The raw budget (and per-request seed) ride alongside the
-        # bucketed key: batching is by bucket, but each row is truncated
-        # to its client budget and sampled from its own seed stream.
+        # The raw budget (and per-request seed/penalties) ride alongside
+        # the bucketed key: batching is by bucket, but each row is
+        # truncated to its client budget, sampled from its own seed
+        # stream, and biased by its own penalties.
         await self._queue.put(
-            (list(prompts), key, int(max_tokens), kw.get("seed"), fut)
+            (
+                list(prompts), key, int(max_tokens), kw.get("seed"),
+                (
+                    float(kw.get("presence_penalty", 0.0)),
+                    float(kw.get("frequency_penalty", 0.0)),
+                ),
+                fut,
+            )
         )
         texts, fins = await fut
         return texts, fins
@@ -386,6 +406,12 @@ class TPULLMAdapter(BaseLLMAdapter):
                 full, max_new_tokens=max_tokens, temperature=temperature,
                 top_p=float(kwargs.get("top_p", 1.0)),
                 seed=kwargs.get("seed"),
+                presence_penalty=float(
+                    kwargs.get("presence_penalty", 0.0)
+                ),
+                frequency_penalty=float(
+                    kwargs.get("frequency_penalty", 0.0)
+                ),
             ):
                 if not started and delta:
                     delta = delta.lstrip()

@@ -1227,6 +1227,20 @@ def _split_rows(keys):
     return pairs[:, 0], pairs[:, 1]
 
 
+def _penalty_bias(counts, pres, freq):
+    """OpenAI presence/frequency penalty as a per-row logit bias.
+
+    ``counts`` (B, V) int32 — occurrences of each token in the row's
+    OUTPUT so far (prompt tokens are not penalized, matching the OpenAI
+    contract "frequency in the text [generated] so far"); ``pres``/
+    ``freq`` (B,) f32. Returns the (B, V) f32 bias to SUBTRACT from raw
+    logits (before temperature scaling). Rows with both penalties 0
+    contribute an exact 0.0 bias, so unpenalized rows are bit-unchanged
+    when batched next to penalized neighbors."""
+    c = counts.astype(jnp.float32)
+    return pres[:, None] * (c > 0.0) + freq[:, None] * c
+
+
 def _sample(logits, keys, temperature: float, top_k: int, top_p=1.0):
     """Temperature + top-k + nucleus sampling with PER-ROW keys
     ((B,) typed key array). ``top_p`` rides as a TRACED scalar (a new
@@ -1269,17 +1283,21 @@ def generate_tokens(
     top_k: int = 64,
     eos_id: int = -1,
     top_p: float = 1.0,
+    pres=None,
+    freq=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Prefill + sample up to ``max_new_tokens``. ids/mask (B, P) left-
     padded. Returns (tokens (B, max_new_tokens) int32, lengths (B,) int32);
     rows stop at ``eos_id`` (their tail is PAD=eos) and the loop exits
     early once every row has finished. ``top_p`` is traced (no
-    per-value recompiles)."""
+    per-value recompiles). ``pres``/``freq`` are optional TRACED (B,)
+    per-row OpenAI presence/frequency penalties (None ⇒ no penalty
+    state is carried at all — the unpenalized executable is unchanged)."""
     S_max = ids.shape[1] + max_new_tokens
     logits, cache = prefill(params, ids, mask, cfg, S_max)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
-        max_new_tokens, temperature, top_k, eos_id, top_p,
+        max_new_tokens, temperature, top_k, eos_id, top_p, pres, freq,
     )
 
 
@@ -1299,6 +1317,8 @@ def generate_tokens_embeds(
     eos_id: int = -1,
     top_p: float = 1.0,
     overlay: Optional[jax.Array] = None,
+    pres=None,
+    freq=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """:func:`generate_tokens` over pre-computed input embeddings (B,P,H)
     — the multimodal entry point. ``overlay`` is the optional prefill
@@ -1309,14 +1329,14 @@ def generate_tokens_embeds(
                                    overlay)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
-        max_new_tokens, temperature, top_k, eos_id, top_p,
+        max_new_tokens, temperature, top_k, eos_id, top_p, pres, freq,
     )
 
 
 def _generate_loop(
     params, logits, cache, mask, key, cfg: DecoderConfig,
     max_new_tokens: int, temperature: float, top_k: int, eos_id: int,
-    top_p=1.0,
+    top_p=1.0, pres=None, freq=None,
 ):
     B, P = mask.shape
     prompt_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,)
@@ -1324,6 +1344,14 @@ def _generate_loop(
         [mask.astype(jnp.int32), jnp.zeros((B, max_new_tokens), jnp.int32)],
         axis=1,
     )
+    # pres/freq is a STATIC None-ness branch: the unpenalized loop carries
+    # no count state and compiles exactly as before; penalized batches get
+    # a (B, V) output-token count array in the carry (the bias input for
+    # _penalty_bias — negligible HBM next to the weight stream).
+    penalized = pres is not None or freq is not None
+    if penalized:
+        pres = jnp.zeros((B,), jnp.float32) if pres is None else pres
+        freq = jnp.zeros((B,), jnp.float32) if freq is None else freq
 
     # Accept one batch key (legacy: split to rows) or per-row keys
     # ((B,)-shaped) for per-request determinism under batching.
@@ -1333,13 +1361,21 @@ def _generate_loop(
     done0 = jnp.zeros((B,), jnp.bool_) | (first == eos_id)
     out0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     out0 = out0.at[:, 0].set(first)
+    rows = jnp.arange(B)
+    if penalized:
+        counts0 = jnp.zeros((B, cfg.vocab_size), jnp.int32)
+        counts0 = counts0.at[rows, first].add(
+            (~done0).astype(jnp.int32)
+        )
+    else:  # loop-invariant scalar placeholder: zero carry cost
+        counts0 = jnp.int32(0)
 
     def cond(state):
         t, done, *_ = state
         return (t < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        t, done, cur, out, key_mask, cache, keys = state
+        t, done, cur, out, key_mask, cache, keys, counts = state
         keys, sub = _split_rows(keys)
         pos = P + t - 1  # cache slot for the token sampled at step t-1
         key_mask = jax.lax.dynamic_update_slice_in_dim(
@@ -1349,14 +1385,22 @@ def _generate_loop(
         logits, cache = decode_step(
             params, cache, cur, pos, key_mask, positions, cfg
         )
+        if penalized:
+            logits = logits - _penalty_bias(counts, pres, freq)
         nxt = _sample(logits, sub, temperature, top_k, top_p)
         nxt = jnp.where(done, eos_id, nxt)
         out = out.at[:, t].set(jnp.where(done, out[:, t], nxt))
-        done = done | (nxt == eos_id)
-        return (t + 1, done, nxt, out, key_mask, cache, keys)
+        done2 = done | (nxt == eos_id)
+        if penalized:
+            counts = counts.at[rows, nxt].add(
+                (~done2).astype(jnp.int32)
+            )
+        return (t + 1, done2, nxt, out, key_mask, cache, keys, counts)
 
-    state = (jnp.int32(1), done0, first, out0, key_mask0, cache, keys)
-    _, done, _, out, _, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (
+        jnp.int32(1), done0, first, out0, key_mask0, cache, keys, counts0,
+    )
+    _, done, _, out, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     lengths = jnp.sum(
         jnp.cumprod((out != eos_id).astype(jnp.int32), axis=1), axis=1
     )
@@ -1503,7 +1547,7 @@ class TextDecoder:
         self.cfg = cfg
         if quantize and "wq_q" not in params["layers"]:
             params = quantize_decoder_params(params)
-        params = self._maybe_shard_tp(params, cfg)
+        params, self.cache_sharding = self._maybe_shard_tp(params, cfg)
         self.params = params
         self.prompt_buckets = tuple(prompt_buckets)
         self.batch_buckets = tuple(batch_buckets)
@@ -1528,12 +1572,37 @@ class TextDecoder:
             )
 
     @staticmethod
-    def _maybe_shard_tp(params: Dict, cfg: DecoderConfig) -> Dict:
+    def _maybe_shard_tp(params: Dict, cfg: DecoderConfig):
         """Tensor-parallel placement over all local devices when the head
         and FFN dims divide (Megatron-style; parallel/decoder_tp.py).
         Decode streams the full weight set every step, so TP over N chips
         is a near-linear decode speedup. Single-device and quantized
-        params (int8 layout not covered by the TP specs) stay put."""
+        params (int8 layout not covered by the TP specs) stay put.
+
+        Returns ``(params, cache_sharding)`` — the NamedSharding a KV
+        cache batched with these params should carry (None when unsharded)
+        so callers like :class:`~..serving_decode.DecodeServer` can place
+        their pools consistently. Params already committed to a
+        multi-device sharding (a caller ran shard_decoder over an explicit
+        mesh, e.g. a TP subset of the slice) are left untouched and their
+        mesh is reused for the cache sharding."""
+        from multimodal_rag_tpu.parallel.decoder_tp import (
+            MODEL_AXIS,
+            cache_spec,
+            shard_decoder,
+            tp_mesh,
+        )
+
+        wq = params["layers"].get("wq", params["layers"].get("wq_q"))
+        sh = getattr(wq, "sharding", None)
+        if sh is not None and len(sh.device_set) > 1:
+            cache_sh = None
+            mesh = getattr(sh, "mesh", None)
+            if mesh is not None and MODEL_AXIS in mesh.axis_names:
+                cache_sh = jax.sharding.NamedSharding(
+                    mesh, cache_spec(cfg, mesh.shape[MODEL_AXIS])
+                )
+            return params, cache_sh
         n = len(jax.devices())
         if (
             n <= 1
@@ -1541,15 +1610,10 @@ class TextDecoder:
             or cfg.num_heads % n
             or cfg.ff_dim % n
         ):
-            return params
-        from multimodal_rag_tpu.parallel.decoder_tp import (
-            shard_decoder,
-            tp_mesh,
-        )
-
-        sharded, _ = shard_decoder(params, tp_mesh(n), cfg)
+            return params, None
+        sharded, cache_sh = shard_decoder(params, tp_mesh(n), cfg)
         logger.info("Decoder weights tensor-parallel over %d devices", n)
-        return sharded
+        return sharded, cache_sh
 
     def prepare(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Encode + LEFT-pad into the smallest (batch, prompt) bucket.
@@ -1596,6 +1660,8 @@ class TextDecoder:
         max_new_per_row: Optional[Sequence[int]] = None,
         top_p: float = 1.0,
         seed_per_row: Optional[Sequence[Optional[int]]] = None,
+        presence_per_row: Optional[Sequence[float]] = None,
+        frequency_per_row: Optional[Sequence[float]] = None,
     ) -> "list[str] | tuple[list[str], list[str]]":
         """Generate one completion per prompt.
 
@@ -1614,6 +1680,14 @@ class TextDecoder:
         sample from their OWN key stream, so the same (prompt, seed,
         sampling params) reproduces the same completion regardless of
         what else got coalesced into the batch.
+
+        ``presence_per_row``/``frequency_per_row`` (OpenAI presence/
+        frequency penalties): per-row logit bias over each row's OWN
+        output-token counts (see :func:`_penalty_bias`) — rows with 0
+        penalties are bit-unchanged, so penalized requests coalesce with
+        unpenalized neighbors. Penalties disable prompt-lookup
+        speculation for the batch (per-token counts must update
+        sequentially; the plain loop is exact).
         """
         if not prompts:
             return ([], []) if return_finish else []
@@ -1638,6 +1712,14 @@ class TextDecoder:
                         list(seed_per_row[start:start + max_bb])
                         if seed_per_row is not None else None
                     ),
+                    presence_per_row=(
+                        list(presence_per_row[start:start + max_bb])
+                        if presence_per_row is not None else None
+                    ),
+                    frequency_per_row=(
+                        list(frequency_per_row[start:start + max_bb])
+                        if frequency_per_row is not None else None
+                    ),
                 )
                 out.extend(o)
                 fins.extend(f)
@@ -1660,7 +1742,21 @@ class TextDecoder:
                 if s_i is not None
                 else jax.random.fold_in(base, i)
             )
-        if self.spec_enabled:
+        # Per-row penalties, padded to the batch bucket (pad rows get 0).
+        pres_v = freq_v = None
+        if any(
+            v for v in (presence_per_row or []) + (frequency_per_row or [])
+        ):
+            pres_np = np.zeros((B,), np.float32)
+            freq_np = np.zeros((B,), np.float32)
+            for i in range(len(prompts)):
+                if presence_per_row is not None and i < len(presence_per_row):
+                    pres_np[i] = float(presence_per_row[i] or 0.0)
+                if frequency_per_row is not None \
+                        and i < len(frequency_per_row):
+                    freq_np[i] = float(frequency_per_row[i] or 0.0)
+            pres_v, freq_v = jnp.asarray(pres_np), jnp.asarray(freq_np)
+        if self.spec_enabled and pres_v is None:
             from multimodal_rag_tpu.models.spec_decode import (
                 generate_tokens_spec,
             )
@@ -1694,6 +1790,8 @@ class TextDecoder:
                 top_k=int(top_k),
                 eos_id=int(self.eos_id),
                 top_p=float(top_p),
+                pres=pres_v,
+                freq=freq_v,
             )
         toks = np.asarray(toks)
         lengths = np.asarray(lengths)

@@ -185,13 +185,19 @@ def _speculative_accept_rows(
     top_ps: jax.Array,
     top_k: int,
     eos_id: int,
+    force_single=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-row variant of :func:`_speculative_accept` for the continuous
     decode server: ``temps``/``top_ps`` are TRACED (B,) vectors (greedy
     and sampled rows share one dispatch; a new value never mints a new
     executable). Rows with ``temps <= 0`` take the exact greedy
     acceptance (bit-equal to sequential greedy); others take the
-    rejection-sampling path with their own temperature/nucleus."""
+    rejection-sampling path with their own temperature/nucleus.
+
+    ``force_single`` (optional (B,) bool): rows marked True reject every
+    draft and emit exactly one token — the position-0 correction sample.
+    Used for presence/frequency-penalized rows, whose logit bias is only
+    current for the first position (serving_decode._spec_step_rows)."""
     B, T, V = logits.shape
     K = T - 1
     arange_T = jnp.arange(T)[None, :]
@@ -210,6 +216,8 @@ def _speculative_accept_rows(
     g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
     acc_g = draft == g[:, :K]
     j_g = jnp.sum(jnp.cumprod(acc_g.astype(jnp.int32), axis=1), axis=1)
+    if force_single is not None:
+        j_g = jnp.where(force_single, 0, j_g)
     corr_g = jnp.take_along_axis(g, j_g[:, None], axis=1)[:, 0]
 
     # Sampled path (per-row temperature + nucleus within top-k).
@@ -232,12 +240,23 @@ def _speculative_accept_rows(
     u = _row_uniform(k_acc, K)
     acc_s = u < p_d[:, :K]
     j_s = jnp.sum(jnp.cumprod(acc_s.astype(jnp.int32), axis=1), axis=1)
+    if force_single is not None:
+        j_s = jnp.where(force_single, 0, j_s)
     ex_vals = jnp.where(match, -1e9, fvals)
     rep_keys = _row_split_n(k_rep, T).reshape(B * T)
     choice = jax.vmap(jax.random.categorical)(rep_keys, ex_vals)
     rep = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
     rep = rep.reshape(B, T).astype(jnp.int32)
     corr_s = jnp.take_along_axis(rep, j_s[:, None], axis=1)[:, 0]
+    if force_single is not None:
+        # Forced rows never ran an acceptance test, so their one emitted
+        # token must come from the FULL target distribution at position 0
+        # — not the rejected-draft leftover the rejection sampler uses.
+        choice_full = jax.vmap(jax.random.categorical)(rep_keys, fvals)
+        full_tok = jnp.take_along_axis(
+            idx, choice_full[:, None], axis=1
+        )[:, 0].reshape(B, T).astype(jnp.int32)
+        corr_s = jnp.where(force_single, full_tok[:, 0], corr_s)
 
     greedy = (temps <= 0.0)[:, None]
     emit = jnp.where(greedy, emit_from(j_g, corr_g), emit_from(j_s, corr_s))

@@ -137,11 +137,13 @@ def parse_sampling_params(body: dict):
     """Shared OpenAI sampling-parameter policy for /v1/chat/completions
     and /v1/completions. Parameters that would silently change the output
     contract are either honored (max_tokens, temperature, top_p, stop) or
-    explicitly rejected (n > 1, logprobs); presence/frequency penalties
-    are accepted as documented no-ops (PARITY.md), matching what the
-    HTTP backends would do with them; ``seed`` is honored by the on-TPU
-    backends (per-request key streams — reproducible even when batched)
-    and ignored by the HTTP backends.
+    explicitly rejected (n > 1, logprobs); ``presence_penalty``/
+    ``frequency_penalty`` are validated to OpenAI's [-2, 2] range and
+    honored by the on-TPU backends (per-row output-token-count logit
+    bias in the compiled sampler — see decoder._penalty_bias), ignored
+    by the HTTP backends; ``seed`` is honored by the on-TPU backends
+    (per-request key streams — reproducible even when batched) and
+    ignored by the HTTP backends.
 
     Returns (sampling dict, None) or (None, error message). temperature
     snaps to the decoder's TEMP_GRID (it selects a compiled executable on
@@ -199,11 +201,23 @@ def parse_sampling_params(body: dict):
         not isinstance(seed_raw, int) or isinstance(seed_raw, bool)
     ):
         return None, "seed must be an integer"
+    penalties = {}
+    for name in ("presence_penalty", "frequency_penalty"):
+        raw = body.get(name, 0.0)
+        if raw is None:
+            raw = 0.0
+        if not isinstance(raw, (int, float)) or isinstance(raw, bool) \
+                or not (-2.0 <= float(raw) <= 2.0):
+            return None, f"{name} must be a number in [-2, 2]"
+        penalties[name] = float(raw)
     gen_kw = {"max_tokens": max_tokens, "temperature": temperature}
     if top_p < 1.0:
         gen_kw["top_p"] = top_p
     if seed_raw is not None:
         gen_kw["seed"] = seed_raw
+    for name, v in penalties.items():
+        if v != 0.0:
+            gen_kw[name] = v
     return {
         "max_tokens": max_tokens,
         "temperature": temperature,

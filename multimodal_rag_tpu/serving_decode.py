@@ -78,6 +78,40 @@ def _insert_row(pool: Dict, row: Dict, slot: jax.Array) -> Dict:
     }
 
 
+@partial(jax.jit, donate_argnames=("counts",))
+def _count_reset(counts, slot):
+    """Zero the per-slot output-token count row (request admission)."""
+    return counts.at[slot].set(0)
+
+
+@partial(jax.jit, donate_argnames=("counts",))
+def _count_admit(counts, slot, tok):
+    """Admission bookkeeping for the classic path: zero the slot's count
+    row, then record the first sampled token (the prefill sample sees an
+    all-zero count row, so it needs no bias)."""
+    counts = counts.at[slot].set(0)
+    return counts.at[slot, tok].add(1)
+
+
+@partial(jax.jit, static_argnames=("top_k",), donate_argnames=("counts",))
+def _sample_rows_counted(
+    logits, keys, temps, top_k: int, top_ps, counts, pres, freq, emit
+):
+    """:func:`_sample_rows` with OpenAI presence/frequency penalties:
+    subtract the per-row bias over each row's output-token counts, then
+    record the sampled token for rows that actually emit it (``emit``
+    (B,) int32 — 0 for idle slots). Zero-penalty rows get an exact 0.0
+    bias, so mixed batches leave unpenalized rows bit-unchanged."""
+    from multimodal_rag_tpu.models.decoder import _penalty_bias
+
+    nxt = _sample_rows(
+        logits - _penalty_bias(counts, pres, freq), keys, temps, top_k,
+        top_ps,
+    )
+    counts = counts.at[jnp.arange(nxt.shape[0]), nxt].add(emit)
+    return nxt, counts
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
     """Per-row temperature + nucleus + PER-ROW key streams ((B,) typed
@@ -110,11 +144,13 @@ def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "top_k"), donate_argnames=("cache",)
+    jax.jit, static_argnames=("cfg", "top_k"),
+    donate_argnames=("cache", "counts"),
 )
 def _fused_chunk_step(
     params, cache, tokens, pos0, key_mask, positions0, gather, keys,
-    temps, top_ps, cfg: DecoderConfig, top_k: int,
+    temps, top_ps, counts, pres, freq, emit, cfg: DecoderConfig,
+    top_k: int,
 ):
     """ONE dispatch that advances a mixed batch (Sarathi-style chunked
     prefill fused with decode): each row's C-token chunk is either the
@@ -134,18 +170,27 @@ def _fused_chunk_step(
     row_logits = jnp.take_along_axis(
         logits, gather[:, None, None], axis=1
     )[:, 0]
-    nxt = _sample_rows(row_logits, keys, temps, top_k, top_ps)
-    return nxt, cache
+    from multimodal_rag_tpu.models.decoder import _penalty_bias
+
+    # Presence/frequency penalties: bias over the row's OUTPUT counts;
+    # ``emit`` masks the count update to rows whose sample is real this
+    # pass (mid-prefill and idle rows sample garbage the host discards).
+    nxt = _sample_rows(
+        row_logits - _penalty_bias(counts, pres, freq), keys, temps,
+        top_k, top_ps,
+    )
+    counts = counts.at[jnp.arange(nxt.shape[0]), nxt].add(emit)
+    return nxt, cache, counts
 
 
 @partial(
     jax.jit, static_argnames=("cfg", "top_k", "spec_k"),
-    donate_argnames=("cache",),
+    donate_argnames=("cache", "counts"),
 )
 def _spec_step_rows(
     params, cache, seq, cur, prev, pos, key_mask, sem_pos,
-    k_acc, k_rep, temps, top_ps, cfg: DecoderConfig, top_k: int,
-    spec_k: int,
+    k_acc, k_rep, temps, top_ps, counts, pres, freq,
+    cfg: DecoderConfig, top_k: int, spec_k: int,
 ):
     """One speculative pass for a decode-only batch: per-row bigram
     prompt-lookup drafts K tokens from ``seq`` (the slot-aligned token
@@ -168,10 +213,25 @@ def _spec_step_rows(
     logits, cache = _decode_verify_impl(
         params, cache, tokens, pos, key_mask, sem_pos, cfg
     )
+    from multimodal_rag_tpu.models.decoder import _penalty_bias
+
+    # Penalized rows emit exactly ONE token per pass (force_single): the
+    # bias below is computed from counts at pass start, which is only
+    # exact for the FIRST sampled position — accepting drafts beyond it
+    # would sample from stale counts. Zero-penalty rows keep full
+    # speculative acceptance (their bias is exactly 0.0).
+    logits = logits - _penalty_bias(counts, pres, freq)[:, None, :]
+    force_single = (pres != 0.0) | (freq != 0.0)
     emit, n_emit = _speculative_accept_rows(
-        draft, logits, k_acc, k_rep, temps, top_ps, top_k, -1
+        draft, logits, k_acc, k_rep, temps, top_ps, top_k, -1,
+        force_single,
     )
-    return emit, n_emit, cache
+    rows = jnp.arange(emit.shape[0])
+    for i in range(spec_k + 1):
+        counts = counts.at[rows, emit[:, i]].add(
+            (n_emit > i).astype(jnp.int32)
+        )
+    return emit, n_emit, cache, counts
 
 
 @partial(jax.jit, donate_argnames=("pool",))
@@ -217,6 +277,8 @@ class _Request:
     future: asyncio.Future
     top_p: float = 1.0
     seed: Optional[int] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     tokens: List[int] = field(default_factory=list)
     slot: int = -1
     # Chunked-prefill mode: prompt tokens consumed so far. A row is
@@ -246,7 +308,8 @@ class DecodeServer:
                  top_k: int = 64, seed: int = 0,
                  chunk_tokens: Optional[int] = None,
                  prefix_entries: int = 0,
-                 spec_k: int = 0):
+                 spec_k: int = 0,
+                 cache_sharding=None):
         self.dec = decoder
         self.cfg: DecoderConfig = decoder.cfg
         self.slots = slots
@@ -287,6 +350,17 @@ class DecodeServer:
         self.spec_passes = 0
         pool_seq = self.max_seq + (self.chunk if self.chunk else 0)
         self.pool = init_cache(self.cfg, slots, pool_seq)
+        # Tensor-parallel composition: with TP-sharded decoder params
+        # (decoder_tp.shard_decoder), place the KV pool with the matching
+        # head-axis sharding so every chip holds only its head groups'
+        # cache; the jitted steps then run under GSPMD unchanged. The
+        # decoder records its own cache sharding when it auto-TPs or is
+        # handed pre-sharded params, so by default just follow it.
+        if cache_sharding is None:
+            cache_sharding = getattr(decoder, "cache_sharding", None)
+        self.cache_sharding = cache_sharding
+        if cache_sharding is not None:
+            self.pool = jax.device_put(self.pool, cache_sharding)
         self.prefix_entries = int(prefix_entries)
         if self.prefix_entries > 0:
             lp_max = (decoder.prompt_buckets[-1] // self.chunk) * self.chunk
@@ -294,6 +368,10 @@ class DecodeServer:
             self.prefix_pool = init_cache(
                 self.cfg, self.prefix_entries, self.prefix_len_max
             )
+            if cache_sharding is not None:
+                self.prefix_pool = jax.device_put(
+                    self.prefix_pool, cache_sharding
+                )
             # Per entry: (token tuple, stored_len) or None; parallel
             # last-use tick for LRU eviction.
             self.prefix_meta: List[Optional[tuple]] = (
@@ -318,6 +396,14 @@ class DecodeServer:
         self.prev_tok = np.zeros((slots,), np.int32)
         self.temps = np.full((slots,), -1.0, np.float32)
         self.top_ps = np.ones((slots,), np.float32)
+        # OpenAI presence/frequency penalties: per-slot strengths plus a
+        # device-resident (slots, V) output-token count array (the bias
+        # input — ~4 MB at a 128k vocab, nothing next to the weights).
+        # Idle/retired slots keep stale counts but zero strengths, so
+        # their bias is exactly 0; admission zeroes the row.
+        self.pres = np.zeros((slots,), np.float32)
+        self.freqs = np.zeros((slots,), np.float32)
+        self.counts = jnp.zeros((slots, self.cfg.vocab_size), jnp.int32)
         # Per-slot sampling keys: each row advances its OWN stream.
         self.keys = jax.random.split(jax.random.key(seed), slots)
         self._admitted = 0  # distinct default-key stream per admission
@@ -354,6 +440,8 @@ class DecodeServer:
         return_finish: bool = False,
         top_p: float = 1.0,
         seed: Optional[int] = None,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
     ) -> "str | tuple[str, str]":
         """Generate text for ``prompt``; resolves when the row finishes.
         With ``return_finish=True`` returns ``(text, finish_reason)`` —
@@ -374,6 +462,8 @@ class DecodeServer:
             future=fut,
             top_p=float(top_p),
             seed=seed,
+            presence_penalty=float(presence_penalty),
+            frequency_penalty=float(frequency_penalty),
         )
         await self.pending.put(req)
         text, finish = await fut
@@ -386,6 +476,8 @@ class DecodeServer:
         temperature: float = 0.7,
         top_p: float = 1.0,
         seed: Optional[int] = None,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
     ):
         """Per-token streaming variant of :meth:`submit`: an async
         generator of ``(text_delta, finish)`` pairs. ``finish`` is None
@@ -402,6 +494,8 @@ class DecodeServer:
             stream_q=asyncio.Queue(),
             top_p=float(top_p),
             seed=seed,
+            presence_penalty=float(presence_penalty),
+            frequency_penalty=float(frequency_penalty),
         )
         await self.pending.put(req)
         try:
@@ -508,6 +602,14 @@ class DecodeServer:
         self.cur_tok[slot] = first
         self.temps[slot] = req.temperature
         self.top_ps[slot] = req.top_p
+        self.pres[slot] = req.presence_penalty
+        self.freqs[slot] = req.frequency_penalty
+        # The prefill sample above saw an all-zero count row for this
+        # request (bias 0 is exact for the first token); start the row's
+        # output-token counts with it.
+        self.counts = _count_admit(
+            self.counts, jnp.int32(slot), jnp.int32(first)
+        )
         self.keys = self.keys.at[slot].set(row_key)
         if first == self.eos_id or req.max_new_tokens <= 1:
             if first != self.eos_id:
@@ -536,6 +638,9 @@ class DecodeServer:
         self.prev_tok[slot] = ids[-1] if ids else 0
         self.temps[slot] = req.temperature
         self.top_ps[slot] = req.top_p
+        self.pres[slot] = req.presence_penalty
+        self.freqs[slot] = req.frequency_penalty
+        self.counts = _count_reset(self.counts, jnp.int32(slot))
         self._admitted += 1
         row_key = (
             jax.random.key(int(req.seed))
@@ -618,6 +723,8 @@ class DecodeServer:
         self.key_mask[slot] = 0
         self.key_mask[slot, 0] = 1
         self.temps[slot] = -1.0
+        self.pres[slot] = 0.0
+        self.freqs[slot] = 0.0
         self.requests_done += 1
         return req
 
@@ -663,10 +770,15 @@ class DecodeServer:
             jnp.asarray(self.sem_pos),
             self.cfg,
         )
-        nxt = np.asarray(
-            _sample_rows(logits, sub, jnp.asarray(self.temps), self.top_k,
-                         jnp.asarray(self.top_ps))
+        emitting = np.zeros((self.slots,), np.int32)
+        emitting[active] = 1
+        nxt, self.counts = _sample_rows_counted(
+            logits, sub, jnp.asarray(self.temps), self.top_k,
+            jnp.asarray(self.top_ps), self.counts,
+            jnp.asarray(self.pres), jnp.asarray(self.freqs),
+            jnp.asarray(emitting),
         )
+        nxt = np.asarray(nxt)
         self.steps_run += 1
         finished: List[_Request] = []
         for i in active:
@@ -694,12 +806,13 @@ class DecodeServer:
 
         self.keys, k_acc = _split_rows(self.keys)
         self.keys, k_rep = _split_rows(self.keys)
-        emit, n_emit, self.pool = _spec_step_rows(
+        emit, n_emit, self.pool, self.counts = _spec_step_rows(
             self.dec.params, self.pool, jnp.asarray(self.seq),
             jnp.asarray(self.cur_tok), jnp.asarray(self.prev_tok),
             jnp.asarray(self.pos), jnp.asarray(self.key_mask),
             jnp.asarray(self.sem_pos), k_acc, k_rep,
             jnp.asarray(self.temps), jnp.asarray(self.top_ps),
+            self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
             self.cfg, self.top_k, self.spec_k,
         )
         emit, n_emit = np.asarray(emit), np.asarray(n_emit)
@@ -749,6 +862,7 @@ class DecodeServer:
         pos0 = np.ones((self.slots,), np.int32)
         positions0 = np.zeros((self.slots,), np.int32)
         gather = np.zeros((self.slots,), np.int32)
+        emitting = np.zeros((self.slots,), np.int32)
         chunk_lens: Dict[int, int] = {}
         decoding: List[int] = []
         for i, req in enumerate(self.requests):
@@ -763,20 +877,23 @@ class DecodeServer:
                 chunk_lens[i] = len(part)
                 if req.consumed + len(part) == len(ids):
                     gather[i] = len(part) - 1  # first-token logits row
+                    emitting[i] = 1
             else:
                 tokens[i, 0] = self.cur_tok[i]
                 pos0[i] = self.pos[i]
                 positions0[i] = self.sem_pos[i]
                 decoding.append(i)
+                emitting[i] = 1
         from multimodal_rag_tpu.models.decoder import _split_rows
 
         self.keys, sub = _split_rows(self.keys)
-        nxt, self.pool = _fused_chunk_step(
+        nxt, self.pool, self.counts = _fused_chunk_step(
             self.dec.params, self.pool, jnp.asarray(tokens),
             jnp.asarray(pos0), jnp.asarray(self.key_mask),
             jnp.asarray(positions0), jnp.asarray(gather), sub,
             jnp.asarray(self.temps), jnp.asarray(self.top_ps),
-            self.cfg, self.top_k,
+            self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
+            jnp.asarray(emitting), self.cfg, self.top_k,
         )
         nxt = np.asarray(nxt)
         self.steps_run += 1
@@ -844,6 +961,8 @@ class DecodeServer:
         self.key_mask[:] = 0
         self.key_mask[:, 0] = 1
         self.temps[:] = -1.0
+        self.pres[:] = 0.0
+        self.freqs[:] = 0.0
 
     async def _admit_safe(self, req: _Request) -> None:
         """Admit ``req`` into the first free slot, failing ITS waiter on a
