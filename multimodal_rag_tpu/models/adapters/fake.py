@@ -60,6 +60,36 @@ class FakeLLMAdapter(BaseLLMAdapter):
         )
         return f"Answer to: {prompt[:80]}"
 
+    async def generate_text_with_logprobs(
+        self,
+        prompt: str,
+        max_tokens: int = 1000,
+        temperature: float = 0.7,
+        **kwargs,
+    ) -> "tuple[str, str, list]":
+        """Same record shape as TPULLMAdapter.generate_text_with_logprobs
+        (id/token/logprob/top tuples), with deterministic synthetic
+        numbers so API-layer formatting is testable without a decoder."""
+        text = await self.generate_text(
+            prompt, max_tokens=max_tokens, temperature=temperature,
+            **{k: v for k, v in kwargs.items()
+               if k not in ("presence_penalty", "frequency_penalty",
+                            "seed", "top_p")},
+        )
+        lps = [
+            {
+                "id": i,
+                "token": w if i == 0 else f" {w}",
+                "logprob": -0.1 * (i + 1),
+                "top": [
+                    (100 + j, f"alt{j}", -0.1 * (i + 1) - 0.01 * j)
+                    for j in range(20)
+                ],
+            }
+            for i, w in enumerate(text.split())
+        ]
+        return text, "stop", lps
+
     async def generate_multimodal(
         self,
         text: str,

@@ -237,7 +237,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                     deferred.append(req)
             self._carry = deferred  # served at the FRONT next round
             prompts = [p for req in batch for p in req[0]]
-            bucket, temperature, top_k, top_p = first[1]
+            bucket, temperature, top_k, top_p, want_lp = first[1]
             budgets = [req[2] for req in batch for _ in req[0]]
             # Per-request OpenAI seed: rows with one sample from their own
             # key stream (reproducible regardless of batch neighbors);
@@ -248,7 +248,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             seed = self._seed
             self._seed += 1
             try:
-                outs, fins = await asyncio.to_thread(
+                res = await asyncio.to_thread(
                     functools.partial(
                         self._decoder.generate,
                         prompts,
@@ -264,13 +264,19 @@ class TPULLMAdapter(BaseLLMAdapter):
                         presence_per_row=row_pres,
                         frequency_per_row=row_freq,
                         return_finish=True,
+                        logprobs=want_lp,
                     )
                 )
+                outs, fins = res[0], res[1]
+                lps = res[2] if want_lp else None
                 i = 0
                 for req_prompts, _key, _raw, _seed, _pen, fut in batch:
                     n = len(req_prompts)
                     if not fut.done():
-                        fut.set_result((outs[i:i + n], fins[i:i + n]))
+                        fut.set_result((
+                            outs[i:i + n], fins[i:i + n],
+                            lps[i:i + n] if want_lp else None,
+                        ))
                     i += n
                 self._batches_run += 1
                 self.requests_served += len(batch)
@@ -289,13 +295,16 @@ class TPULLMAdapter(BaseLLMAdapter):
                         fut.set_exception(e)
 
     async def _generate_batch(
-        self, prompts: List[str], max_tokens: int, temperature: float, **kw
-    ) -> "tuple[List[str], List[str]]":
-        """Returns (texts, finish_reasons) — "stop" (EOS) / "length"."""
+        self, prompts: List[str], max_tokens: int, temperature: float,
+        logprobs: bool = False, **kw
+    ) -> "tuple[List[str], List[str], Optional[list]]":
+        """Returns (texts, finish_reasons, lps) — finish is "stop" (EOS)
+        / "length"; lps is None unless ``logprobs`` (then one per-token
+        record list per prompt — decoder.TextDecoder.generate docs)."""
         if not self.is_initialized:
             await self.initialize()
         if self._server is not None:
-            pairs = await asyncio.gather(
+            tuples = await asyncio.gather(
                 *(
                     self._server.submit(
                         p, max_new_tokens=max_tokens,
@@ -308,12 +317,17 @@ class TPULLMAdapter(BaseLLMAdapter):
                         frequency_penalty=float(
                             kw.get("frequency_penalty", 0.0)
                         ),
+                        logprobs=logprobs,
                     )
                     for p in prompts
                 )
             )
             self.requests_served += len(prompts)
-            return [t for t, _ in pairs], [f for _, f in pairs]
+            return (
+                [t[0] for t in tuples],
+                [t[1] for t in tuples],
+                [t[2] for t in tuples] if logprobs else None,
+            )
         # Key on the BUCKETED token budget and the SNAPPED temperature —
         # the executable-selecting statics — so e.g. max_tokens 140 and
         # 150 (both bucket 256) coalesce into one batch, and client-swept
@@ -328,11 +342,15 @@ class TPULLMAdapter(BaseLLMAdapter):
         # top_p is traced (never a recompile) but joins the coalescing
         # key so one batch shares a nucleus threshold; snapping keeps
         # client-swept floats from fragmenting batches.
+        # logprobs joins the key: it selects a different executable
+        # (static capture branch), so lp and non-lp requests never share
+        # a dispatch.
         key = (
             bucket_for(int(max_tokens), GEN_BUCKETS),
             snap_temperature(temperature),
             int(kw.get("top_k", 64)),
             snap_top_p(kw.get("top_p", 1.0)),
+            bool(logprobs),
         )
         fut = asyncio.get_running_loop().create_future()
         # The raw budget (and per-request seed/penalties) ride alongside
@@ -349,8 +367,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                 fut,
             )
         )
-        texts, fins = await fut
-        return texts, fins
+        return await fut
 
     async def generate_text(
         self,
@@ -375,10 +392,29 @@ class TPULLMAdapter(BaseLLMAdapter):
         reason ("stop" | "length") for /v1/chat/completions."""
         self._validate_input(prompt)
         full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
-        outs, fins = await self._generate_batch(
+        outs, fins, _ = await self._generate_batch(
             [full], max_tokens, temperature, **kwargs
         )
         return outs[0].strip(), fins[0]
+
+    async def generate_text_with_logprobs(
+        self,
+        prompt: str,
+        max_tokens: int = 1000,
+        temperature: float = 0.7,
+        **kwargs,
+    ) -> "tuple[str, str, list]":
+        """``generate_text_with_finish`` + OpenAI logprobs: also returns
+        one record per emitted token — ``{"id", "token", "logprob",
+        "top": [(id, token, logprob)] * LOGPROBS_K}``. The text is NOT
+        whitespace-stripped here (stripping would desynchronize it from
+        the per-token records); the API layer renders both verbatim."""
+        self._validate_input(prompt)
+        full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
+        outs, fins, lps = await self._generate_batch(
+            [full], max_tokens, temperature, logprobs=True, **kwargs
+        )
+        return outs[0], fins[0], lps[0]
 
     async def generate_text_stream(
         self,
@@ -420,7 +456,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                     yield delta, fin
             self.requests_served += 1
             return
-        outs, fins = await self._generate_batch(
+        outs, fins, _ = await self._generate_batch(
             [full], max_tokens, temperature, **kwargs
         )
         yield outs[0].strip(), fins[0]
@@ -463,7 +499,7 @@ class TPULLMAdapter(BaseLLMAdapter):
         **kwargs,
     ) -> str:
         self._validate_input(content)
-        out, _fins = await self._generate_batch(
+        out, _fins, _ = await self._generate_batch(
             [self._summary_prompt(content, content_type, max_length)],
             max_tokens=max(32, int(max_length / 2)),
             temperature=0.3,
@@ -488,7 +524,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             self._summary_prompt(c, content_type, max_length)
             for c in contents
         ]
-        outs, _fins = await self._generate_batch(
+        outs, _fins, _ = await self._generate_batch(
             prompts,
             max_tokens=max(32, int(max_length / 2)),
             temperature=0.3,

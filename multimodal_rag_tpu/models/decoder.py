@@ -1241,6 +1241,27 @@ def _penalty_bias(counts, pres, freq):
     return pres[:, None] * (c > 0.0) + freq[:, None] * c
 
 
+#: Top-alternative count captured when logprobs are requested — OpenAI's
+#: ``top_logprobs`` maxes at 20; capturing the fixed max keeps ONE
+#: executable for every logprobs request (hosts slice to what was asked).
+LOGPROBS_K = 20
+
+
+def _lp_top(logits, nxt):
+    """Chosen-token logprob + top-:data:`LOGPROBS_K` alternatives.
+
+    ``logits`` (B, V) are the SAMPLING logits (penalty-biased, before
+    temperature scaling) — logprobs report the model's own distribution,
+    the same contract OpenAI documents. Returns ``(lp (B,), tv (B, K),
+    ti (B, K))`` with tv/ti sorted descending."""
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    lp = jnp.take_along_axis(
+        logits.astype(jnp.float32), nxt[:, None], axis=1
+    )[:, 0] - lse
+    tv, ti = jax.lax.top_k(logits.astype(jnp.float32), LOGPROBS_K)
+    return lp, tv - lse[:, None], ti.astype(jnp.int32)
+
+
 def _sample(logits, keys, temperature: float, top_k: int, top_p=1.0):
     """Temperature + top-k + nucleus sampling with PER-ROW keys
     ((B,) typed key array). ``top_p`` rides as a TRACED scalar (a new
@@ -1270,7 +1291,10 @@ def _sample(logits, keys, temperature: float, top_k: int, top_p=1.0):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "eos_id"),
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "top_k", "eos_id",
+        "logprobs",
+    ),
 )
 def generate_tokens(
     params: Dict,
@@ -1285,25 +1309,33 @@ def generate_tokens(
     top_p: float = 1.0,
     pres=None,
     freq=None,
-) -> Tuple[jax.Array, jax.Array]:
+    logprobs: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Prefill + sample up to ``max_new_tokens``. ids/mask (B, P) left-
     padded. Returns (tokens (B, max_new_tokens) int32, lengths (B,) int32);
     rows stop at ``eos_id`` (their tail is PAD=eos) and the loop exits
     early once every row has finished. ``top_p`` is traced (no
     per-value recompiles). ``pres``/``freq`` are optional TRACED (B,)
     per-row OpenAI presence/frequency penalties (None ⇒ no penalty
-    state is carried at all — the unpenalized executable is unchanged)."""
+    state is carried at all — the unpenalized executable is unchanged).
+    ``logprobs`` (STATIC) additionally returns per-step chosen-token
+    logprobs (B, N) f32 and top-:data:`LOGPROBS_K` alternatives
+    ((B, N, K) f32 values + int32 ids) — see :func:`_lp_top`."""
     S_max = ids.shape[1] + max_new_tokens
     logits, cache = prefill(params, ids, mask, cfg, S_max)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
         max_new_tokens, temperature, top_k, eos_id, top_p, pres, freq,
+        logprobs,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "eos_id"),
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "top_k", "eos_id",
+        "logprobs",
+    ),
 )
 def generate_tokens_embeds(
     params: Dict,
@@ -1319,7 +1351,8 @@ def generate_tokens_embeds(
     overlay: Optional[jax.Array] = None,
     pres=None,
     freq=None,
-) -> Tuple[jax.Array, jax.Array]:
+    logprobs: bool = False,
+) -> Tuple[jax.Array, ...]:
     """:func:`generate_tokens` over pre-computed input embeddings (B,P,H)
     — the multimodal entry point. ``overlay`` is the optional prefill
     OR-visibility mask (see :func:`prefill_embeds`); generated tokens
@@ -1330,13 +1363,14 @@ def generate_tokens_embeds(
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
         max_new_tokens, temperature, top_k, eos_id, top_p, pres, freq,
+        logprobs,
     )
 
 
 def _generate_loop(
     params, logits, cache, mask, key, cfg: DecoderConfig,
     max_new_tokens: int, temperature: float, top_k: int, eos_id: int,
-    top_p=1.0, pres=None, freq=None,
+    top_p=1.0, pres=None, freq=None, logprobs: bool = False,
 ):
     B, P = mask.shape
     prompt_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,)
@@ -1369,13 +1403,29 @@ def _generate_loop(
         )
     else:  # loop-invariant scalar placeholder: zero carry cost
         counts0 = jnp.int32(0)
+    # Logprobs is a STATIC branch like penalties: off ⇒ no extra carry at
+    # all. On ⇒ (B, N) chosen logprobs + (B, N, K) top alternatives ride
+    # the loop (a few KB — nothing next to the KV cache). The first
+    # token's entry comes from the prefill logits (its penalty bias is an
+    # exact 0: the output is empty at that point).
+    if logprobs:
+        lp1, tv1, ti1 = _lp_top(logits, first)
+        lp0 = jnp.zeros((B, max_new_tokens), jnp.float32).at[:, 0].set(lp1)
+        tv0 = jnp.zeros(
+            (B, max_new_tokens, LOGPROBS_K), jnp.float32
+        ).at[:, 0].set(tv1)
+        ti0 = jnp.zeros(
+            (B, max_new_tokens, LOGPROBS_K), jnp.int32
+        ).at[:, 0].set(ti1)
+    else:
+        lp0 = tv0 = ti0 = jnp.int32(0)
 
     def cond(state):
         t, done, *_ = state
         return (t < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        t, done, cur, out, key_mask, cache, keys, counts = state
+        t, done, cur, out, key_mask, cache, keys, counts, lp, tv, ti = state
         keys, sub = _split_rows(keys)
         pos = P + t - 1  # cache slot for the token sampled at step t-1
         key_mask = jax.lax.dynamic_update_slice_in_dim(
@@ -1390,20 +1440,37 @@ def _generate_loop(
         nxt = _sample(logits, sub, temperature, top_k, top_p)
         nxt = jnp.where(done, eos_id, nxt)
         out = out.at[:, t].set(jnp.where(done, out[:, t], nxt))
+        if logprobs:
+            lp_t, tv_t, ti_t = _lp_top(logits, nxt)
+            lp = lp.at[:, t].set(jnp.where(done, lp[:, t], lp_t))
+            tv = tv.at[:, t].set(
+                jnp.where(done[:, None], tv[:, t], tv_t)
+            )
+            ti = ti.at[:, t].set(
+                jnp.where(done[:, None], ti[:, t], ti_t)
+            )
         done2 = done | (nxt == eos_id)
         if penalized:
             counts = counts.at[rows, nxt].add(
                 (~done2).astype(jnp.int32)
             )
-        return (t + 1, done2, nxt, out, key_mask, cache, keys, counts)
+        return (
+            t + 1, done2, nxt, out, key_mask, cache, keys, counts,
+            lp, tv, ti,
+        )
 
     state = (
         jnp.int32(1), done0, first, out0, key_mask0, cache, keys, counts0,
+        lp0, tv0, ti0,
     )
-    _, done, _, out, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    _, done, _, out, _, _, _, _, lp, tv, ti = jax.lax.while_loop(
+        cond, body, state
+    )
     lengths = jnp.sum(
         jnp.cumprod((out != eos_id).astype(jnp.int32), axis=1), axis=1
     )
+    if logprobs:
+        return out, lengths, lp, tv, ti
     return out, lengths
 
 
@@ -1662,6 +1729,7 @@ class TextDecoder:
         seed_per_row: Optional[Sequence[Optional[int]]] = None,
         presence_per_row: Optional[Sequence[float]] = None,
         frequency_per_row: Optional[Sequence[float]] = None,
+        logprobs: bool = False,
     ) -> "list[str] | tuple[list[str], list[str]]":
         """Generate one completion per prompt.
 
@@ -1688,15 +1756,29 @@ class TextDecoder:
         unpenalized neighbors. Penalties disable prompt-lookup
         speculation for the batch (per-token counts must update
         sequentially; the plain loop is exact).
+
+        ``logprobs=True`` (requires ``return_finish=True``) returns a
+        third list: per row, one dict per emitted token —
+        ``{"id", "token", "logprob", "top": [(id, token, logprob)] * K}``
+        with K = :data:`LOGPROBS_K`; callers slice ``top`` to the
+        client's ``top_logprobs``. Logprobs report the penalty-biased,
+        UN-temperature-scaled distribution (the model's own, per the
+        OpenAI contract). Like penalties, logprobs take the plain loop —
+        speculation is disabled for the batch.
         """
         if not prompts:
+            if logprobs:
+                return [], [], []
             return ([], []) if return_finish else []
+        if logprobs and not return_finish:
+            raise ValueError("logprobs requires return_finish=True")
         max_bb = self.batch_buckets[-1]
         if len(prompts) > max_bb:  # chunk oversized fan-out
             out: list[str] = []
             fins: list[str] = []
+            lps: list = []
             for start in range(0, len(prompts), max_bb):
-                o, f = self.generate(
+                res = self.generate(
                     list(prompts[start:start + max_bb]),
                     max_new_tokens=max_new_tokens,
                     temperature=temperature,
@@ -1720,9 +1802,14 @@ class TextDecoder:
                         list(frequency_per_row[start:start + max_bb])
                         if frequency_per_row is not None else None
                     ),
+                    logprobs=logprobs,
                 )
-                out.extend(o)
-                fins.extend(f)
+                out.extend(res[0])
+                fins.extend(res[1])
+                if logprobs:
+                    lps.extend(res[2])
+            if logprobs:
+                return out, fins, lps
             return (out, fins) if return_finish else out
         ids, mask = self.prepare(prompts)
         # Bucket max_new and snap temperature so the executable set stays
@@ -1756,7 +1843,7 @@ class TextDecoder:
                         and i < len(frequency_per_row):
                     freq_np[i] = float(frequency_per_row[i] or 0.0)
             pres_v, freq_v = jnp.asarray(pres_np), jnp.asarray(freq_np)
-        if self.spec_enabled and pres_v is None:
+        if self.spec_enabled and pres_v is None and not logprobs:
             from multimodal_rag_tpu.models.spec_decode import (
                 generate_tokens_spec,
             )
@@ -1779,7 +1866,7 @@ class TextDecoder:
                 np.sum(np.asarray(lengths)[: len(prompts)])
             )
         else:
-            toks, lengths = generate_tokens(
+            res = generate_tokens(
                 self.params,
                 jnp.asarray(ids),
                 jnp.asarray(mask),
@@ -1792,11 +1879,19 @@ class TextDecoder:
                 top_p=float(top_p),
                 pres=pres_v,
                 freq=freq_v,
+                logprobs=logprobs,
             )
+            toks, lengths = res[0], res[1]
+            if logprobs:
+                lp_arr, tv_arr, ti_arr = (
+                    np.asarray(res[2]), np.asarray(res[3]),
+                    np.asarray(res[4]),
+                )
         toks = np.asarray(toks)
         lengths = np.asarray(lengths)
         out = []
         fins = []
+        lps = []
         for i in range(len(prompts)):
             budget = (
                 int(max_new_per_row[i])
@@ -1805,4 +1900,25 @@ class TextDecoder:
             n = min(int(lengths[i]), budget)
             out.append(self.tokenizer.decode(toks[i, :n].tolist()))
             fins.append("length" if int(lengths[i]) >= budget else "stop")
+            if logprobs:
+                row = []
+                for t in range(n):
+                    row.append({
+                        "id": int(toks[i, t]),
+                        "token": self.tokenizer.decode([int(toks[i, t])]),
+                        "logprob": float(lp_arr[i, t]),
+                        "top": [
+                            (
+                                int(ti_arr[i, t, j]),
+                                self.tokenizer.decode(
+                                    [int(ti_arr[i, t, j])]
+                                ),
+                                float(tv_arr[i, t, j]),
+                            )
+                            for j in range(LOGPROBS_K)
+                        ],
+                    })
+                lps.append(row)
+        if logprobs:
+            return out, fins, lps
         return (out, fins) if return_finish else out

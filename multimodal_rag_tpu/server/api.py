@@ -136,8 +136,11 @@ class Components:
 def parse_sampling_params(body: dict):
     """Shared OpenAI sampling-parameter policy for /v1/chat/completions
     and /v1/completions. Parameters that would silently change the output
-    contract are either honored (max_tokens, temperature, top_p, stop) or
-    explicitly rejected (n > 1, logprobs); ``presence_penalty``/
+    contract are either honored (max_tokens, temperature, top_p, stop,
+    n ≤ 8 — n choices fan out as concurrent generations, which the TPU
+    adapter coalesces into ONE batched dispatch) or explicitly rejected
+    (logit_bias); logprobs is validated per dialect in each handler and
+    honored by the on-TPU backends; ``presence_penalty``/
     ``frequency_penalty`` are validated to OpenAI's [-2, 2] range and
     honored by the on-TPU backends (per-row output-token-count logit
     bias in the compiled sampler — see decoder._penalty_bias), ignored
@@ -174,10 +177,13 @@ def parse_sampling_params(body: dict):
         return None, "top_p must be a number in (0, 1]"
     top_p = float(p_raw)
     n_raw = body.get("n", 1)
-    if isinstance(n_raw, bool) or n_raw not in (1, None):
-        return None, "n > 1 is not supported"
-    if body.get("logprobs"):
-        return None, "logprobs is not supported"
+    if n_raw is None:
+        n_raw = 1
+    if not isinstance(n_raw, int) or isinstance(n_raw, bool) \
+            or not (1 <= n_raw <= 8):
+        return None, "n must be an integer in [1, 8]"
+    # logprobs is dialect-specific (chat: bool + top_logprobs; legacy
+    # completions: int) — each handler validates its own form.
     if body.get("logit_bias"):
         return None, "logit_bias is not supported"
     stop_raw = body.get("stop")
@@ -223,8 +229,81 @@ def parse_sampling_params(body: dict):
         "temperature": temperature,
         "top_p": top_p,
         "stops": stops,
+        "n": n_raw,
         "gen_kw": gen_kw,
     }, None
+
+
+def truncate_lps(lps: list, cut: int) -> list:
+    """Drop per-token logprob records past a stop-sequence cut at char
+    offset ``cut`` (token strings concatenate to the generated text, so
+    cumulative length locates the cut)."""
+    out, acc = [], 0
+    for e in lps:
+        if acc >= cut:
+            break
+        out.append(e)
+        acc += len(e["token"])
+    return out
+
+
+def format_chat_logprobs(lps: list, top_n: int) -> dict:
+    """Adapter per-token records → the OpenAI chat ``logprobs`` object
+    (``content`` list with token/logprob/bytes and ``top_logprobs``
+    sliced to the client's ``top_logprobs``)."""
+    return {
+        "content": [
+            {
+                "token": e["token"],
+                "logprob": e["logprob"],
+                "bytes": list(e["token"].encode("utf-8")),
+                "top_logprobs": [
+                    {
+                        "token": s,
+                        "logprob": v,
+                        "bytes": list(s.encode("utf-8")),
+                    }
+                    for (_i, s, v) in e["top"][:top_n]
+                ],
+            }
+            for e in lps
+        ]
+    }
+
+
+def format_legacy_logprobs(lps: list, top_n: int) -> dict:
+    """Adapter per-token records → the legacy ``/v1/completions``
+    ``logprobs`` object (tokens / token_logprobs / top_logprobs /
+    text_offset)."""
+    tokens = [e["token"] for e in lps]
+    offs, acc = [], 0
+    for t in tokens:
+        offs.append(acc)
+        acc += len(t)
+    return {
+        "tokens": tokens,
+        "token_logprobs": [e["logprob"] for e in lps],
+        "top_logprobs": (
+            [
+                {s: v for (_i, s, v) in e["top"][:top_n]}
+                for e in lps
+            ]
+            if top_n else None
+        ),
+        "text_offset": offs,
+    }
+
+
+def choice_kw(gen_kw: dict, i: int) -> dict:
+    """Generation kwargs for the i-th of ``n`` choices. Seeded requests
+    get per-choice derived seeds (seed+i) so choices differ but the whole
+    response stays reproducible; unseeded requests pass through — the TPU
+    backends give every coalesced/admitted row its own key stream anyway."""
+    if i == 0 or "seed" not in gen_kw:
+        return gen_kw
+    kw = dict(gen_kw)
+    kw["seed"] = gen_kw["seed"] + i
+    return kw
 
 
 def stop_cut_at(text: str, stops) -> int:
@@ -858,6 +937,42 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         max_tokens = sampling["max_tokens"]
         gen_kw = sampling["gen_kw"]
         stops = sampling["stops"]
+        n = sampling["n"]
+        # Chat-dialect logprobs: bool flag + top_logprobs count. Honored
+        # by the on-TPU backends (compiled per-step capture of the
+        # sampling distribution — decoder._lp_top); explicit 400 where
+        # the distribution genuinely does not exist (HTTP backends) or
+        # the transport can't carry it yet (stream, vision).
+        lp_raw = body.get("logprobs", False)
+        if lp_raw not in (True, False, None):
+            return bad_request("logprobs must be a boolean")
+        want_lp = bool(lp_raw)
+        top_lp_raw = body.get("top_logprobs")
+        if top_lp_raw is not None:
+            if isinstance(top_lp_raw, bool) \
+                    or not isinstance(top_lp_raw, int) \
+                    or not (0 <= top_lp_raw <= 20):
+                return bad_request(
+                    "top_logprobs must be an integer in [0, 20]"
+                )
+            if not want_lp:
+                return bad_request("top_logprobs requires logprobs: true")
+        top_lp = int(top_lp_raw or 0)
+        gen_lp = getattr(
+            comps.llm_adapter, "generate_text_with_logprobs", None
+        )
+        if want_lp:
+            if stream:
+                return bad_request("logprobs with stream is not supported")
+            if images:
+                return bad_request(
+                    "logprobs is not supported for vision requests"
+                )
+            if gen_lp is None:
+                return bad_request(
+                    "logprobs requires the on-TPU text backend "
+                    "(USE_TPU_LLM)"
+                )
 
         def stop_cut(text):
             return stop_cut_at(text, stops)
@@ -898,7 +1013,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             )
             await resp.prepare(request)
 
-            def chunk(delta, fin=None):
+            def chunk(delta, fin=None, idx=0):
                 return (
                     "data: " + json.dumps({
                         "id": cid,
@@ -906,50 +1021,67 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         "created": created,
                         "model": model,
                         "choices": [{
-                            "index": 0,
+                            "index": idx,
                             "delta": delta,
                             "finish_reason": fin,
                         }],
                     }) + "\n\n"
                 ).encode()
 
-            await resp.write(chunk({"role": "assistant"}))
-            finish_reason = "stop"
-            try:
-                gen_stream = getattr(
-                    comps.llm_adapter, "generate_text_stream", None
-                )
+            # n > 1 choices stream CONCURRENTLY (interleaved chunks with
+            # per-choice index, per OpenAI); a lock serializes writes so
+            # SSE frames never interleave mid-frame.
+            write_lock = asyncio.Lock()
+
+            async def wchunk(buf):
+                async with write_lock:
+                    await resp.write(buf)
+
+            for i in range(n):
+                await resp.write(chunk({"role": "assistant"}, idx=i))
+            gen_stream = getattr(
+                comps.llm_adapter, "generate_text_stream", None
+            )
+
+            async def run_choice(i):
+                kw = choice_kw(gen_kw, i)
                 if images:
                     # Vision requests generate through the MLLM adapter
                     # and stream as ONE coarse delta — valid SSE, same
                     # posture as the HTTP-adapter fallback below.
                     text = await mllm.generate_multimodal(
-                        prompt, images=images, **gen_kw
+                        prompt, images=images, **kw
                     )
-                    cut = stop_cut(text)
-                    if cut >= 0:
-                        text, finish_reason = text[:cut], "stop"
-                    await resp.write(chunk({"content": text}))
                 elif gen_stream is not None:
-                    async def emit(text):
-                        await resp.write(chunk({"content": text}))
+                    async def emit(text, _i=i):
+                        await wchunk(chunk({"content": text}, idx=_i))
 
-                    finish_reason = await pump_stream_with_stops(
-                        gen_stream(prompt, **gen_kw), stops, emit
+                    return await pump_stream_with_stops(
+                        gen_stream(prompt, **kw), stops, emit
                     )
                 else:
                     # HTTP adapters: one coarse delta (the full answer).
                     text = await comps.llm_adapter.generate_text(
-                        prompt, **gen_kw
+                        prompt, **kw
                     )
-                    cut = stop_cut(text)
-                    if cut >= 0:
-                        text, finish_reason = text[:cut], "stop"
-                    await resp.write(chunk({"content": text}))
-            except Exception as e:  # noqa: BLE001 — in-band SSE error
+                fin = "stop"
+                cut = stop_cut(text)
+                if cut >= 0:
+                    text = text[:cut]
+                await wchunk(chunk({"content": text}, idx=i))
+                return fin
+
+            results = await asyncio.gather(
+                *(run_choice(i) for i in range(n)), return_exceptions=True,
+            )
+            first_err = next(
+                (r for r in results if isinstance(r, BaseException)), None
+            )
+            if first_err is not None:
                 await resp.write(
                     ("data: " + json.dumps({
-                        "error": {"message": f"generation failed: {e}",
+                        "error": {"message":
+                                  f"generation failed: {first_err}",
                                   "type": "server_error"},
                     }) + "\n\n").encode()
                 )
@@ -957,58 +1089,81 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 await resp.write_eof()
                 return resp
             aggregator.record("chat.total", time.time() - start)
-            await resp.write(chunk({}, finish_reason))
+            for i, finish_reason in enumerate(results):
+                await resp.write(chunk({}, finish_reason, idx=i))
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
-        finish_reason = "stop"
-        try:
-            gen_meta = getattr(
-                comps.llm_adapter, "generate_text_with_finish", None
-            )
+        gen_meta = getattr(
+            comps.llm_adapter, "generate_text_with_finish", None
+        )
+
+        async def gen_choice(i):
+            kw = choice_kw(gen_kw, i)
             if images:
-                text = await mllm.generate_multimodal(
-                    prompt, images=images, **gen_kw
-                )
-            elif gen_meta is not None:
-                text, finish_reason = await gen_meta(prompt, **gen_kw)
-            else:
-                text = await comps.llm_adapter.generate_text(
-                    prompt, **gen_kw
-                )
+                return await mllm.generate_multimodal(
+                    prompt, images=images, **kw
+                ), "stop", None
+            if want_lp:
+                return await gen_lp(prompt, **kw)
+            if gen_meta is not None:
+                text, fin = await gen_meta(prompt, **kw)
+                return text, fin, None
+            return await comps.llm_adapter.generate_text(prompt, **kw), \
+                "stop", None
+
+        # n choices fan out concurrently; the TPU adapter's batcher
+        # coalesces them into one bucketed dispatch. return_exceptions:
+        # one failing choice must not leave siblings detached.
+        results = await asyncio.gather(
+            *(gen_choice(i) for i in range(n)), return_exceptions=True,
+        )
+        first_err = next(
+            (r for r in results if isinstance(r, BaseException)), None
+        )
+        if isinstance(first_err, ValueError):
+            # Adapter input validation (empty / >10k-char prompt) is the
+            # client's fault — a retryable 503 here would loop forever.
+            return bad_request(str(first_err))
+        if first_err is not None:
+            return web.json_response(
+                {"error": {"message": f"generation failed: {first_err}",
+                           "type": "server_error"}}, status=503,
+            )
+        choices = []
+        completion_tokens = 0
+        for i, (text, finish_reason, lps) in enumerate(results):
             cut = stop_cut(text)
             if cut >= 0:
                 text, finish_reason = text[:cut], "stop"
-        except ValueError as e:
-            # Adapter input validation (empty / >10k-char prompt) is the
-            # client's fault — a retryable 503 here would loop forever.
-            return bad_request(str(e))
-        except Exception as e:  # noqa: BLE001
-            return web.json_response(
-                {"error": {"message": f"generation failed: {e}",
-                           "type": "server_error"}}, status=503,
-            )
+                if lps is not None:
+                    lps = truncate_lps(lps, cut)
+            completion_tokens += len(text.split())
+            choices.append({
+                "index": i,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": finish_reason,
+                "logprobs": (
+                    format_chat_logprobs(lps, top_lp)
+                    if lps is not None else None
+                ),
+            })
         aggregator.record("chat.total", time.time() - start)
         backend = getattr(comps.llm_adapter, "backend", "unknown")
+        prompt_tokens = len(prompt.split())
         return web.json_response(
             {
                 "id": f"chatcmpl-{uuid.uuid4().hex[:24]}",
                 "object": "chat.completion",
                 "created": int(time.time()),
                 "model": body.get("model") or f"mmrag-{backend}",
-                "choices": [
-                    {
-                        "index": 0,
-                        "message": {"role": "assistant", "content": text},
-                        "finish_reason": finish_reason,
-                    }
-                ],
+                "choices": choices,
                 "usage": {
                     # Approximate (whitespace) token accounting — the
                     # adapters own tokenization.
-                    "prompt_tokens": len(prompt.split()),
-                    "completion_tokens": len(text.split()),
-                    "total_tokens": len(prompt.split()) + len(text.split()),
+                    "prompt_tokens": prompt_tokens,
+                    "completion_tokens": completion_tokens,
+                    "total_tokens": prompt_tokens + completion_tokens,
                 },
             }
         )
@@ -1057,11 +1212,29 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             return bad_request(err)
         gen_kw = sampling["gen_kw"]
         stops = sampling["stops"]
+        n = sampling["n"]
         if body.get("echo"):
             return bad_request("echo is not supported")
         stream = bool(body.get("stream"))
         if stream and len(prompts) > 1:
             return bad_request("stream supports a single prompt")
+        # Legacy-dialect logprobs: an integer top-alternative count.
+        lp_n = body.get("logprobs")
+        gen_lp = getattr(
+            comps.llm_adapter, "generate_text_with_logprobs", None
+        )
+        if lp_n is not None:
+            if isinstance(lp_n, bool) or not isinstance(lp_n, int) \
+                    or not (0 <= lp_n <= 5):
+                return bad_request("logprobs must be an integer in [0, 5]")
+            if stream:
+                return bad_request("logprobs with stream is not supported")
+            if gen_lp is None:
+                return bad_request(
+                    "logprobs requires the on-TPU text backend "
+                    "(USE_TPU_LLM)"
+                )
+        want_lp = lp_n is not None
 
         def stop_cut(text):
             return stop_cut_at(text, stops)
@@ -1074,12 +1247,16 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             comps.llm_adapter, "generate_text_with_finish", None
         )
 
-        async def generate_one(prompt):
+        async def generate_one(prompt, ci=0):
+            kw = choice_kw(gen_kw, ci)
+            if want_lp:
+                return await gen_lp(prompt, **kw)
             if gen_meta is not None:
-                return await gen_meta(prompt, **gen_kw)
+                text, fin = await gen_meta(prompt, **kw)
+                return text, fin, None
             return (
-                await comps.llm_adapter.generate_text(prompt, **gen_kw),
-                "stop",
+                await comps.llm_adapter.generate_text(prompt, **kw),
+                "stop", None,
             )
 
         if stream:
@@ -1092,7 +1269,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             )
             await resp.prepare(request)
 
-            def chunk(text, fin=None):
+            def chunk(text, fin=None, idx=0):
                 return (
                     "data: " + json.dumps({
                         "id": cid,
@@ -1100,7 +1277,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         "created": created,
                         "model": model,
                         "choices": [{
-                            "index": 0,
+                            "index": idx,
                             "text": text,
                             "finish_reason": fin,
                             "logprobs": None,
@@ -1108,28 +1285,43 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     }) + "\n\n"
                 ).encode()
 
-            finish_reason = "stop"
-            try:
-                gen_stream = getattr(
-                    comps.llm_adapter, "generate_text_stream", None
-                )
-                if gen_stream is not None:
-                    async def emit(text):
-                        await resp.write(chunk(text))
+            write_lock = asyncio.Lock()
 
-                    finish_reason = await pump_stream_with_stops(
-                        gen_stream(prompts[0], **gen_kw), stops, emit
+            async def wchunk(buf):
+                async with write_lock:
+                    await resp.write(buf)
+
+            gen_stream = getattr(
+                comps.llm_adapter, "generate_text_stream", None
+            )
+
+            async def run_choice(i):
+                kw = choice_kw(gen_kw, i)
+                if gen_stream is not None:
+                    async def emit(text, _i=i):
+                        await wchunk(chunk(text, idx=_i))
+
+                    return await pump_stream_with_stops(
+                        gen_stream(prompts[0], **kw), stops, emit
                     )
-                else:
-                    text, finish_reason = await generate_one(prompts[0])
-                    cut = stop_cut(text)
-                    if cut >= 0:
-                        text, finish_reason = text[:cut], "stop"
-                    await resp.write(chunk(text))
-            except Exception as e:  # noqa: BLE001 — in-band SSE error
+                text, fin, _ = await generate_one(prompts[0], i)
+                cut = stop_cut(text)
+                if cut >= 0:
+                    text, fin = text[:cut], "stop"
+                await wchunk(chunk(text, idx=i))
+                return fin
+
+            results = await asyncio.gather(
+                *(run_choice(i) for i in range(n)), return_exceptions=True,
+            )
+            first_err = next(
+                (r for r in results if isinstance(r, BaseException)), None
+            )
+            if first_err is not None:
                 await resp.write(
                     ("data: " + json.dumps({
-                        "error": {"message": f"generation failed: {e}",
+                        "error": {"message":
+                                  f"generation failed: {first_err}",
                                   "type": "server_error"},
                     }) + "\n\n").encode()
                 )
@@ -1137,17 +1329,21 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 await resp.write_eof()
                 return resp
             aggregator.record("completions.total", time.time() - start)
-            await resp.write(chunk("", finish_reason))
+            for i, finish_reason in enumerate(results):
+                await resp.write(chunk("", finish_reason, idx=i))
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
 
         choices = []
         total_completion = 0
-        # return_exceptions: one failing prompt must not leave the other
-        # generations running detached with unretrieved exceptions.
+        # Choice index is prompt-major (OpenAI: len(prompts) * n choices,
+        # prompt i's j-th sample at index i*n + j). return_exceptions: one
+        # failing prompt must not leave the other generations running
+        # detached with unretrieved exceptions.
         results = await asyncio.gather(
-            *(generate_one(p) for p in prompts), return_exceptions=True,
+            *(generate_one(p, j) for p in prompts for j in range(n)),
+            return_exceptions=True,
         )
         first_err = next(
             (r for r in results if isinstance(r, BaseException)), None
@@ -1159,16 +1355,21 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 {"error": {"message": f"generation failed: {first_err}",
                            "type": "server_error"}}, status=503,
             )
-        for i, (text, fin) in enumerate(results):
+        for i, (text, fin, lps) in enumerate(results):
             cut = stop_cut(text)
             if cut >= 0:
                 text, fin = text[:cut], "stop"
+                if lps is not None:
+                    lps = truncate_lps(lps, cut)
             total_completion += len(text.split())
             choices.append({
                 "index": i,
                 "text": text,
                 "finish_reason": fin,
-                "logprobs": None,
+                "logprobs": (
+                    format_legacy_logprobs(lps, lp_n)
+                    if lps is not None else None
+                ),
             })
         aggregator.record("completions.total", time.time() - start)
         prompt_tokens = sum(len(p.split()) for p in prompts)

@@ -93,22 +93,32 @@ def _count_admit(counts, slot, tok):
     return counts.at[slot, tok].add(1)
 
 
-@partial(jax.jit, static_argnames=("top_k",), donate_argnames=("counts",))
+@partial(
+    jax.jit, static_argnames=("top_k", "want_lp"),
+    donate_argnames=("counts",),
+)
 def _sample_rows_counted(
-    logits, keys, temps, top_k: int, top_ps, counts, pres, freq, emit
+    logits, keys, temps, top_k: int, top_ps, counts, pres, freq, emit,
+    want_lp: bool = False,
 ):
     """:func:`_sample_rows` with OpenAI presence/frequency penalties:
     subtract the per-row bias over each row's output-token counts, then
     record the sampled token for rows that actually emit it (``emit``
     (B,) int32 — 0 for idle slots). Zero-penalty rows get an exact 0.0
-    bias, so mixed batches leave unpenalized rows bit-unchanged."""
-    from multimodal_rag_tpu.models.decoder import _penalty_bias
+    bias, so mixed batches leave unpenalized rows bit-unchanged.
 
-    nxt = _sample_rows(
-        logits - _penalty_bias(counts, pres, freq), keys, temps, top_k,
-        top_ps,
-    )
+    ``want_lp`` (STATIC, set when any active row requested OpenAI
+    logprobs) additionally returns the chosen-token logprob and
+    top-:data:`~..models.decoder.LOGPROBS_K` alternatives of the biased,
+    un-temperature-scaled distribution (decoder._lp_top)."""
+    from multimodal_rag_tpu.models.decoder import _lp_top, _penalty_bias
+
+    biased = logits - _penalty_bias(counts, pres, freq)
+    nxt = _sample_rows(biased, keys, temps, top_k, top_ps)
     counts = counts.at[jnp.arange(nxt.shape[0]), nxt].add(emit)
+    if want_lp:
+        lp, tv, ti = _lp_top(biased, nxt)
+        return nxt, counts, lp, tv, ti
     return nxt, counts
 
 
@@ -144,13 +154,13 @@ def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "top_k"),
+    jax.jit, static_argnames=("cfg", "top_k", "want_lp"),
     donate_argnames=("cache", "counts"),
 )
 def _fused_chunk_step(
     params, cache, tokens, pos0, key_mask, positions0, gather, keys,
     temps, top_ps, counts, pres, freq, emit, cfg: DecoderConfig,
-    top_k: int,
+    top_k: int, want_lp: bool = False,
 ):
     """ONE dispatch that advances a mixed batch (Sarathi-style chunked
     prefill fused with decode): each row's C-token chunk is either the
@@ -170,27 +180,29 @@ def _fused_chunk_step(
     row_logits = jnp.take_along_axis(
         logits, gather[:, None, None], axis=1
     )[:, 0]
-    from multimodal_rag_tpu.models.decoder import _penalty_bias
+    from multimodal_rag_tpu.models.decoder import _lp_top, _penalty_bias
 
     # Presence/frequency penalties: bias over the row's OUTPUT counts;
     # ``emit`` masks the count update to rows whose sample is real this
     # pass (mid-prefill and idle rows sample garbage the host discards).
-    nxt = _sample_rows(
-        row_logits - _penalty_bias(counts, pres, freq), keys, temps,
-        top_k, top_ps,
-    )
+    biased = row_logits - _penalty_bias(counts, pres, freq)
+    nxt = _sample_rows(biased, keys, temps, top_k, top_ps)
     counts = counts.at[jnp.arange(nxt.shape[0]), nxt].add(emit)
+    if want_lp:
+        lp, tv, ti = _lp_top(biased, nxt)
+        return nxt, cache, counts, lp, tv, ti
     return nxt, cache, counts
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "top_k", "spec_k"),
+    jax.jit, static_argnames=("cfg", "top_k", "spec_k", "want_lp"),
     donate_argnames=("cache", "counts"),
 )
 def _spec_step_rows(
     params, cache, seq, cur, prev, pos, key_mask, sem_pos,
     k_acc, k_rep, temps, top_ps, counts, pres, freq,
     cfg: DecoderConfig, top_k: int, spec_k: int,
+    lp_rows=None, want_lp: bool = False,
 ):
     """One speculative pass for a decode-only batch: per-row bigram
     prompt-lookup drafts K tokens from ``seq`` (the slot-aligned token
@@ -213,15 +225,19 @@ def _spec_step_rows(
     logits, cache = _decode_verify_impl(
         params, cache, tokens, pos, key_mask, sem_pos, cfg
     )
-    from multimodal_rag_tpu.models.decoder import _penalty_bias
+    from multimodal_rag_tpu.models.decoder import _lp_top, _penalty_bias
 
     # Penalized rows emit exactly ONE token per pass (force_single): the
     # bias below is computed from counts at pass start, which is only
     # exact for the FIRST sampled position — accepting drafts beyond it
     # would sample from stale counts. Zero-penalty rows keep full
-    # speculative acceptance (their bias is exactly 0.0).
+    # speculative acceptance (their bias is exactly 0.0). Logprob rows
+    # (``lp_rows``) are forced single too: their per-token distribution
+    # record is only computed for position 0.
     logits = logits - _penalty_bias(counts, pres, freq)[:, None, :]
     force_single = (pres != 0.0) | (freq != 0.0)
+    if lp_rows is not None:
+        force_single = force_single | lp_rows
     emit, n_emit = _speculative_accept_rows(
         draft, logits, k_acc, k_rep, temps, top_ps, top_k, -1,
         force_single,
@@ -231,6 +247,9 @@ def _spec_step_rows(
         counts = counts.at[rows, emit[:, i]].add(
             (n_emit > i).astype(jnp.int32)
         )
+    if want_lp:
+        lp, tv, ti = _lp_top(logits[:, 0], emit[:, 0])
+        return emit, n_emit, cache, counts, lp, tv, ti
     return emit, n_emit, cache, counts
 
 
@@ -279,6 +298,11 @@ class _Request:
     seed: Optional[int] = None
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # OpenAI logprobs: per emitted token, (id, logprob,
+    # [(alt_id, alt_logprob)] * LOGPROBS_K) — token strings are decoded
+    # at resolve time (loop thread owns the tokenizer).
+    logprobs: bool = False
+    lps: List[tuple] = field(default_factory=list)
     tokens: List[int] = field(default_factory=list)
     slot: int = -1
     # Chunked-prefill mode: prompt tokens consumed so far. A row is
@@ -404,6 +428,10 @@ class DecodeServer:
         self.pres = np.zeros((slots,), np.float32)
         self.freqs = np.zeros((slots,), np.float32)
         self.counts = jnp.zeros((slots, self.cfg.vocab_size), jnp.int32)
+        # OpenAI logprobs: rows that asked for them. Any active lp row
+        # flips the step dispatch to the want_lp executable (compiled
+        # once); lp rows take single-token emission in spec mode.
+        self.want_lp = np.zeros((slots,), bool)
         # Per-slot sampling keys: each row advances its OWN stream.
         self.keys = jax.random.split(jax.random.key(seed), slots)
         self._admitted = 0  # distinct default-key stream per admission
@@ -442,10 +470,15 @@ class DecodeServer:
         seed: Optional[int] = None,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
-    ) -> "str | tuple[str, str]":
+        logprobs: bool = False,
+    ) -> "str | tuple":
         """Generate text for ``prompt``; resolves when the row finishes.
         With ``return_finish=True`` returns ``(text, finish_reason)`` —
-        ``"stop"`` (EOS) or ``"length"`` (budget exhausted)."""
+        ``"stop"`` (EOS) or ``"length"`` (budget exhausted). With
+        ``logprobs=True`` (implies finish) returns ``(text, finish,
+        lps)`` — per emitted token a dict ``{"id", "token", "logprob",
+        "top": [(id, token, logprob)] * LOGPROBS_K}``; callers slice
+        ``top`` to the client's ``top_logprobs``."""
         self.start()
         ids = self._encode_prompt(prompt)
         if max_new_tokens > self.max_new_cap:
@@ -464,9 +497,12 @@ class DecodeServer:
             seed=seed,
             presence_penalty=float(presence_penalty),
             frequency_penalty=float(frequency_penalty),
+            logprobs=bool(logprobs),
         )
         await self.pending.put(req)
-        text, finish = await fut
+        text, finish, lps = await fut
+        if logprobs:
+            return text, finish, lps
         return (text, finish) if return_finish else text
 
     async def submit_stream(
@@ -604,6 +640,21 @@ class DecodeServer:
         self.top_ps[slot] = req.top_p
         self.pres[slot] = req.presence_penalty
         self.freqs[slot] = req.frequency_penalty
+        self.want_lp[slot] = req.logprobs
+        if req.logprobs and first != self.eos_id:
+            from multimodal_rag_tpu.models.decoder import _lp_top
+
+            # First token: its penalty bias is an exact 0 (empty output),
+            # so the raw prefill logits ARE the sampling distribution.
+            lp1, tv1, ti1 = (
+                np.asarray(x) for x in _lp_top(
+                    logits, jnp.asarray([first], jnp.int32)
+                )
+            )
+            req.lps.append((
+                first, float(lp1[0]),
+                list(zip(ti1[0].tolist(), tv1[0].tolist())),
+            ))
         # The prefill sample above saw an all-zero count row for this
         # request (bias 0 is exact for the first token); start the row's
         # output-token counts with it.
@@ -640,6 +691,7 @@ class DecodeServer:
         self.top_ps[slot] = req.top_p
         self.pres[slot] = req.presence_penalty
         self.freqs[slot] = req.frequency_penalty
+        self.want_lp[slot] = req.logprobs
         self.counts = _count_reset(self.counts, jnp.int32(slot))
         self._admitted += 1
         row_key = (
@@ -725,6 +777,7 @@ class DecodeServer:
         self.temps[slot] = -1.0
         self.pres[slot] = 0.0
         self.freqs[slot] = 0.0
+        self.want_lp[slot] = False
         self.requests_done += 1
         return req
 
@@ -734,8 +787,23 @@ class DecodeServer:
             if req.stream_q is not None:
                 self._push_stream(req, final=True)
             if not req.future.done():
+                lps = None
+                if req.logprobs:
+                    dec = self.dec.tokenizer.decode
+                    lps = [
+                        {
+                            "id": tid,
+                            "token": dec([tid]),
+                            "logprob": lp,
+                            "top": [
+                                (j, dec([j]), v) for j, v in top
+                            ],
+                        }
+                        for tid, lp, top in req.lps
+                    ]
                 req.future.set_result(
-                    (self.dec.tokenizer.decode(req.tokens), req.finish)
+                    (self.dec.tokenizer.decode(req.tokens), req.finish,
+                     lps)
                 )
 
     def _step(self) -> List[_Request]:
@@ -772,12 +840,17 @@ class DecodeServer:
         )
         emitting = np.zeros((self.slots,), np.int32)
         emitting[active] = 1
-        nxt, self.counts = _sample_rows_counted(
+        want = bool(self.want_lp.any())
+        res = _sample_rows_counted(
             logits, sub, jnp.asarray(self.temps), self.top_k,
             jnp.asarray(self.top_ps), self.counts,
             jnp.asarray(self.pres), jnp.asarray(self.freqs),
-            jnp.asarray(emitting),
+            jnp.asarray(emitting), want_lp=want,
         )
+        nxt, self.counts = res[0], res[1]
+        lp = tv = ti = None
+        if want:
+            lp, tv, ti = (np.asarray(x) for x in res[2:])
         nxt = np.asarray(nxt)
         self.steps_run += 1
         finished: List[_Request] = []
@@ -790,6 +863,11 @@ class DecodeServer:
                 finished.append(self._retire(i))
                 continue
             req.tokens.append(tok)
+            if req.logprobs:
+                req.lps.append((
+                    tok, float(lp[i]),
+                    list(zip(ti[i].tolist(), tv[i].tolist())),
+                ))
             self.cur_tok[i] = tok
             if len(req.tokens) >= req.max_new_tokens:
                 req.finish = "length"
@@ -806,7 +884,8 @@ class DecodeServer:
 
         self.keys, k_acc = _split_rows(self.keys)
         self.keys, k_rep = _split_rows(self.keys)
-        emit, n_emit, self.pool, self.counts = _spec_step_rows(
+        want = bool(self.want_lp.any())
+        res = _spec_step_rows(
             self.dec.params, self.pool, jnp.asarray(self.seq),
             jnp.asarray(self.cur_tok), jnp.asarray(self.prev_tok),
             jnp.asarray(self.pos), jnp.asarray(self.key_mask),
@@ -814,7 +893,12 @@ class DecodeServer:
             jnp.asarray(self.temps), jnp.asarray(self.top_ps),
             self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
             self.cfg, self.top_k, self.spec_k,
+            lp_rows=jnp.asarray(self.want_lp), want_lp=want,
         )
+        emit, n_emit, self.pool, self.counts = res[:4]
+        lp = tv = ti = None
+        if want:
+            lp, tv, ti = (np.asarray(x) for x in res[4:])
         emit, n_emit = np.asarray(emit), np.asarray(n_emit)
         self.steps_run += 1
         self.spec_passes += 1
@@ -832,6 +916,14 @@ class DecodeServer:
                 if len(req.tokens) + len(toks) >= req.max_new_tokens:
                     fin = "length"
                     break
+            if req.logprobs and toks:
+                # lp rows are forced single-emission, so the one kept
+                # token is position 0 — the only position the lp arrays
+                # describe.
+                req.lps.append((
+                    toks[0], float(lp[i]),
+                    list(zip(ti[i].tolist(), tv[i].tolist())),
+                ))
             req.tokens.extend(toks)
             self.spec_emitted += len(toks)
             n = len(toks)
@@ -887,14 +979,27 @@ class DecodeServer:
         from multimodal_rag_tpu.models.decoder import _split_rows
 
         self.keys, sub = _split_rows(self.keys)
-        nxt, self.pool, self.counts = _fused_chunk_step(
+        want = bool(self.want_lp.any())
+        res = _fused_chunk_step(
             self.dec.params, self.pool, jnp.asarray(tokens),
             jnp.asarray(pos0), jnp.asarray(self.key_mask),
             jnp.asarray(positions0), jnp.asarray(gather), sub,
             jnp.asarray(self.temps), jnp.asarray(self.top_ps),
             self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
-            jnp.asarray(emitting), self.cfg, self.top_k,
+            jnp.asarray(emitting), self.cfg, self.top_k, want_lp=want,
         )
+        nxt, self.pool, self.counts = res[0], res[1], res[2]
+        lp = tv = ti = None
+        if want:
+            lp, tv, ti = (np.asarray(x) for x in res[3:])
+
+        def lp_entry(i, tok):
+            if self.requests[i] is not None and self.requests[i].logprobs:
+                self.requests[i].lps.append((
+                    tok, float(lp[i]),
+                    list(zip(ti[i].tolist(), tv[i].tolist())),
+                ))
+
         nxt = np.asarray(nxt)
         self.steps_run += 1
         self.chunk_passes += 1
@@ -916,10 +1021,12 @@ class DecodeServer:
                 if tok == self.eos_id or req.max_new_tokens <= 1:
                     if tok != self.eos_id:
                         req.tokens.append(tok)
+                        lp_entry(i, tok)
                         req.finish = "length"
                     finished.append(self._retire(i))
                     continue
                 req.tokens.append(tok)
+                lp_entry(i, tok)
                 self.cur_tok[i] = tok
                 self.seq[i, req.consumed] = tok  # cur at its slot
             elif i in decoding:
@@ -934,6 +1041,7 @@ class DecodeServer:
                     finished.append(self._retire(i))
                     continue
                 req.tokens.append(tok)
+                lp_entry(i, tok)
                 self.prev_tok[i] = self.cur_tok[i]
                 self.cur_tok[i] = tok
                 self.seq[i, self.pos[i]] = tok  # new cur at new slot
@@ -963,6 +1071,7 @@ class DecodeServer:
         self.temps[:] = -1.0
         self.pres[:] = 0.0
         self.freqs[:] = 0.0
+        self.want_lp[:] = False
 
     async def _admit_safe(self, req: _Request) -> None:
         """Admit ``req`` into the first free slot, failing ITS waiter on a
@@ -971,7 +1080,7 @@ class DecodeServer:
         ``_fail_all`` in the loop would miss it and hang its caller."""
         if req.cancelled:
             if not req.future.done():
-                req.future.set_result(("", "stop"))
+                req.future.set_result(("", "stop", None))
             return
         try:
             self._resolve(

@@ -755,7 +755,10 @@ class TestChatSamplingCompat:
 
     def test_unsupported_params_are_explicit_400(self, client):
         c, loop = client
-        for extra in ({"n": 2}, {"logprobs": True},
+        for extra in ({"n": 0}, {"n": 9}, {"n": "x"}, {"logprobs": "x"},
+                      {"top_logprobs": 3},  # requires logprobs: true
+                      {"logprobs": True, "top_logprobs": 21},
+                      {"logprobs": True, "stream": True},
                       {"top_p": 0}, {"top_p": 1.5}, {"top_p": "hot"},
                       {"stop": ""}, {"stop": ["a"] * 5}, {"stop": [1]}):
             resp = loop.run_until_complete(
@@ -808,6 +811,75 @@ class TestChatSamplingCompat:
         )
         assert resp.status == 200
 
+    def test_n_choices(self, client):
+        """n > 1 returns n indexed choices; usage sums all completions."""
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json=self._msg(n=3))
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert [ch["index"] for ch in body["choices"]] == [0, 1, 2]
+        for ch in body["choices"]:
+            assert ch["message"]["content"].startswith("Answer")
+            assert ch["finish_reason"] in ("stop", "length")
+        one = len(body["choices"][0]["message"]["content"].split())
+        assert body["usage"]["completion_tokens"] == 3 * one
+
+    def test_logprobs_chat(self, client):
+        """logprobs: true returns per-token records whose token strings
+        concatenate to the content; top_logprobs slices to the request."""
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions",
+                   json=self._msg(logprobs=True, top_logprobs=3))
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        ch = body["choices"][0]
+        lp = ch["logprobs"]
+        assert lp is not None and lp["content"]
+        joined = "".join(e["token"] for e in lp["content"])
+        assert joined == ch["message"]["content"]
+        for e in lp["content"]:
+            assert e["logprob"] <= 0.0
+            assert e["bytes"] == list(e["token"].encode())
+            assert len(e["top_logprobs"]) == 3
+        # Without the flag the field is null.
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json=self._msg())
+        )
+        body = loop.run_until_complete(resp.json())
+        assert body["choices"][0]["logprobs"] is None
+
+    def test_n_choices_streaming(self, client):
+        """Streaming with n=2 interleaves per-index chunks and closes
+        each choice with its own finish_reason chunk."""
+        import json as _json
+
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions",
+                   json=self._msg(n=2, stream=True))
+        )
+        assert resp.status == 200
+        raw = loop.run_until_complete(resp.text())
+        events = [
+            _json.loads(line[len("data: "):])
+            for line in raw.splitlines()
+            if line.startswith("data: ") and line != "data: [DONE]"
+        ]
+        by_idx = {0: "", 1: ""}
+        fins = {}
+        for e in events:
+            ch = e["choices"][0]
+            by_idx[ch["index"]] += ch["delta"].get("content", "")
+            if ch["finish_reason"] is not None:
+                fins[ch["index"]] = ch["finish_reason"]
+        assert by_idx[0].startswith("Answer")
+        assert by_idx[1].startswith("Answer")
+        assert set(fins) == {0, 1}
+
 
 class TestCompletions:
     """OpenAI-compatible legacy /v1/completions: string or batched list
@@ -841,6 +913,51 @@ class TestCompletions:
         assert [ch["index"] for ch in body["choices"]] == [0, 1]
         assert "first" in body["choices"][0]["text"]
         assert "second" in body["choices"][1]["text"]
+
+    def test_logprobs_legacy(self, client):
+        """Integer logprobs returns the legacy object: tokens /
+        token_logprobs / top_logprobs dicts / text_offset."""
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": "what is RAG?", "max_tokens": 16, "logprobs": 2,
+            })
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        ch = body["choices"][0]
+        lp = ch["logprobs"]
+        assert "".join(lp["tokens"]) == ch["text"]
+        assert len(lp["token_logprobs"]) == len(lp["tokens"])
+        assert all(len(d) == 2 for d in lp["top_logprobs"])
+        assert lp["text_offset"][0] == 0
+        assert lp["text_offset"][-1] == sum(
+            len(t) for t in lp["tokens"][:-1]
+        )
+        # logprobs: 0 → token_logprobs only, null top_logprobs.
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": "x", "max_tokens": 8, "logprobs": 0,
+            })
+        )
+        body = loop.run_until_complete(resp.json())
+        assert body["choices"][0]["logprobs"]["top_logprobs"] is None
+
+    def test_n_with_batched_prompts(self, client):
+        """len(prompts) * n choices, prompt-major indexing (OpenAI)."""
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": ["first", "second"], "n": 2, "max_tokens": 16,
+            })
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert [ch["index"] for ch in body["choices"]] == [0, 1, 2, 3]
+        assert "first" in body["choices"][0]["text"]
+        assert "first" in body["choices"][1]["text"]
+        assert "second" in body["choices"][2]["text"]
+        assert "second" in body["choices"][3]["text"]
 
     def test_stop_applies(self, client):
         c, loop = client
@@ -885,9 +1002,11 @@ class TestCompletions:
             {"prompt": []},
             {"prompt": ["x"] * 17},
             {"prompt": ""},
-            {"prompt": "x", "n": 2},
+            {"prompt": "x", "n": 0},
             {"prompt": "x", "echo": True},
-            {"prompt": "x", "logprobs": 1},
+            {"prompt": "x", "logprobs": 9},
+            {"prompt": "x", "logprobs": True},
+            {"prompt": "x", "logprobs": 1, "stream": True},
             {"prompt": ["a", "b"], "stream": True},
             {"prompt": "x" * 11_000},
         ]

@@ -462,7 +462,7 @@ class TestTPUAdapter:
 
             def generate(self, prompts, max_new_tokens, temperature, top_k,
                          return_finish=False, seed=0, max_new_per_row=None,
-                         top_p=1.0, seed_per_row=None):
+                         top_p=1.0, seed_per_row=None, **kw):
                 import time
 
                 self.calls.append(len(prompts))
@@ -1001,7 +1001,7 @@ class TestAdapterShutdown:
             def generate(self, prompts, max_new_tokens, temperature,
                          top_k, return_finish=False, seed=0,
                          max_new_per_row=None, top_p=1.0,
-                         seed_per_row=None):
+                         seed_per_row=None, **kw):
                 _time.sleep(0.2)  # hold the worker; queue backs up
                 outs = ["x" for _ in prompts]
                 return (outs, ["stop"] * len(outs)) if return_finish else outs
