@@ -109,6 +109,38 @@ class DecoderConfig:
     # Qwen2-MoE: an always-on shared expert of this FFN width added to the
     # routed combine, scaled by a sigmoid scalar gate. 0 = none (Mixtral).
     shared_expert_dim: int = 0
+    # DeepSeek: the shared experts add UNGATED (no sigmoid scalar).
+    shared_expert_gated: bool = True
+    # DeepSeek multi-head latent attention (MLA): > 0 switches the
+    # attention to the latent form — k/v are compressed to a per-token
+    # ``kv_lora_rank`` latent plus one shared ``qk_rope_head_dim`` roped
+    # key, and THAT pair is what the cache holds (the serving win: a V3
+    # token caches 512+64 values instead of n_heads*(192+128)). Scores
+    # and values are computed ABSORBED against the latent (weight
+    # absorption — kv_b folds into the query/output sides), bit-equal in
+    # exact arithmetic to HF's materialized form.
+    kv_lora_rank: int = 0
+    q_lora_rank: int = 0  # 0 = full q projection (V2-Lite)
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    rope_interleave: bool = False  # DeepSeek: rotary over interleaved pairs
+    # DeepSeek-V3 routing: sigmoid scores + per-expert selection bias
+    # (e_score_correction_bias) + group-limited top-k; weights come from
+    # the UNBIASED scores, scaled by routed_scaling_factor.
+    moe_sigmoid_routing: bool = False
+    n_group: int = 0
+    topk_group: int = 0
+    routed_scaling_factor: float = 1.0
+    # DeepSeek first_k_dense_replace: the first K layers carry a DENSE
+    # MLP of ``dense_ff_dim`` width. They live in params["dense_layers"]
+    # (a K-stacked pytree run unrolled before the homogeneous scan).
+    first_k_dense: int = 0
+    dense_ff_dim: int = 0
+    # DeepSeek yarn: the attention score scale is multiplied by
+    # mscale(factor, mscale_all_dim)^2 (HF DeepseekV3Attention.__init__)
+    # — separate from rope_attn_factor, which scales cos/sin.
+    sm_scale_mult: float = 1.0
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -117,9 +149,16 @@ class DecoderConfig:
 
     @property
     def sm_scale(self) -> float:
+        if self.kv_lora_rank:
+            return float(
+                self.sm_scale_mult
+                / np.sqrt(self.qk_nope_head_dim + self.qk_rope_head_dim)
+            )
         if self.query_pre_attn_scalar:
-            return float(1.0 / np.sqrt(self.query_pre_attn_scalar))
-        return float(1.0 / np.sqrt(self.head_dim))
+            return float(
+                self.sm_scale_mult / np.sqrt(self.query_pre_attn_scalar)
+            )
+        return float(self.sm_scale_mult / np.sqrt(self.head_dim))
 
 
 # Shared max-new-token buckets: every generation entry point (TextDecoder,
@@ -194,9 +233,13 @@ def _interleaved_rope_leaves(cfg: DecoderConfig):
 
 
 def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
-    """Seeded truncated-normal init; per-layer tensors stacked on axis 0."""
+    """Seeded truncated-normal init; per-layer tensors stacked on axis 0.
+    With ``cfg.first_k_dense`` the first K layers' (dense-MLP) leaves go
+    to ``params["dense_layers"]`` and the scan stack holds the remaining
+    ``num_layers - K`` homogeneous layers."""
     keys = jax.random.split(rng, 10)
-    h, f, L = cfg.hidden_dim, cfg.ff_dim, cfg.num_layers
+    h, f = cfg.hidden_dim, cfg.ff_dim
+    L = cfg.num_layers - cfg.first_k_dense
     qd = cfg.num_heads * cfg.head_dim
     kvd = cfg.num_kv_heads * cfg.head_dim
 
@@ -212,17 +255,55 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
             else jnp.ones(shape, jnp.float32)
         )
 
-    layers = {
-        "wq": tn(keys[1], (L, h, qd)),
-        "wk": tn(keys[2], (L, h, kvd)),
-        "wv": tn(keys[3], (L, h, kvd)),
-        "wo": tn(keys[4], (L, qd, h)),
-        "ln_attn": norm_init((L, h)),
-        "ln_mlp": norm_init((L, h)),
-    }
+    def mla_leaves(key, L):
+        """MLA attention + norm leaves for an L-stack."""
+        ks = jax.random.split(key, 8)
+        r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+        qk_head = cfg.qk_nope_head_dim + dr
+        out = {
+            "w_kva": tn(ks[1], (L, h, r + dr)),
+            "ln_kv_a": norm_init((L, r)),
+            "w_kvb": tn(
+                ks[2],
+                (L, r,
+                 cfg.num_heads * (cfg.qk_nope_head_dim
+                                  + cfg.v_head_dim)),
+            ),
+            "wo": tn(ks[3], (L, cfg.num_heads * cfg.v_head_dim, h)),
+            "ln_attn": norm_init((L, h)),
+            "ln_mlp": norm_init((L, h)),
+        }
+        if cfg.q_lora_rank:
+            out["wq_a"] = tn(ks[0], (L, h, cfg.q_lora_rank))
+            out["ln_q_a"] = norm_init((L, cfg.q_lora_rank))
+            out["wq_b"] = tn(
+                ks[4], (L, cfg.q_lora_rank, cfg.num_heads * qk_head)
+            )
+        else:
+            out["wq"] = tn(ks[0], (L, h, cfg.num_heads * qk_head))
+        return out
+
+    if cfg.kv_lora_rank:
+        layers = mla_leaves(keys[1], L)
+    else:
+        # NOTE: the standard family keeps the original per-key stream
+        # layout — init_params(seed) is a test/serving fixture whose
+        # exact weights must not drift across refactors.
+        layers = {
+            "wq": tn(keys[1], (L, h, qd)),
+            "wk": tn(keys[2], (L, h, kvd)),
+            "wv": tn(keys[3], (L, h, kvd)),
+            "wo": tn(keys[4], (L, qd, h)),
+            "ln_attn": norm_init((L, h)),
+            "ln_mlp": norm_init((L, h)),
+        }
     if cfg.num_experts:
         E = cfg.num_experts
         layers["w_router"] = tn(keys[9], (L, h, E))
+        if cfg.moe_sigmoid_routing:
+            # e_score_correction_bias — f32, selection-only; the non-"w"
+            # name keeps it out of int8 quantization like the router.
+            layers["router_bias"] = jnp.zeros((L, E), jnp.float32)
         layers["w_gate"] = tn(keys[5], (L, E, h, f))
         layers["w_up"] = tn(keys[6], (L, E, h, f))
         layers["w_down"] = tn(keys[7], (L, E, f, h))
@@ -232,9 +313,10 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
             layers["w_shared_gate"] = tn(skeys[0], (L, h, fs))
             layers["w_shared_up"] = tn(skeys[1], (L, h, fs))
             layers["w_shared_down"] = tn(skeys[2], (L, fs, h))
-            # "shared_gate" (no "w" prefix) keeps it out of int8
-            # quantization, like the router.
-            layers["shared_gate"] = tn(skeys[3], (L, h, 1))
+            if cfg.shared_expert_gated:
+                # "shared_gate" (no "w" prefix) keeps it out of int8
+                # quantization, like the router.
+                layers["shared_gate"] = tn(skeys[3], (L, h, 1))
     else:
         layers["w_gate"] = tn(keys[5], (L, h, f))
         layers["w_up"] = tn(keys[6], (L, h, f))
@@ -257,6 +339,15 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
         "final_norm": norm_init((h,)),
         "layers": layers,
     }
+    if cfg.first_k_dense:
+        K = cfg.first_k_dense
+        dkeys = jax.random.split(keys[9], 4)
+        dense = mla_leaves(dkeys[0], K)
+        fd = cfg.dense_ff_dim or f
+        dense["w_gate"] = tn(dkeys[1], (K, h, fd))
+        dense["w_up"] = tn(dkeys[2], (K, h, fd))
+        dense["w_down"] = tn(dkeys[3], (K, fd, h))
+        params["dense_layers"] = dense
     if not cfg.tie_embeddings:
         params["lm_head"] = tn(keys[8], (h, cfg.vocab_size))
     return params
@@ -276,12 +367,13 @@ def _read_hf_config(path: str) -> Optional[dict]:
 def _rope_scaling_from_hf(hf: dict, head_dim: int):
     """HF ``rope_scaling`` → (per-dim inv_freq divisors | None,
     attention factor). Implements the STATIC schemes — linear, llama3
-    band scaling (Llama-3.1/3.2), and longrope/su short factors (Phi-3;
-    this framework serves contexts within the original window, where HF
+    band scaling (Llama-3.1/3.2), yarn (DeepSeek-V2/V3, Qwen long
+    context; HF computes its blend once from config, so it is static
+    despite the name), and longrope/su short factors (Phi-3; this
+    framework serves contexts within the original window, where HF
     applies short_factor, and bakes the trained attention factor into
-    cos/sin). Length-dynamic schemes (dynamic NTK, yarn) are rejected
-    loudly — loading them with plain RoPE would generate garbage with no
-    error."""
+    cos/sin). Length-dynamic schemes (dynamic NTK) are rejected loudly —
+    loading them with plain RoPE would generate garbage with no error."""
     rs = hf.get("rope_scaling")
     if not rs:
         return None, 1.0
@@ -314,6 +406,51 @@ def _rope_scaling_from_hf(hf: dict, head_dim: int):
             ),
         )
         return tuple(float(d) for d in div), 1.0
+    if rtype == "yarn":
+        # HF modeling_rope_utils._compute_yarn_parameters: blend the
+        # interpolated (1/factor) and extrapolated inverse frequencies
+        # with a linear ramp over the correction range — STATIC (depends
+        # only on config), so it maps onto the same per-dim divisor
+        # mechanism as llama3/longrope. attention_factor scales cos/sin.
+        factor = float(rs["factor"])
+        orig = float(
+            rs.get("original_max_position_embeddings")
+            or hf.get("max_position_embeddings", 4096)
+        )
+        beta_fast = float(rs.get("beta_fast") or 32)
+        beta_slow = float(rs.get("beta_slow") or 1)
+        theta = float(hf.get("rope_theta", 10000.0))
+        dim = head_dim
+
+        def mscale_of(scale, m=1.0):
+            return 1.0 if scale <= 1 else 0.1 * m * np.log(scale) + 1.0
+
+        attn = rs.get("attention_factor")
+        if attn is None:
+            ms, msad = rs.get("mscale"), rs.get("mscale_all_dim")
+            if ms and msad:
+                attn = mscale_of(factor, ms) / mscale_of(factor, msad)
+            else:
+                attn = mscale_of(factor)
+
+        def corr_dim(n_rot):
+            return (
+                dim * np.log(orig / (n_rot * 2 * np.pi))
+            ) / (2 * np.log(theta))
+
+        lo, hi = corr_dim(beta_fast), corr_dim(beta_slow)
+        if rs.get("truncate", True):
+            lo, hi = np.floor(lo), np.ceil(hi)
+        lo, hi = max(lo, 0.0), min(hi, dim - 1)
+        if lo == hi:
+            hi += 0.001
+        ramp = np.clip(
+            (np.arange(half, dtype=np.float64) - lo) / (hi - lo), 0, 1
+        )
+        extrapolation = 1.0 - ramp  # 1 = keep original freq
+        # inv = base_inv * ((1-e)/factor + e)  ⇒  divisor = 1 / blend.
+        div = 1.0 / ((1.0 - extrapolation) / factor + extrapolation)
+        return tuple(float(d) for d in div), float(attn)
     if rtype in ("longrope", "su"):
         short = rs.get("short_factor")
         if not short or len(short) != half:
@@ -351,6 +488,8 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     context caps; mixtral: top-2-of-8 routed SwiGLU experts per block;
     qwen2_moe adds a sigmoid-gated shared expert, qwen3_moe drops it)."""
     mtype = hf.get("model_type", "llama")
+    if mtype in ("deepseek_v2", "deepseek_v3"):
+        return _deepseek_config_from_hf(hf, mtype)
     gemma = mtype.startswith("gemma")
     gemma3 = mtype in ("gemma3_text", "gemma3")
     qwen_moe = mtype in ("qwen2_moe", "qwen3_moe")
@@ -458,6 +597,79 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     )
 
 
+def _deepseek_config_from_hf(hf: dict, mtype: str) -> DecoderConfig:
+    """DeepSeek-V2/V3 (MLA + DeepSeekMoE) HF config mapping.
+
+    HF references: ``transformers/models/deepseek_v3/modular_deepseek_v3
+    .py`` (DeepseekV3Attention: q/kv LoRA ranks, nope/rope head split,
+    interleaved rotary; DeepseekV3TopkRouter: sigmoid + correction bias +
+    group-limited top-k) and the V2 module (softmax scores, group-max).
+    Dense checkpoints (n_routed_experts absent) map to a plain MLA
+    decoder. Yarn rope_scaling is rejected by _rope_scaling_from_hf the
+    same way as everywhere else (loud, not garbage)."""
+    v3 = mtype == "deepseek_v3"
+    heads = hf.get("num_attention_heads", 32)
+    rope_dim = hf.get("qk_rope_head_dim", 64)
+    nope_dim = hf.get("qk_nope_head_dim", 128)
+    rope_factors, rope_attn = _rope_scaling_from_hf(hf, rope_dim)
+    n_experts = hf.get("n_routed_experts") or 0
+    first_k = hf.get("first_k_dense_replace", 0) if n_experts else 0
+    # Yarn mscale² on the attention scale (HF DeepseekV3Attention):
+    # applied when rope_scaling carries mscale_all_dim.
+    sm_mult = 1.0
+    rs = hf.get("rope_scaling") or {}
+    msad = rs.get("mscale_all_dim")
+    if msad and float(rs.get("factor", 1.0)) > 1.0:
+        m = 0.1 * float(msad) * np.log(float(rs["factor"])) + 1.0
+        sm_mult = m * m
+    if n_experts and hf.get("moe_layer_freq", 1) != 1:
+        raise ValueError(
+            "deepseek checkpoints with moe_layer_freq != 1 interleave "
+            "dense layers beyond the first_k prefix — unsupported by "
+            "the uniform layer scan"
+        )
+    n_shared = hf.get("n_shared_experts") or 0
+    moe_ff = hf.get("moe_intermediate_size", 1407)
+    group_limited = v3 or hf.get("topk_method") == "group_limited_greedy"
+    return DecoderConfig(
+        vocab_size=hf.get("vocab_size", 102400),
+        hidden_dim=hf.get("hidden_size", 4096),
+        num_layers=hf.get("num_hidden_layers", 30),
+        num_heads=heads,
+        num_kv_heads=1,  # the latent cache is shared across heads
+        head_dim=nope_dim + rope_dim,
+        ff_dim=moe_ff if n_experts else hf.get("intermediate_size", 11008),
+        max_position=hf.get("max_position_embeddings", 4096),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        norm_eps=hf.get("rms_norm_eps", 1e-6),
+        act="silu",
+        tie_embeddings=hf.get("tie_word_embeddings", False),
+        rope_factors=rope_factors,
+        rope_attn_factor=rope_attn,
+        kv_lora_rank=hf.get("kv_lora_rank", 512),
+        q_lora_rank=hf.get("q_lora_rank") or 0,
+        qk_nope_head_dim=nope_dim,
+        qk_rope_head_dim=rope_dim,
+        v_head_dim=hf.get("v_head_dim", 128),
+        rope_interleave=bool(hf.get("rope_interleave", True)),
+        num_experts=n_experts,
+        experts_per_tok=hf.get("num_experts_per_tok", 8) if n_experts
+        else 2,
+        norm_topk_prob=(
+            bool(hf.get("norm_topk_prob", v3)) if v3 else False
+        ),
+        moe_sigmoid_routing=v3,
+        n_group=(hf.get("n_group") or 0) if group_limited else 0,
+        topk_group=(hf.get("topk_group") or 0) if group_limited else 0,
+        routed_scaling_factor=float(hf.get("routed_scaling_factor", 1.0)),
+        shared_expert_dim=n_shared * moe_ff if n_experts else 0,
+        shared_expert_gated=False,
+        first_k_dense=first_k,
+        dense_ff_dim=hf.get("intermediate_size", 11008) if first_k else 0,
+        sm_scale_mult=sm_mult,
+    )
+
+
 def load_hf_causal_lm(
     path: str, cfg: Optional[DecoderConfig] = None
 ) -> Tuple[Dict, DecoderConfig]:
@@ -525,6 +737,113 @@ def map_hf_causal_lm(
         ]
 
     p = "model.layers.{}."
+    if (
+        prefix + p.format(0) + "self_attn.kv_a_proj_with_mqa.weight"
+    ) in tensors:
+        # DeepSeek-V2/V3 MLA (+ DeepSeekMoE): the dense prefix
+        # (first_k_dense) maps to params["dense_layers"], the MoE tail
+        # to the scan stack. HF naming per modular_deepseek_v3.py.
+        K = cfg.first_k_dense
+        Lt = cfg.num_layers
+
+        def rstacked(fmt, lo, hi, transpose=True):
+            mats = [
+                np.asarray(tensors[prefix + fmt.format(i)], np.float32)
+                for i in range(lo, hi)
+            ]
+            return jnp.asarray(
+                np.stack([m.T if transpose else m for m in mats])
+            )
+
+        def mla_leaves(lo, hi):
+            out = {
+                "w_kva": rstacked(
+                    p + "self_attn.kv_a_proj_with_mqa.weight", lo, hi
+                ),
+                "ln_kv_a": rstacked(
+                    p + "self_attn.kv_a_layernorm.weight", lo, hi, False
+                ),
+                "w_kvb": rstacked(p + "self_attn.kv_b_proj.weight", lo, hi),
+                "wo": rstacked(p + "self_attn.o_proj.weight", lo, hi),
+                "ln_attn": rstacked(
+                    p + "input_layernorm.weight", lo, hi, False
+                ),
+                "ln_mlp": rstacked(
+                    p + "post_attention_layernorm.weight", lo, hi, False
+                ),
+            }
+            if cfg.q_lora_rank:
+                out["wq_a"] = rstacked(
+                    p + "self_attn.q_a_proj.weight", lo, hi
+                )
+                out["ln_q_a"] = rstacked(
+                    p + "self_attn.q_a_layernorm.weight", lo, hi, False
+                )
+                out["wq_b"] = rstacked(
+                    p + "self_attn.q_b_proj.weight", lo, hi
+                )
+            else:
+                out["wq"] = rstacked(p + "self_attn.q_proj.weight", lo, hi)
+            return out
+
+        def dense_mlp(out, lo, hi):
+            out["w_gate"] = rstacked(p + "mlp.gate_proj.weight", lo, hi)
+            out["w_up"] = rstacked(p + "mlp.up_proj.weight", lo, hi)
+            out["w_down"] = rstacked(p + "mlp.down_proj.weight", lo, hi)
+            return out
+
+        layers = mla_leaves(K, Lt)
+        if cfg.num_experts:
+
+            def experts_r(wname):
+                mats = [
+                    np.stack([
+                        np.asarray(
+                            tensors[
+                                prefix + p.format(i)
+                                + f"mlp.experts.{e}.{wname}.weight"
+                            ],
+                            np.float32,
+                        ).T
+                        for e in range(cfg.num_experts)
+                    ])
+                    for i in range(K, Lt)
+                ]
+                return jnp.asarray(np.stack(mats))
+
+            layers["w_router"] = rstacked(p + "mlp.gate.weight", K, Lt)
+            if cfg.moe_sigmoid_routing:
+                layers["router_bias"] = rstacked(
+                    p + "mlp.gate.e_score_correction_bias", K, Lt, False
+                )
+            layers["w_gate"] = experts_r("gate_proj")
+            layers["w_up"] = experts_r("up_proj")
+            layers["w_down"] = experts_r("down_proj")
+            if cfg.shared_expert_dim:
+                layers["w_shared_gate"] = rstacked(
+                    p + "mlp.shared_experts.gate_proj.weight", K, Lt
+                )
+                layers["w_shared_up"] = rstacked(
+                    p + "mlp.shared_experts.up_proj.weight", K, Lt
+                )
+                layers["w_shared_down"] = rstacked(
+                    p + "mlp.shared_experts.down_proj.weight", K, Lt
+                )
+        else:
+            layers = dense_mlp(layers, K, Lt)
+        params = {
+            "embed": t("model.embed_tokens.weight"),
+            "final_norm": t("model.norm.weight"),
+            "layers": layers,
+        }
+        if K:
+            params["dense_layers"] = dense_mlp(mla_leaves(0, K), 0, K)
+        if not cfg.tie_embeddings:
+            if prefix + "lm_head.weight" in tensors:
+                params["lm_head"] = t("lm_head.weight").T
+            else:
+                cfg = replace(cfg, tie_embeddings=True)
+        return params, cfg
     if (prefix + p.format(0) + "self_attn.qkv_proj.weight") in tensors:
         # Phi-3 family: fused attention + MLP input projections.
         qd = cfg.num_heads * cfg.head_dim
@@ -671,24 +990,34 @@ def quantize_decoder_params(params: Dict) -> Dict:
     the f32 embedding; quantizing it would couple logit error to the
     gather). Returns a pytree where each ``w`` becomes ``w_q`` (int8) +
     ``w_s`` (f32 per-channel scale)."""
-    out_layers: Dict[str, jax.Array] = {}
-    for name, w in params["layers"].items():
-        # (L, in, out) dense matmuls and (L, E, in, out) MoE experts both
-        # quantize along their input dim. The MoE ROUTER stays f32: it is
-        # tiny (h·E) and its argmax-like top-k decisions are the one place
-        # where quantization noise changes WHICH weights apply, not just
-        # their precision.
-        if name != "w_router" and name.startswith("w") and w.ndim in (3, 4):
-            absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
-            scale = jnp.maximum(absmax, 1e-8) / 127.0
-            out_layers[name + "_q"] = jnp.clip(
-                jnp.round(w / scale), -127, 127
-            ).astype(jnp.int8)
-            out_layers[name + "_s"] = scale.astype(jnp.float32)
-        else:
-            out_layers[name] = w
-    out = {k: v for k, v in params.items() if k != "layers"}
-    out["layers"] = out_layers
+
+    def quantize_stack(stack: Dict) -> Dict:
+        out_layers: Dict[str, jax.Array] = {}
+        for name, w in stack.items():
+            # (L, in, out) dense matmuls and (L, E, in, out) MoE experts
+            # both quantize along their input dim. The MoE ROUTER stays
+            # f32: it is tiny (h·E) and its argmax-like top-k decisions
+            # are the one place where quantization noise changes WHICH
+            # weights apply, not just their precision.
+            if name != "w_router" and name.startswith("w") \
+                    and w.ndim in (3, 4):
+                absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+                scale = jnp.maximum(absmax, 1e-8) / 127.0
+                out_layers[name + "_q"] = jnp.clip(
+                    jnp.round(w / scale), -127, 127
+                ).astype(jnp.int8)
+                out_layers[name + "_s"] = scale.astype(jnp.float32)
+            else:
+                out_layers[name] = w
+        return out_layers
+
+    out = {
+        k: v for k, v in params.items()
+        if k not in ("layers", "dense_layers")
+    }
+    out["layers"] = quantize_stack(params["layers"])
+    if "dense_layers" in params:
+        out["dense_layers"] = quantize_stack(params["dense_layers"])
     return out
 
 
@@ -752,6 +1081,30 @@ def _rope(x: jax.Array, positions: jax.Array, cfg, inv_freq=None) -> jax.Array:
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
     ).astype(x.dtype)
+
+
+def _rope_pairs(x: jax.Array, positions: jax.Array, cfg) -> jax.Array:
+    """RoPE with ``cfg.rope_interleave`` handling (DeepSeek): HF reorders
+    the head dim from interleaved pairs [a0, b0, a1, b1, ...] to the
+    half-split layout [a0, a1, ..., b0, b1, ...] before the standard
+    rotation (modeling ``apply_rotary_pos_emb_interleave``)."""
+    if cfg.rope_interleave:
+        hd = x.shape[-1]
+        x = jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+        assert x.shape[-1] == hd
+    return _rope(x, positions, cfg)
+
+
+def _weight(lp: Dict, name: str, cd) -> jax.Array:
+    """The (possibly int8-quantized) weight MATRIX itself — for absorbed
+    MLA compute, which contracts ``w_kvb`` on both sides rather than
+    applying it as a matmul. int8 leaves dequantize on the fly (the HBM
+    read is still the int8 bytes; the dequant runs in VMEM)."""
+    if name + "_q" in lp:
+        return (
+            lp[name + "_q"].astype(jnp.float32) * lp[name + "_s"]
+        ).astype(cd)
+    return lp[name].astype(cd)
 
 
 def _act(x: jax.Array, name: str) -> jax.Array:
@@ -828,10 +1181,57 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
         "bth,he->bte", h.astype(jnp.float32), router,
         preferred_element_type=jnp.float32,
     )
-    probs = jax.nn.softmax(logits, axis=-1)
-    top_vals, top_idx = jax.lax.top_k(probs, cfg.experts_per_tok)
-    if cfg.norm_topk_prob:
-        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    if cfg.moe_sigmoid_routing:
+        # DeepSeek-V3 (HF DeepseekV3TopkRouter): sigmoid scores; the
+        # per-expert correction bias and the group-limited mask steer
+        # SELECTION only — combine weights come from the unbiased
+        # scores, then scale by routed_scaling_factor. (Exact-tie
+        # caveat: when a selected-group expert's biased score falls
+        # below the masked experts' 0.0 fill, several zeros tie for the
+        # last slot — jax.lax.top_k takes the lowest index, while
+        # torch.topk's tie order is undefined; both are arbitrary.)
+        scores = jax.nn.sigmoid(logits)
+        choice = scores + lp["router_bias"].astype(jnp.float32)
+        if cfg.n_group > 1:
+            Bc, Tc, E = choice.shape
+            G = cfg.n_group
+            grp = choice.reshape(Bc, Tc, G, E // G)
+            g2, _ = jax.lax.top_k(grp, 2)  # top-2 experts per group
+            _, gidx = jax.lax.top_k(g2.sum(-1), cfg.topk_group)
+            gmask = jnp.sum(
+                jax.nn.one_hot(gidx, G, dtype=jnp.float32), axis=-2
+            )  # (B, T, G)
+            choice = jnp.where(
+                jnp.repeat(gmask, E // G, axis=-1) > 0, choice, 0.0
+            )
+        _, top_idx = jax.lax.top_k(choice, cfg.experts_per_tok)
+        top_vals = jnp.take_along_axis(scores, top_idx, axis=-1)
+        if cfg.norm_topk_prob:
+            top_vals = top_vals / (
+                jnp.sum(top_vals, axis=-1, keepdims=True) + 1e-20
+            )
+        top_vals = top_vals * cfg.routed_scaling_factor
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        choice = probs
+        if cfg.n_group > 1:
+            # DeepSeek-V2 group_limited_greedy: group score is the MAX
+            # expert score in the group (V3 uses top-2 sum above).
+            Bc, Tc, E = choice.shape
+            G = cfg.n_group
+            gmax = choice.reshape(Bc, Tc, G, E // G).max(-1)
+            _, gidx = jax.lax.top_k(gmax, cfg.topk_group)
+            gmask = jnp.sum(
+                jax.nn.one_hot(gidx, G, dtype=jnp.float32), axis=-2
+            )
+            choice = jnp.where(
+                jnp.repeat(gmask, E // G, axis=-1) > 0, choice, 0.0
+            )
+        top_vals, top_idx = jax.lax.top_k(choice, cfg.experts_per_tok)
+        if cfg.norm_topk_prob:
+            top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+        if cfg.routed_scaling_factor != 1.0:
+            top_vals = top_vals * cfg.routed_scaling_factor
     # (B, T, E) combine weights: zero off the non-selected experts.
     weights = jnp.sum(
         jax.nn.one_hot(top_idx, cfg.num_experts, dtype=jnp.float32)
@@ -868,19 +1268,81 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
         preferred_element_type=jnp.float32,
     )
     if cfg.shared_expert_dim:
-        # Qwen2-MoE: always-on shared expert, sigmoid-scalar gated
-        # (HF Qwen2MoeSparseMoeBlock: shared_expert_gate is Linear(h, 1)).
+        # Always-on shared expert(s). Qwen2-MoE scales it by a sigmoid
+        # scalar gate (HF Qwen2MoeSparseMoeBlock: Linear(h, 1));
+        # DeepSeek's shared experts add UNGATED (HF DeepseekV3MoE adds
+        # shared_experts(residual) directly).
         s_gate = _act(_qmatmul(h, lp, "w_shared_gate", cd), cfg.act)
         s_up = _qmatmul(h, lp, "w_shared_up", cd)
         shared = _qmatmul((s_gate * s_up).astype(cd), lp, "w_shared_down", cd)
-        scale = jax.nn.sigmoid(
-            jnp.einsum(
-                "bth,ho->bto", h.astype(jnp.float32),
-                lp["shared_gate"].astype(jnp.float32),
+        if cfg.shared_expert_gated:
+            scale = jax.nn.sigmoid(
+                jnp.einsum(
+                    "bth,ho->bto", h.astype(jnp.float32),
+                    lp["shared_gate"].astype(jnp.float32),
+                )
             )
-        )
-        out = out + shared.astype(jnp.float32) * scale
+            shared = shared.astype(jnp.float32) * scale
+        out = out + shared.astype(jnp.float32)
     return out.astype(cd)
+
+
+def _mla_attn(h, lp, c_cache, kr_cache, positions, mask, cfg):
+    """DeepSeek multi-head latent attention over the latent cache.
+
+    h: normed hidden (B, T, H); c_cache: (B, S, 1, r) compressed-kv
+    latents (rmsnormed); kr_cache: (B, S, 1, dr) shared roped keys;
+    mask: (B, T, S) additive. Returns the pre-``wo`` context
+    (B, T, n_heads * v_head_dim).
+
+    Weight absorption (the TPU-native form): instead of materializing
+    per-head k/v from the latent like HF (``kv_b_proj`` on every cached
+    position, every step), fold ``w_kvb``'s k-half into the QUERY
+    (q_nope · W_k per head → a rank-r query) and its v-half into the
+    OUTPUT (latent-space context · W_v). Exact-arithmetic-equal to the
+    materialized form (matmul associativity); the cache stays r + dr
+    floats per token — 9x smaller than V3's materialized heads — and
+    decode never re-projects the past. HF parity:
+    ``transformers/models/deepseek_v3/modular_deepseek_v3.py``
+    DeepseekV3Attention.forward."""
+    cd = cfg.compute_dtype
+    B, T, _ = h.shape
+    n = cfg.num_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    r = cfg.kv_lora_rank
+    if cfg.q_lora_rank:
+        qa = _qmatmul(h, lp, "wq_a", cd)
+        qa = _rmsnorm(qa, lp["ln_q_a"], cfg).astype(cd)
+        q = _qmatmul(qa, lp, "wq_b", cd)
+    else:
+        q = _qmatmul(h, lp, "wq", cd)
+    q = q.reshape(B, T, n, dn + dr)
+    qn, qr = q[..., :dn], q[..., dn:]
+    qr = _rope_pairs(qr, positions, cfg)
+    w_kvb = _weight(lp, "w_kvb", cd).reshape(r, n, dn + dv)
+    w_k, w_v = w_kvb[..., :dn], w_kvb[..., dn:]
+    # Absorbed rank-r query, then scores against the latent + roped key.
+    qn_abs = jnp.einsum(
+        "btnd,rnd->btnr", qn, w_k, preferred_element_type=jnp.float32
+    )
+    c = c_cache[:, :, 0, :]    # (B, S, r)
+    kr = kr_cache[:, :, 0, :]  # (B, S, dr)
+    logits = (
+        jnp.einsum("btnr,bsr->btns", qn_abs.astype(cd), c,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("btnd,bsd->btns", qr, kr,
+                     preferred_element_type=jnp.float32)
+    ) * cfg.sm_scale
+    logits = logits + mask[:, :, None, :]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    ctx = jnp.einsum(
+        "btns,bsr->btnr", probs.astype(cd), c,
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    out = jnp.einsum(
+        "btnr,rnd->btnd", ctx, w_v, preferred_element_type=jnp.float32
+    ).astype(cd)
+    return out.reshape(B, T, n * dv)
 
 
 def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
@@ -921,27 +1383,35 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
         mask = mask + jnp.where(in_window, 0.0, -1e9).astype(jnp.float32)
 
     h = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
-    q = _qmatmul(h, lp, "wq", cd)
-    if cfg.qkv_bias:
-        q = q + lp["bq"].astype(cd)
-    q = q.reshape(B, T, n_kv * g, hd)
-    if cfg.qk_norm:  # Qwen3/Gemma3: per-head norm over head_dim, pre-RoPE
-        q = _rmsnorm(q, lp["ln_q"], cfg).astype(cd)
-    q = _rope(q, positions, cfg, lp.get("rope_inv")).reshape(
-        B, T, n_kv, g, hd
-    )
-    probs = _attn_scores(q, k_cache, mask, cfg).astype(cd)
-    ctx = jnp.einsum(
-        "btngs,bsnh->btngh", probs, v_cache,
-        preferred_element_type=jnp.float32,
-    ).astype(cd)
-    attn = _qmatmul(ctx.reshape(B, T, n_kv * g * hd), lp, "wo", cd)
+    if cfg.kv_lora_rank:  # DeepSeek MLA: absorbed latent attention
+        ctx_flat = _mla_attn(h, lp, k_cache, v_cache, positions, mask,
+                             cfg)
+        attn = _qmatmul(ctx_flat, lp, "wo", cd)
+    else:
+        q = _qmatmul(h, lp, "wq", cd)
+        if cfg.qkv_bias:
+            q = q + lp["bq"].astype(cd)
+        q = q.reshape(B, T, n_kv * g, hd)
+        if cfg.qk_norm:  # Qwen3/Gemma3: per-head norm, pre-RoPE
+            q = _rmsnorm(q, lp["ln_q"], cfg).astype(cd)
+        q = _rope(q, positions, cfg, lp.get("rope_inv")).reshape(
+            B, T, n_kv, g, hd
+        )
+        probs = _attn_scores(q, k_cache, mask, cfg).astype(cd)
+        ctx = jnp.einsum(
+            "btngs,bsnh->btngh", probs, v_cache,
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+        attn = _qmatmul(ctx.reshape(B, T, n_kv * g * hd), lp, "wo", cd)
     if cfg.post_norms:  # Gemma2: norm the block OUTPUT before the residual
         attn = _rmsnorm(attn, lp["ln_attn_post"], cfg).astype(cd)
     x = x + attn.astype(x.dtype)
 
     h = _rmsnorm(x, lp["ln_mlp"], cfg).astype(cd)
-    if cfg.num_experts:
+    # MoE dispatch keys on the ROUTER LEAF, not cfg — a DeepSeek
+    # dense-prefix layer (first_k_dense) runs the dense MLP even though
+    # the config is MoE.
+    if "w_router" in lp:
         down = _moe_mlp(h, lp, cfg, cd)
     else:
         gate = _act(_qmatmul(h, lp, "w_gate", cd), cfg.act)
@@ -953,9 +1423,22 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
 
 
 def _project_kv(h_norm, lp, positions, cfg):
-    """Normed hidden (B, T, H) → rotated k, v (B, T, n_kv, hd) in bf16."""
+    """Normed hidden (B, T, H) → rotated k, v (B, T, n_kv, hd) in bf16.
+
+    MLA (``cfg.kv_lora_rank``): returns the LATENT pair instead — the
+    rmsnormed compressed kv (B, T, 1, r) in the "k" slot and the shared
+    roped key (B, T, 1, dr) in the "v" slot. Same (B, T, heads, dim)
+    shape contract, so every cache-update site works unchanged."""
     cd = cfg.compute_dtype
     B, T, _ = h_norm.shape
+    if cfg.kv_lora_rank:
+        r = cfg.kv_lora_rank
+        ckr = _qmatmul(h_norm, lp, "w_kva", cd)
+        c = _rmsnorm(ckr[..., :r], lp["ln_kv_a"], cfg).astype(cd)
+        kr = _rope_pairs(
+            ckr[..., None, r:], positions, cfg
+        )  # (B, T, 1, dr)
+        return c[:, :, None, :], kr.astype(cd)
     k = _qmatmul(h_norm, lp, "wk", cd)
     v = _qmatmul(h_norm, lp, "wv", cd)
     if cfg.qkv_bias:
@@ -985,7 +1468,22 @@ def _logits(params, x, cfg):
 
 
 def init_cache(cfg: DecoderConfig, batch: int, max_seq: int) -> Dict:
-    """Fixed-shape KV cache: (L, B, S_max, n_kv, hd) bf16 per tensor."""
+    """Fixed-shape KV cache: (L, B, S_max, n_kv, hd) bf16 per tensor.
+
+    MLA: the cache holds the LATENT pair — "k" is the compressed kv
+    (L, B, S, 1, kv_lora_rank), "v" the shared roped key
+    (L, B, S, 1, qk_rope_head_dim). Per-token bytes drop from
+    2·n_kv·hd to r + dr (DeepSeek-V3: 576 vs 32768 per layer) — the
+    reason MLA exists; all cache plumbing (row insert, prefix-cache
+    block copies, TP placement) is shape-agnostic and reused as is."""
+    if cfg.kv_lora_rank:
+        base = (cfg.num_layers, batch, max_seq, 1)
+        return {
+            "k": jnp.zeros(base + (cfg.kv_lora_rank,), cfg.compute_dtype),
+            "v": jnp.zeros(
+                base + (cfg.qk_rope_head_dim,), cfg.compute_dtype
+            ),
+        }
     shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
     return {
         "k": jnp.zeros(shape, cfg.compute_dtype),
@@ -1029,6 +1527,32 @@ def prefill_embeds(
                          cfg, max_seq, overlay)
 
 
+def _run_layers(x, params, cache_k, cache_v, cfg: DecoderConfig, body):
+    """Traverse the layer stack: the DeepSeek dense prefix
+    (``params["dense_layers"]``, cfg.first_k_dense layers) runs UNROLLED
+    first — its leaves differ structurally from the MoE stack, so it
+    cannot share the scan — then the homogeneous stack scans. ``body``
+    is the per-layer step ``(x, (lp, kc, vc)) -> (x, (kc, vc))`` shared
+    by both. Cache rows [0, K) belong to the prefix."""
+    K = cfg.first_k_dense
+    if K:
+        dl = params["dense_layers"]
+        pk, pv = [], []
+        for i in range(K):
+            lp = jax.tree.map(lambda a, _i=i: a[_i], dl)
+            x, (nk, nv) = body(x, (lp, cache_k[i], cache_v[i]))
+            pk.append(nk)
+            pv.append(nv)
+        x, (sk, sv) = jax.lax.scan(
+            body, x, (params["layers"], cache_k[K:], cache_v[K:])
+        )
+        return x, (
+            jnp.concatenate([jnp.stack(pk), sk]),
+            jnp.concatenate([jnp.stack(pv), sv]),
+        )
+    return jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+
+
 def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
                   overlay=None):
     B, P = mask.shape
@@ -1054,8 +1578,8 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
                            overlay)
         return x, (kc, vc)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
+    x, (k_new, v_new) = _run_layers(
+        x, params, cache["k"], cache["v"], cfg, body
     )
     x = _rmsnorm(x[:, -1:, :], params["final_norm"], cfg)
     logits = _logits(params, x[:, 0, :], cfg)
@@ -1092,8 +1616,8 @@ def decode_step(
         x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, (kc, vc)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
+    x, (k_new, v_new) = _run_layers(
+        x, params, cache["k"], cache["v"], cfg, body
     )
     x = _rmsnorm(x, params["final_norm"], cfg)
     logits = _logits(params, x[:, 0, :], cfg)
@@ -1132,8 +1656,8 @@ def decode_step_rows(
         x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, (kc, vc)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
+    x, (k_new, v_new) = _run_layers(
+        x, params, cache["k"], cache["v"], cfg, body
     )
     x = _rmsnorm(x, params["final_norm"], cfg)
     logits = _logits(params, x[:, 0, :], cfg)
@@ -1190,8 +1714,8 @@ def _decode_verify_impl(
         x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, (kc, vc)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
+    x, (k_new, v_new) = _run_layers(
+        x, params, cache["k"], cache["v"], cfg, body
     )
     x = _rmsnorm(x, params["final_norm"], cfg)
     logits = _logits(params, x, cfg)  # (B, T, vocab)
@@ -1506,7 +2030,8 @@ def find_local_lm_checkpoint() -> Optional[str]:
             # skip a perfectly servable snapshot (review finding r3).
             if mtype in ("llama", "mistral", "mixtral", "qwen2",
                          "qwen2_moe", "qwen3", "qwen3_moe", "gemma",
-                         "gemma2", "gemma3_text", "phi3"):
+                         "gemma2", "gemma3_text", "phi3",
+                         "deepseek_v2", "deepseek_v3"):
                 return root
     return None
 
@@ -1612,7 +2137,9 @@ class TextDecoder:
             )
             params = init_params(jax.random.key(seed), cfg)
         self.cfg = cfg
-        if quantize and "wq_q" not in params["layers"]:
+        if quantize and not any(
+            k.endswith("_q") for k in params["layers"]
+        ):
             params = quantize_decoder_params(params)
         params, self.cache_sharding = self._maybe_shard_tp(params, cfg)
         self.params = params
@@ -1653,6 +2180,13 @@ class TextDecoder:
         multi-device sharding (a caller ran shard_decoder over an explicit
         mesh, e.g. a TP subset of the slice) are left untouched and their
         mesh is reused for the cache sharding."""
+        if cfg.kv_lora_rank or cfg.first_k_dense:
+            # MLA's latent cache has no head axis to shard over (that IS
+            # the compression), and the dense-prefix stack breaks the
+            # uniform Megatron specs — DeepSeek-family serving runs
+            # replicated for now (the 9x-smaller cache is the win MLA
+            # brings instead).
+            return params, None
         from multimodal_rag_tpu.parallel.decoder_tp import (
             MODEL_AXIS,
             cache_spec,

@@ -135,6 +135,12 @@ def shard_decoder_pp(
     ADDITIONALLY carries its Megatron TP sharding (decoder_tp.
     decoder_param_specs) over the model axis: stage s's layer slice is
     column/row-split across that stage's TP group."""
+    if cfg.kv_lora_rank or cfg.first_k_dense or "dense_layers" in params:
+        raise ValueError(
+            "pipeline parallelism does not support the DeepSeek MLA "
+            "family yet (heterogeneous dense-prefix stack / latent "
+            "cache); serve it replicated or data-parallel"
+        )
     S = mesh.shape[PIPE_AXIS]
     staged = dict(params)
     staged["layers"] = _stage_layers(params["layers"], S)

@@ -159,6 +159,12 @@ def sp_prefill(
     divide by the mesh size. Returns (next-token logits (B, vocab), kv
     cache {k, v} of shape (L, B, P, n_kv, hd) — sequence length P, not
     max_seq; :func:`sp_generate` pads it into the decode buffer)."""
+    if cfg.kv_lora_rank or cfg.first_k_dense:
+        raise ValueError(
+            "sequence-parallel prefill does not support the DeepSeek "
+            "MLA family yet (latent-cache attention); serve it "
+            "replicated or data-parallel"
+        )
     S = mesh.devices.size
     B, Pr = ids.shape
     assert Pr % S == 0, f"prompt length {Pr} must divide over {S} chips"
