@@ -141,6 +141,21 @@ class DecoderConfig:
     # mscale(factor, mscale_all_dim)^2 (HF DeepseekV3Attention.__init__)
     # — separate from rope_attn_factor, which scales cos/sin.
     sm_scale_mult: float = 1.0
+    # GPT-OSS conventions (all off for other families):
+    # per-head learnable attention SINKS — an extra logit in every
+    # softmax denominator (a "nothing useful to attend to" escape hatch);
+    # the sink column's probability mass is dropped after normalization.
+    attn_sinks: bool = False
+    o_bias: bool = False  # bias on the attention output projection
+    # Router: top-k over the RAW (biased) router logits, softmax over
+    # just the selected values (vs Mixtral's softmax-then-top-k).
+    moe_softmax_topk: bool = False
+    # Experts carry biases and use the clamped SwiGLU:
+    # glu = min(gate, limit) * sigmoid(1.702 * min(gate, limit));
+    # out = (clip(up, ±limit) + 1) * glu.
+    moe_expert_bias: bool = False
+    clamped_swiglu: bool = False
+    swiglu_limit: float = 7.0
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -221,10 +236,13 @@ def _interleaved_rope_leaves(cfg: DecoderConfig):
     inv_g = np.asarray(cfg.rope_theta, np.float64) ** exps
     if cfg.rope_factors is not None:
         inv_g = inv_g / np.asarray(cfg.rope_factors, np.float64)
-    inv_l = (
-        np.asarray(cfg.rope_local_theta or cfg.rope_theta, np.float64)
-        ** exps
-    )
+    if cfg.rope_local_theta is not None:
+        # Gemma3: windowed layers use the local theta UNSCALED.
+        inv_l = np.asarray(cfg.rope_local_theta, np.float64) ** exps
+    else:
+        # GPT-OSS-style interleaving: every layer shares the (scaled)
+        # global frequencies; only the window alternates.
+        inv_l = inv_g
     inv = np.stack([inv_l if w else inv_g for w in cfg.layer_windows])
     return {
         "rope_inv": jnp.asarray(inv, jnp.float32),
@@ -300,13 +318,18 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
     if cfg.num_experts:
         E = cfg.num_experts
         layers["w_router"] = tn(keys[9], (L, h, E))
-        if cfg.moe_sigmoid_routing:
-            # e_score_correction_bias — f32, selection-only; the non-"w"
-            # name keeps it out of int8 quantization like the router.
+        if cfg.moe_sigmoid_routing or cfg.moe_softmax_topk:
+            # DeepSeek's e_score_correction_bias / GPT-OSS's router bias
+            # — f32, and the non-"w" name keeps it out of int8
+            # quantization like the router.
             layers["router_bias"] = jnp.zeros((L, E), jnp.float32)
         layers["w_gate"] = tn(keys[5], (L, E, h, f))
         layers["w_up"] = tn(keys[6], (L, E, h, f))
         layers["w_down"] = tn(keys[7], (L, E, f, h))
+        if cfg.moe_expert_bias:
+            layers["b_gate"] = jnp.zeros((L, E, f), jnp.float32)
+            layers["b_up"] = jnp.zeros((L, E, f), jnp.float32)
+            layers["b_down"] = jnp.zeros((L, E, h), jnp.float32)
         if cfg.shared_expert_dim:
             fs = cfg.shared_expert_dim
             skeys = jax.random.split(keys[8], 4)
@@ -325,6 +348,10 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> Dict:
         layers["bq"] = jnp.zeros((L, qd), jnp.float32)
         layers["bk"] = jnp.zeros((L, kvd), jnp.float32)
         layers["bv"] = jnp.zeros((L, kvd), jnp.float32)
+    if cfg.o_bias:
+        layers["bo"] = jnp.zeros((L, h), jnp.float32)
+    if cfg.attn_sinks:
+        layers["attn_sinks"] = tn(keys[9], (L, cfg.num_heads))
     if cfg.qk_norm:
         layers["ln_q"] = norm_init((L, cfg.head_dim))
         layers["ln_k"] = norm_init((L, cfg.head_dim))
@@ -490,6 +517,8 @@ def config_from_hf(hf: dict) -> DecoderConfig:
     mtype = hf.get("model_type", "llama")
     if mtype in ("deepseek_v2", "deepseek_v3"):
         return _deepseek_config_from_hf(hf, mtype)
+    if mtype == "gpt_oss":
+        return _gpt_oss_config_from_hf(hf)
     gemma = mtype.startswith("gemma")
     gemma3 = mtype in ("gemma3_text", "gemma3")
     qwen_moe = mtype in ("qwen2_moe", "qwen3_moe")
@@ -670,6 +699,56 @@ def _deepseek_config_from_hf(hf: dict, mtype: str) -> DecoderConfig:
     )
 
 
+def _gpt_oss_config_from_hf(hf: dict) -> DecoderConfig:
+    """GPT-OSS HF config mapping: attention sinks, alternating
+    128-token sliding windows (the Gemma3 per-layer-window mechanism,
+    with every layer sharing the yarn-scaled frequencies), q/k/v/o
+    biases, and the biased clamped-SwiGLU MoE with softmax-over-top-k
+    routing. HF reference: ``transformers/models/gpt_oss/
+    modular_gpt_oss.py``."""
+    n_layers = hf.get("num_hidden_layers", 36)
+    heads = hf.get("num_attention_heads", 64)
+    head_dim = hf.get("head_dim") or 64
+    rope_factors, rope_attn = _rope_scaling_from_hf(hf, head_dim)
+    win = hf.get("sliding_window", 128) or 128
+    lt = hf.get("layer_types") or [
+        "sliding_attention" if (i + 1) % 2 else "full_attention"
+        for i in range(n_layers)
+    ]
+    if len(lt) != n_layers:
+        raise ValueError(
+            f"layer_types has {len(lt)} entries for {n_layers} layers"
+        )
+    return DecoderConfig(
+        vocab_size=hf.get("vocab_size", 201088),
+        hidden_dim=hf.get("hidden_size", 2880),
+        num_layers=n_layers,
+        num_heads=heads,
+        num_kv_heads=hf.get("num_key_value_heads", 8),
+        head_dim=head_dim,
+        ff_dim=hf.get("intermediate_size", 2880),
+        max_position=hf.get("max_position_embeddings", 131072),
+        rope_theta=hf.get("rope_theta", 150000.0),
+        norm_eps=hf.get("rms_norm_eps", 1e-5),
+        act="silu",
+        tie_embeddings=hf.get("tie_word_embeddings", False),
+        qkv_bias=True,
+        o_bias=True,
+        attn_sinks=True,
+        rope_factors=rope_factors,
+        rope_attn_factor=rope_attn,
+        sliding_window=win,
+        layer_windows=tuple(
+            win if t == "sliding_attention" else 0 for t in lt
+        ),
+        num_experts=hf.get("num_local_experts", 128),
+        experts_per_tok=hf.get("num_experts_per_tok", 4),
+        moe_softmax_topk=True,
+        moe_expert_bias=True,
+        clamped_swiglu=True,
+    )
+
+
 def load_hf_causal_lm(
     path: str, cfg: Optional[DecoderConfig] = None
 ) -> Tuple[Dict, DecoderConfig]:
@@ -838,6 +917,54 @@ def map_hf_causal_lm(
         }
         if K:
             params["dense_layers"] = dense_mlp(mla_leaves(0, K), 0, K)
+        if not cfg.tie_embeddings:
+            if prefix + "lm_head.weight" in tensors:
+                params["lm_head"] = t("lm_head.weight").T
+            else:
+                cfg = replace(cfg, tie_embeddings=True)
+        return params, cfg
+    if (prefix + p.format(0) + "self_attn.sinks") in tensors:
+        # GPT-OSS: fused expert PARAMETER tensors (already (E, in, out) —
+        # no transpose), INTERLEAVED gate/up slices, per-expert biases,
+        # per-head sinks, q/k/v/o biases. HF naming per
+        # modular_gpt_oss.py (GptOssExperts / GptOssTopkRouter).
+        def raw_stacked(fmt):
+            return jnp.asarray(np.stack([
+                np.asarray(tensors[prefix + fmt.format(i)], np.float32)
+                for i in range(cfg.num_layers)
+            ]))
+
+        gate_up = raw_stacked(p + "mlp.experts.gate_up_proj")
+        gate_up_b = raw_stacked(p + "mlp.experts.gate_up_proj_bias")
+        layers = {
+            "wq": stacked(p + "self_attn.q_proj.weight"),
+            "wk": stacked(p + "self_attn.k_proj.weight"),
+            "wv": stacked(p + "self_attn.v_proj.weight"),
+            "wo": stacked(p + "self_attn.o_proj.weight"),
+            "bq": stacked(p + "self_attn.q_proj.bias", False),
+            "bk": stacked(p + "self_attn.k_proj.bias", False),
+            "bv": stacked(p + "self_attn.v_proj.bias", False),
+            "bo": stacked(p + "self_attn.o_proj.bias", False),
+            "attn_sinks": raw_stacked(p + "self_attn.sinks"),
+            "w_router": stacked(p + "mlp.router.weight"),
+            "router_bias": stacked(p + "mlp.router.bias", False),
+            "w_gate": gate_up[..., 0::2],
+            "w_up": gate_up[..., 1::2],
+            "b_gate": gate_up_b[..., 0::2],
+            "b_up": gate_up_b[..., 1::2],
+            "w_down": raw_stacked(p + "mlp.experts.down_proj"),
+            "b_down": raw_stacked(p + "mlp.experts.down_proj_bias"),
+            "ln_attn": stacked(p + "input_layernorm.weight", False),
+            "ln_mlp": stacked(
+                p + "post_attention_layernorm.weight", False
+            ),
+        }
+        layers.update(_interleaved_rope_leaves(cfg))
+        params = {
+            "embed": t("model.embed_tokens.weight"),
+            "final_norm": t("model.norm.weight"),
+            "layers": layers,
+        }
         if not cfg.tie_embeddings:
             if prefix + "lm_head.weight" in tensors:
                 params["lm_head"] = t("lm_head.weight").T
@@ -1117,15 +1244,30 @@ def _softcap(x: jax.Array, cap: float) -> jax.Array:
     return jnp.tanh(x / cap) * cap if cap else x
 
 
-def _attn_scores(q, k, mask, cfg: DecoderConfig):
+def _attn_scores(q, k, mask, cfg: DecoderConfig, sinks=None):
     """q: (B, T, n_kv, g, hd) f32-accumulated scores vs k: (B, S, n_kv, hd);
-    mask: (B, T, S) additive f32. Returns probs (B, T, n_kv, g, S) f32."""
+    mask: (B, T, S) additive f32. Returns probs (B, T, n_kv, g, S) f32.
+
+    ``sinks`` ((n_heads,) f32, GPT-OSS): a per-head learnable logit that
+    joins every softmax denominator and whose probability mass is then
+    dropped — softmax over [logits, sink] sliced back to the key axis
+    (HF gpt_oss eager_attention_forward)."""
     logits = jnp.einsum(
         "btngh,bsnh->btngs", q, k, preferred_element_type=jnp.float32
     ) * cfg.sm_scale
     logits = _softcap(logits, cfg.attn_logit_softcap)
-    logits = logits + mask[:, :, None, None, :]
-    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    logits = (logits + mask[:, :, None, None, :]).astype(jnp.float32)
+    if sinks is None:
+        return jax.nn.softmax(logits, axis=-1)
+    B, T, n_kv, g, S = logits.shape
+    sink = jnp.broadcast_to(
+        sinks.astype(jnp.float32).reshape(1, 1, n_kv, g, 1),
+        (B, T, n_kv, g, 1),
+    )
+    probs = jax.nn.softmax(
+        jnp.concatenate([logits, sink], axis=-1), axis=-1
+    )
+    return probs[..., :S]
 
 
 def _qexpert(x, lp, name: str, cd) -> jax.Array:
@@ -1181,7 +1323,14 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
         "bth,he->bte", h.astype(jnp.float32), router,
         preferred_element_type=jnp.float32,
     )
-    if cfg.moe_sigmoid_routing:
+    if cfg.moe_softmax_topk:
+        # GPT-OSS (HF GptOssTopkRouter): the router bias joins the
+        # logits, top-k runs on the RAW biased logits, and the softmax
+        # normalizes only the selected values.
+        logits_b = logits + lp["router_bias"].astype(jnp.float32)
+        top_vals, top_idx = jax.lax.top_k(logits_b, cfg.experts_per_tok)
+        top_vals = jax.nn.softmax(top_vals, axis=-1)
+    elif cfg.moe_sigmoid_routing:
         # DeepSeek-V3 (HF DeepseekV3TopkRouter): sigmoid scores; the
         # per-expert correction bias and the group-limited mask steer
         # SELECTION only — combine weights come from the unbiased
@@ -1238,9 +1387,21 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
         * top_vals[..., None],
         axis=-2,
     )
-    gate = _act(_qexpert(h, lp, "w_gate", cd), cfg.act)
+    gate = _qexpert(h, lp, "w_gate", cd)
     up = _qexpert(h, lp, "w_up", cd)
-    hidden = (gate * up).astype(cd)
+    if cfg.moe_expert_bias:  # (E, out) biases broadcast over (B, T, E, out)
+        gate = gate + lp["b_gate"].astype(cd)
+        up = up + lp["b_up"].astype(cd)
+    if cfg.clamped_swiglu:
+        # GPT-OSS (HF GptOssExperts): clamp, α=1.702 sigmoid gate, and
+        # the (up + 1) residual-style shift.
+        lim = cfg.swiglu_limit
+        gate = jnp.minimum(gate, lim).astype(jnp.float32)
+        up = jnp.clip(up, -lim, lim).astype(jnp.float32)
+        glu = gate * jax.nn.sigmoid(gate * 1.702)
+        hidden = ((up + 1.0) * glu).astype(cd)
+    else:
+        hidden = (_act(gate, cfg.act) * up).astype(cd)
     if "w_down_q" in lp:
         w_q, w_s = lp["w_down_q"], lp["w_down_s"]  # (E,f,h) i8, (E,1,h)
         x32 = hidden.astype(jnp.float32)
@@ -1261,6 +1422,10 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
             "btef,efh->bteh", hidden, lp["w_down"].astype(cd),
             preferred_element_type=jnp.float32,
         )
+    if cfg.moe_expert_bias:
+        # Per-expert output bias, INSIDE the weighted combine — HF
+        # scales (out_e + bias_e) by the routing weight.
+        down = down.astype(jnp.float32) + lp["b_down"].astype(jnp.float32)
     # Weighted combine in f32 (matches HF summing expert outputs scaled by
     # routing weights); contracts the expert axis — the EP psum point.
     out = jnp.einsum(
@@ -1397,12 +1562,16 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
         q = _rope(q, positions, cfg, lp.get("rope_inv")).reshape(
             B, T, n_kv, g, hd
         )
-        probs = _attn_scores(q, k_cache, mask, cfg).astype(cd)
+        probs = _attn_scores(
+            q, k_cache, mask, cfg, lp.get("attn_sinks")
+        ).astype(cd)
         ctx = jnp.einsum(
             "btngs,bsnh->btngh", probs, v_cache,
             preferred_element_type=jnp.float32,
         ).astype(cd)
         attn = _qmatmul(ctx.reshape(B, T, n_kv * g * hd), lp, "wo", cd)
+        if cfg.o_bias:
+            attn = attn + lp["bo"].astype(cd)
     if cfg.post_norms:  # Gemma2: norm the block OUTPUT before the residual
         attn = _rmsnorm(attn, lp["ln_attn_post"], cfg).astype(cd)
     x = x + attn.astype(x.dtype)
@@ -2031,7 +2200,7 @@ def find_local_lm_checkpoint() -> Optional[str]:
             if mtype in ("llama", "mistral", "mixtral", "qwen2",
                          "qwen2_moe", "qwen3", "qwen3_moe", "gemma",
                          "gemma2", "gemma3_text", "phi3",
-                         "deepseek_v2", "deepseek_v3"):
+                         "deepseek_v2", "deepseek_v3", "gpt_oss"):
                 return root
     return None
 

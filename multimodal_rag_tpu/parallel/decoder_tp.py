@@ -145,6 +145,28 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
             # derived constants, replicated.
             "rope_inv": rep1,
             "attn_window": P(None),
+            # GPT-OSS leaves: the o-bias adds after the row-split wo's
+            # psum (GSPMD keeps the math; replicating the tiny vector is
+            # free), sinks/router-bias are tiny and replicate, expert
+            # biases follow their experts' EP placement.
+            "bo": rep1,
+            "attn_sinks": rep1,
+            "router_bias": rep1,
+            "b_gate": (
+                P(None, MODEL_AXIS, None)
+                if cfg.num_experts and cfg.num_experts % tp == 0
+                else P()
+            ),
+            "b_up": (
+                P(None, MODEL_AXIS, None)
+                if cfg.num_experts and cfg.num_experts % tp == 0
+                else P()
+            ),
+            "b_down": (
+                P(None, MODEL_AXIS, None)
+                if cfg.num_experts and cfg.num_experts % tp == 0
+                else P()
+            ),
         },
     }
     return specs

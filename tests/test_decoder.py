@@ -898,14 +898,27 @@ class TestHFGolden:
         _golden(model, path)
 
     def test_unsupported_rope_scaling_rejected(self):
-        """Length-dynamic schemes must raise, not load with plain RoPE."""
+        """Length-dynamic schemes must raise, not load with plain RoPE.
+        (Yarn used to be here; it is static-from-config and supported
+        since the DeepSeek family landed — tests/test_deepseek.py.)"""
         from multimodal_rag_tpu.models.decoder import config_from_hf
 
         with pytest.raises(ValueError, match="rope_scaling"):
             config_from_hf({
                 "model_type": "llama", "vocab_size": 64,
-                "rope_scaling": {"rope_type": "yarn", "factor": 4.0},
+                "rope_scaling": {"rope_type": "dynamic", "factor": 4.0},
             })
+        # Yarn on a llama-family config loads with divisors populated.
+        cfg = config_from_hf({
+            "model_type": "llama", "vocab_size": 64,
+            "max_position_embeddings": 16384,
+            "rope_scaling": {
+                "rope_type": "yarn", "factor": 4.0,
+                "original_max_position_embeddings": 4096,
+            },
+        })
+        assert cfg.rope_factors is not None
+        assert max(cfg.rope_factors) > 3.5  # long dims fully interpolate
 
     def test_oversized_batch_chunks(self):
         """generate() with more prompts than the largest batch bucket must
