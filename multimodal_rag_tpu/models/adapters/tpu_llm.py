@@ -381,17 +381,37 @@ class TPULLMAdapter(BaseLLMAdapter):
         )
         return text
 
+    def format_chat(self, messages) -> "Optional[str]":
+        """Render OpenAI messages through the CHECKPOINT's chat template
+        (models/chat_template.py) — the prompt format the weights were
+        trained on. None when no template ships with the snapshot (base
+        models / random-init); the API layer then folds the chat into
+        the plain completion framing. Callers pass the result back with
+        ``raw=True`` so the adapter's own framing is skipped."""
+        if self._decoder is None:
+            return None
+        fmt = getattr(self._decoder, "format_chat", None)
+        return fmt(messages) if fmt is not None else None
+
+    def _frame(self, prompt: str, raw: bool) -> str:
+        if raw:
+            return prompt
+        return f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
+
     async def generate_text_with_finish(
         self,
         prompt: str,
         max_tokens: int = 1000,
         temperature: float = 0.7,
+        raw: bool = False,
         **kwargs,
     ) -> "tuple[str, str]":
         """Like ``generate_text`` but also returns the OpenAI-style finish
-        reason ("stop" | "length") for /v1/chat/completions."""
+        reason ("stop" | "length") for /v1/chat/completions. ``raw=True``
+        sends the prompt verbatim (a chat-template render — see
+        :meth:`format_chat`) instead of the system/user framing."""
         self._validate_input(prompt)
-        full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
+        full = self._frame(prompt, raw)
         outs, fins, _ = await self._generate_batch(
             [full], max_tokens, temperature, **kwargs
         )
@@ -410,7 +430,7 @@ class TPULLMAdapter(BaseLLMAdapter):
         whitespace-stripped here (stripping would desynchronize it from
         the per-token records); the API layer renders both verbatim."""
         self._validate_input(prompt)
-        full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
+        full = self._frame(prompt, kwargs.pop("raw", False))
         outs, fins, lps = await self._generate_batch(
             [full], max_tokens, temperature, logprobs=True, **kwargs
         )
@@ -431,7 +451,7 @@ class TPULLMAdapter(BaseLLMAdapter):
         self._validate_input(prompt)
         if not self.is_initialized:
             await self.initialize()
-        full = f"{self.system_prompt}\n\nUser: {prompt}\n\nAssistant:"
+        full = self._frame(prompt, kwargs.pop("raw", False))
         if self._server is not None:
             # Suppress leading whitespace so streamed content matches the
             # stripped non-streaming result ('Assistant:' prompts often

@@ -2290,6 +2290,19 @@ class TextDecoder:
         if tokenizer is None:
             tokenizer = ByteTokenizer()
         self.tokenizer = tokenizer
+        # The checkpoint's chat template (instruct snapshots): serving
+        # weights directly means WE must format chats the way the model
+        # was trained — models/chat_template.py. None for base models
+        # and random-init; callers fall back to plain completion framing.
+        from multimodal_rag_tpu.models.chat_template import (
+            load_chat_template,
+        )
+
+        self.chat_template = (
+            load_chat_template(checkpoint_path) if self.pretrained else None
+        )
+        if self.chat_template is not None:
+            logger.info("Chat template loaded from the checkpoint")
         if cfg is None:
             # Offline default: byte-vocab toy decoder — real graph, real
             # cost model, deterministic output; serving warns loudly.
@@ -2384,6 +2397,19 @@ class TextDecoder:
         sharded, cache_sh = shard_decoder(params, tp_mesh(n), cfg)
         logger.info("Decoder weights tensor-parallel over %d devices", n)
         return sharded, cache_sh
+
+    def format_chat(self, messages: Sequence[Dict]) -> Optional[str]:
+        """Render an OpenAI-style message list through the checkpoint's
+        chat template (with the generation prompt appended). None when
+        the snapshot ships no template — callers keep their completion
+        framing."""
+        if self.chat_template is None:
+            return None
+        from multimodal_rag_tpu.models.chat_template import render_chat
+
+        return render_chat(
+            self.chat_template, list(messages), add_generation_prompt=True
+        )
 
     def prepare(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Encode + LEFT-pad into the smallest (batch, prompt) bucket.

@@ -931,9 +931,32 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             for i, m in enumerate(messages) if m.get("role") != "system"
         )
         prompt = (system + "\n\n" + convo).strip()
+        # Instruct checkpoints: render through the model's OWN chat
+        # template when the on-TPU backend ships one (the prompt format
+        # the weights were trained on — models/chat_template.py), and
+        # tell the adapter to skip its generic framing. Vision requests
+        # keep the fold: the template's content contract is text, and
+        # the MLLM adapters carry their own multimodal framing.
+        fmt = getattr(comps.llm_adapter, "format_chat", None)
+        raw_prompt = False
+        if fmt is not None and not images:
+            try:
+                rendered = fmt([
+                    {"role": m.get("role", "user"), "content": texts[i]}
+                    for i, m in enumerate(messages)
+                ])
+            except ValueError as e:
+                # The template's own raise_exception (e.g. unsupported
+                # role ordering) is the client's fault.
+                return bad_request(str(e))
+            if rendered:
+                prompt = rendered
+                raw_prompt = True
         sampling, err = parse_sampling_params(body)
         if err:
             return bad_request(err)
+        if raw_prompt:
+            sampling["gen_kw"]["raw"] = True
         max_tokens = sampling["max_tokens"]
         gen_kw = sampling["gen_kw"]
         stops = sampling["stops"]
