@@ -294,15 +294,63 @@ class TPULLMAdapter(BaseLLMAdapter):
                     if not fut.done():
                         fut.set_exception(e)
 
+    #: The API layer checks this before accepting ``response_format``
+    #: (grammar-constrained JSON) — HTTP adapters can't enforce it.
+    supports_grammar = True
+
+    def _compile_grammar(self, spec):
+        """Grammar spec tuple (from ``grammar.compile_response_format``)
+        → cached TokenMasker over THIS decoder's tokenizer."""
+        from multimodal_rag_tpu.models.grammar import masker_for
+
+        return masker_for(
+            self._decoder.tokenizer, spec, int(self._decoder.eos_id),
+            vocab_size=int(self._decoder.cfg.vocab_size),
+        )
+
     async def _generate_batch(
         self, prompts: List[str], max_tokens: int, temperature: float,
         logprobs: bool = False, **kw
     ) -> "tuple[List[str], List[str], Optional[list]]":
         """Returns (texts, finish_reasons, lps) — finish is "stop" (EOS)
         / "length"; lps is None unless ``logprobs`` (then one per-token
-        record list per prompt — decoder.TextDecoder.generate docs)."""
+        record list per prompt — decoder.TextDecoder.generate docs).
+        ``grammar`` in ``kw`` (a spec tuple) constrains sampling to the
+        grammar's language: in continuous mode the decode server masks
+        in-batch; in coalesced mode the request takes a host-driven
+        stepped loop (generate_constrained) instead of the queue."""
         if not self.is_initialized:
             await self.initialize()
+        grammar = kw.pop("grammar", None)
+        masker = self._compile_grammar(grammar) if grammar else None
+        if self._server is None and masker is not None:
+            results = []
+            for p in prompts:
+                results.append(await asyncio.to_thread(
+                    functools.partial(
+                        self._decoder.generate_constrained,
+                        p, masker,
+                        max_new_tokens=max_tokens,
+                        temperature=temperature,
+                        top_k=int(kw.get("top_k", 64)),
+                        top_p=float(kw.get("top_p", 1.0)),
+                        seed=kw.get("seed"),
+                        presence_penalty=float(
+                            kw.get("presence_penalty", 0.0)
+                        ),
+                        frequency_penalty=float(
+                            kw.get("frequency_penalty", 0.0)
+                        ),
+                        logprobs=logprobs,
+                    )
+                ))
+            self._batches_run += len(results)
+            self.requests_served += len(results)
+            return (
+                [r[0] for r in results],
+                [r[1] for r in results],
+                [r[2] for r in results] if logprobs else None,
+            )
         if self._server is not None:
             tuples = await asyncio.gather(
                 *(
@@ -318,6 +366,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                             kw.get("frequency_penalty", 0.0)
                         ),
                         logprobs=logprobs,
+                        grammar=masker,
                     )
                     for p in prompts
                 )
@@ -381,17 +430,28 @@ class TPULLMAdapter(BaseLLMAdapter):
         )
         return text
 
-    def format_chat(self, messages) -> "Optional[str]":
+    def format_chat(self, messages, tools=None) -> "Optional[str]":
         """Render OpenAI messages through the CHECKPOINT's chat template
         (models/chat_template.py) — the prompt format the weights were
         trained on. None when no template ships with the snapshot (base
         models / random-init); the API layer then folds the chat into
         the plain completion framing. Callers pass the result back with
-        ``raw=True`` so the adapter's own framing is skipped."""
+        ``raw=True`` so the adapter's own framing is skipped. ``tools``
+        are rendered by templates that consume them (see
+        :attr:`template_accepts_tools`)."""
         if self._decoder is None:
             return None
         fmt = getattr(self._decoder, "format_chat", None)
-        return fmt(messages) if fmt is not None else None
+        if fmt is None:
+            return None
+        return fmt(messages, tools=tools)
+
+    @property
+    def template_accepts_tools(self) -> bool:
+        return bool(
+            self._decoder is not None
+            and getattr(self._decoder, "template_accepts_tools", False)
+        )
 
     def _frame(self, prompt: str, raw: bool) -> str:
         if raw:
@@ -458,6 +518,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             # open with newlines); trailing space can't be trimmed without
             # withholding the final delta, which is an acceptable delta.
             started = False
+            gram = kwargs.get("grammar")
             async for delta, fin in self._server.submit_stream(
                 full, max_new_tokens=max_tokens, temperature=temperature,
                 top_p=float(kwargs.get("top_p", 1.0)),
@@ -468,6 +529,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                 frequency_penalty=float(
                     kwargs.get("frequency_penalty", 0.0)
                 ),
+                grammar=self._compile_grammar(gram) if gram else None,
             ):
                 if not started and delta:
                     delta = delta.lstrip()

@@ -112,15 +112,26 @@ def _env():
     return env
 
 
+def template_accepts_tools(spec: Optional[Dict]) -> bool:
+    """Whether the checkpoint's template consumes a ``tools`` variable
+    (Hermes/Llama-3.1-style native tool calling). The API layer then
+    skips its generic tool preamble — the template renders the format
+    the weights were trained on."""
+    return bool(spec) and "tools" in spec.get("template", "")
+
+
 def render_chat(
     spec: Dict,
     messages: List[Dict],
     add_generation_prompt: bool = True,
+    tools: Optional[List[Dict]] = None,
 ) -> str:
     """Render ``messages`` (OpenAI ``{"role", "content"}`` dicts, text
     content) through the checkpoint's template. Raises ValueError on
     template errors (e.g. a template's own ``raise_exception`` for an
-    unsupported role) so the API layer can 400 instead of 500."""
+    unsupported role) so the API layer can 400 instead of 500.
+    ``tools`` (OpenAI function specs) ride into the template for
+    checkpoints whose template renders them (HF passes the same list)."""
     import jinja2
 
     tpl = _COMPILED.get(spec["template"])
@@ -133,7 +144,7 @@ def render_chat(
             add_generation_prompt=add_generation_prompt,
             bos_token=spec.get("bos_token", ""),
             eos_token=spec.get("eos_token", ""),
-            tools=None,
+            tools=tools or None,
         )
     except jinja2.exceptions.TemplateError as e:
         raise ValueError(f"chat template rejected the conversation: {e}")

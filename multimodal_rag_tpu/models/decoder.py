@@ -1833,6 +1833,14 @@ def decode_step_rows(
     return logits, {"k": k_new, "v": v_new}
 
 
+#: Jitted single-token step for HOST-DRIVEN loops (grammar-constrained
+#: generation in coalesced mode steps one token at a time so the parser
+#: can gate each sample); the cache is donated so the loop runs in place.
+_decode_step_jit = partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
+)(decode_step)
+
+
 def _decode_verify_impl(
     params: Dict,
     cache: Dict,
@@ -1953,6 +1961,47 @@ def _lp_top(logits, nxt):
     )[:, 0] - lse
     tv, ti = jax.lax.top_k(logits.astype(jnp.float32), LOGPROBS_K)
     return lp, tv - lse[:, None], ti.astype(jnp.int32)
+
+
+def _host_masked_sample(
+    logits: np.ndarray, allowed: np.ndarray, temperature: float,
+    top_k: int, top_p: float, rng: np.random.Generator,
+) -> "tuple[int, np.ndarray]":
+    """NumPy twin of :func:`_sample` for host-driven constrained loops:
+    grammar-mask, temperature, top-k, nucleus. Returns (token, masked
+    un-temperature-scaled logits) — the latter feeds logprob capture."""
+    masked = np.where(allowed, logits.astype(np.float64), -1e9)
+    if temperature <= 0.0:
+        return int(np.argmax(masked)), masked
+    x = masked / max(temperature, 1e-6)
+    k = min(top_k if top_k > 0 else x.size, x.size)
+    idx = np.argpartition(-x, k - 1)[:k]
+    order = idx[np.argsort(-x[idx])]
+    vals = x[order]
+    m = vals[0]
+    probs = np.exp(vals - m)
+    probs /= probs.sum()
+    exclusive = np.cumsum(probs) - probs
+    probs = np.where(exclusive < top_p, probs, 0.0)
+    probs /= probs.sum()
+    return int(rng.choice(order, p=probs)), masked
+
+
+def _host_lp_record(masked: np.ndarray, tok: int, tokenizer) -> dict:
+    """Per-token logprob record (same shape as :meth:`TextDecoder.
+    generate`'s) from host-side masked logits."""
+    m = masked.max()
+    lse = m + np.log(np.exp(masked - m).sum())
+    ti = np.argsort(-masked)[:LOGPROBS_K]
+    return {
+        "id": int(tok),
+        "token": tokenizer.decode([int(tok)]),
+        "logprob": float(masked[tok] - lse),
+        "top": [
+            (int(j), tokenizer.decode([int(j)]), float(masked[j] - lse))
+            for j in ti
+        ],
+    }
 
 
 def _sample(logits, keys, temperature: float, top_k: int, top_p=1.0):
@@ -2398,18 +2447,32 @@ class TextDecoder:
         logger.info("Decoder weights tensor-parallel over %d devices", n)
         return sharded, cache_sh
 
-    def format_chat(self, messages: Sequence[Dict]) -> Optional[str]:
+    def format_chat(self, messages: Sequence[Dict],
+                    tools: Optional[Sequence[Dict]] = None
+                    ) -> Optional[str]:
         """Render an OpenAI-style message list through the checkpoint's
         chat template (with the generation prompt appended). None when
         the snapshot ships no template — callers keep their completion
-        framing."""
+        framing. ``tools`` ride into templates that consume them."""
         if self.chat_template is None:
             return None
         from multimodal_rag_tpu.models.chat_template import render_chat
 
         return render_chat(
-            self.chat_template, list(messages), add_generation_prompt=True
+            self.chat_template, list(messages),
+            add_generation_prompt=True,
+            tools=list(tools) if tools else None,
         )
+
+    @property
+    def template_accepts_tools(self) -> bool:
+        """Whether the checkpoint's chat template natively renders a
+        ``tools`` list (the API layer then skips its generic preamble)."""
+        from multimodal_rag_tpu.models.chat_template import (
+            template_accepts_tools,
+        )
+
+        return template_accepts_tools(self.chat_template)
 
     def prepare(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Encode + LEFT-pad into the smallest (batch, prompt) bucket.
@@ -2651,3 +2714,87 @@ class TextDecoder:
         if logprobs:
             return out, fins, lps
         return (out, fins) if return_finish else out
+
+    def generate_constrained(
+        self,
+        prompt: str,
+        masker,
+        max_new_tokens: int = 256,
+        temperature: float = 0.7,
+        top_k: int = 64,
+        top_p: float = 1.0,
+        seed: Optional[int] = None,
+        logprobs: bool = False,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
+    ) -> "tuple[str, str, Optional[list]]":
+        """Grammar-constrained generation for the COALESCED (non-server)
+        path: a host-driven loop — prefill, then one
+        :func:`_decode_step_jit` per token — because the fused
+        ``generate_tokens`` while_loop cannot consult a host-side parser
+        between steps. ``masker`` is a
+        :class:`~multimodal_rag_tpu.models.grammar.TokenMasker`; sampling
+        (temperature/top-k/nucleus) runs host-side on the masked logits,
+        which also makes per-token logprob capture free. Returns
+        ``(text, finish, lps)`` with the same contracts as
+        :meth:`generate`; the continuous-batching server handles the
+        same constraint in-batch (serving_decode)."""
+        ids, mask = self.prepare([prompt])
+        B, P = mask.shape
+        max_new = bucket_for(max_new_tokens, GEN_BUCKETS)
+        S_max = P + max_new
+        logits, cache = prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg,
+            S_max,
+        )
+        key_mask = np.zeros((B, S_max), np.int32)
+        key_mask[:, :P] = mask
+        sem_pos = mask.sum(axis=1).astype(np.int32)
+        rng = np.random.default_rng(
+            seed if seed is not None else np.random.SeedSequence().entropy
+        )
+        state = masker.start
+        toks: List[int] = []
+        lps: Optional[list] = [] if logprobs else None
+        finish = "length"
+        eos = int(self.eos_id)
+        # OpenAI penalties, host-side (mirrors _penalty_bias: bias over
+        # the row's OWN output counts, subtracted before sampling).
+        counts = (
+            np.zeros((self.cfg.vocab_size,), np.float64)
+            if presence_penalty or frequency_penalty else None
+        )
+        for t in range(min(int(max_new_tokens), max_new)):
+            row = np.asarray(logits[0], np.float32)
+            if counts is not None:
+                row = row - (
+                    presence_penalty * (counts > 0)
+                    + frequency_penalty * counts
+                )
+            allowed = masker.mask_bool(state)
+            tok, masked = _host_masked_sample(
+                row, allowed, float(temperature), int(top_k),
+                float(top_p), rng,
+            )
+            if logprobs and tok != eos:
+                lps.append(_host_lp_record(masked, tok, self.tokenizer))
+            if tok == eos:
+                finish = "stop"
+                break
+            toks.append(tok)
+            if counts is not None:
+                counts[tok] += 1
+            state = masker.advance(state, tok)
+            if state < 0:  # engine guard; masks make this unreachable
+                logger.error("constrained parse died on token %d", tok)
+                finish = "stop"
+                break
+            pos = P + t
+            key_mask[:, pos] = 1
+            logits, cache = _decode_step_jit(
+                self.params, cache,
+                jnp.full((B,), tok, jnp.int32), jnp.int32(pos),
+                jnp.asarray(key_mask), jnp.asarray(sem_pos), self.cfg,
+            )
+            sem_pos += 1
+        return self.tokenizer.decode(toks), finish, lps

@@ -916,18 +916,52 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         texts = {}
         images = []
         for i, m in enumerate(messages):
-            t, imgs, err = content_parts(m.get("content", ""))
+            # content may be null (assistant tool-call turns).
+            t, imgs, err = content_parts(m.get("content") or "")
             if err:
                 return bad_request(f"messages[{i}].content: {err}")
             texts[i] = t
             images.extend(imgs)
+        # OpenAI tool calling: validate tools/tool_choice up front —
+        # they shape the prompt (preamble or template-native render),
+        # the sampler (grammar-forced envelopes), and the response
+        # (message.tool_calls) below.
+        from multimodal_rag_tpu.server.toolcalls import (
+            extract_tool_call,
+            fold_tool_message,
+            make_tool_call_id,
+            normalize_tool_messages,
+            toolcall_grammar_spec,
+            tools_preamble,
+        )
+        from multimodal_rag_tpu.server.toolcalls import (
+            validate_tools as _validate_tools,
+        )
+
+        tools, tool_choice, terr = _validate_tools(body)
+        if terr:
+            return bad_request(terr)
+        if tool_choice == "none":
+            tools = None  # declared but disabled: plain chat
+        tools_active = bool(tools)
+        tool_names = (
+            {t["function"]["name"] for t in tools} if tools_active
+            else set()
+        )
+        if tools_active and images:
+            return bad_request(
+                "tools are not supported for vision requests"
+            )
+        preamble = tools_preamble(tools) if tools_active else None
         # Fold the chat into the adapter's system/user framing.
         system = "\n".join(
             texts[i] for i, m in enumerate(messages)
             if m.get("role") == "system"
         )
+        if preamble:
+            system = (preamble + "\n\n" + system).strip()
         convo = "\n".join(
-            f"{m.get('role', 'user')}: {texts[i]}"
+            fold_tool_message(m, texts[i])
             for i, m in enumerate(messages) if m.get("role") != "system"
         )
         prompt = (system + "\n\n" + convo).strip()
@@ -940,15 +974,36 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         fmt = getattr(comps.llm_adapter, "format_chat", None)
         raw_prompt = False
         if fmt is not None and not images:
+            tmpl_msgs = normalize_tool_messages(messages, texts)
+            native_tools = tools_active and getattr(
+                comps.llm_adapter, "template_accepts_tools", False
+            )
+            if preamble and not native_tools:
+                # Template without native tool rendering: carry the
+                # generic convention in (or as) the system turn.
+                if tmpl_msgs and tmpl_msgs[0]["role"] == "system":
+                    tmpl_msgs[0]["content"] = (
+                        preamble + "\n\n" + tmpl_msgs[0]["content"]
+                    )
+                else:
+                    tmpl_msgs = [
+                        {"role": "system", "content": preamble}
+                    ] + tmpl_msgs
             try:
-                rendered = fmt([
-                    {"role": m.get("role", "user"), "content": texts[i]}
-                    for i, m in enumerate(messages)
-                ])
+                rendered = fmt(
+                    tmpl_msgs,
+                    tools=tools if native_tools else None,
+                )
             except ValueError as e:
                 # The template's own raise_exception (e.g. unsupported
                 # role ordering) is the client's fault.
                 return bad_request(str(e))
+            except TypeError:
+                # Adapters predating the tools kwarg.
+                try:
+                    rendered = fmt(tmpl_msgs)
+                except ValueError as e:
+                    return bad_request(str(e))
             if rendered:
                 prompt = rendered
                 raw_prompt = True
@@ -957,6 +1012,56 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             return bad_request(err)
         if raw_prompt:
             sampling["gen_kw"]["raw"] = True
+        # OpenAI response_format: json_object / json_schema compile to a
+        # byte-level grammar that masks the on-TPU sampler per step
+        # (models/grammar.py). HTTP backends can't enforce it — explicit
+        # 400 instead of silently returning unconstrained text.
+        rf = body.get("response_format")
+        if rf is not None:
+            from multimodal_rag_tpu.models.grammar import (
+                compile_response_format,
+            )
+
+            try:
+                gspec = compile_response_format(rf)
+            except ValueError as e:
+                return bad_request(f"response_format: {e}")
+            if gspec is not None:
+                if images:
+                    return bad_request(
+                        "response_format json modes are not supported "
+                        "for vision requests"
+                    )
+                if not getattr(
+                    comps.llm_adapter, "supports_grammar", False
+                ):
+                    return bad_request(
+                        "response_format json modes require the on-TPU "
+                        "text backend (USE_TPU_LLM)"
+                    )
+                if tools_active and tool_choice != "auto":
+                    return bad_request(
+                        "response_format cannot be combined with a "
+                        "forced tool_choice (the two grammars conflict)"
+                    )
+                sampling["gen_kw"]["grammar"] = gspec
+        # Forced tool calls (tool_choice 'required' or a named function)
+        # are grammar-enforced: the sampler can only emit a call
+        # envelope whose arguments satisfy the tool's parameters schema.
+        if tools_active and tool_choice != "auto":
+            if not getattr(comps.llm_adapter, "supports_grammar", False):
+                return bad_request(
+                    "tool_choice 'required' or a named function requires "
+                    "the on-TPU text backend (USE_TPU_LLM); use "
+                    "tool_choice 'auto' with HTTP backends"
+                )
+            forced = (
+                tool_choice[1]
+                if isinstance(tool_choice, tuple) else None
+            )
+            sampling["gen_kw"]["grammar"] = toolcall_grammar_spec(
+                tools, forced
+            )
         max_tokens = sampling["max_tokens"]
         gen_kw = sampling["gen_kw"]
         stops = sampling["stops"]
@@ -991,6 +1096,10 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 return bad_request(
                     "logprobs is not supported for vision requests"
                 )
+            if tools_active:
+                return bad_request(
+                    "logprobs with tools is not supported"
+                )
             if gen_lp is None:
                 return bad_request(
                     "logprobs requires the on-TPU text backend "
@@ -1017,6 +1126,9 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     "(enable USE_TPU_MLLM or an Ollama llava model)"
                 )
         start = time.time()
+        gen_meta = getattr(
+            comps.llm_adapter, "generate_text_with_finish", None
+        )
         if stream:
             # Pre-validate what the adapter would reject, BEFORE the SSE
             # response is prepared — after that only in-band errors work.
@@ -1068,6 +1180,38 @@ def create_app(components: Optional[Components] = None) -> web.Application:
 
             async def run_choice(i):
                 kw = choice_kw(gen_kw, i)
+                if tools_active:
+                    # Tool-capable requests buffer the full choice, then
+                    # flush ONE delta — either content or a tool_calls
+                    # pair (id+name, then arguments). Coarse but valid
+                    # SSE; incremental argument streaming would need an
+                    # envelope-aware splitter mid-generation.
+                    if gen_meta is not None:
+                        text, fin = await gen_meta(prompt, **kw)
+                    else:
+                        text = await comps.llm_adapter.generate_text(
+                            prompt, **kw
+                        )
+                        fin = "stop"
+                    cut = stop_cut(text)
+                    if cut >= 0:
+                        text, fin = text[:cut], "stop"
+                    hit = extract_tool_call(text, tool_names)
+                    if hit is not None:
+                        name, args = hit
+                        await wchunk(chunk({"tool_calls": [{
+                            "index": 0,
+                            "id": make_tool_call_id(),
+                            "type": "function",
+                            "function": {"name": name, "arguments": ""},
+                        }]}, idx=i))
+                        await wchunk(chunk({"tool_calls": [{
+                            "index": 0,
+                            "function": {"arguments": args},
+                        }]}, idx=i))
+                        return "tool_calls"
+                    await wchunk(chunk({"content": text}, idx=i))
+                    return fin
                 if images:
                     # Vision requests generate through the MLLM adapter
                     # and stream as ONE coarse delta — valid SSE, same
@@ -1117,9 +1261,6 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
-        gen_meta = getattr(
-            comps.llm_adapter, "generate_text_with_finish", None
-        )
 
         async def gen_choice(i):
             kw = choice_kw(gen_kw, i)
@@ -1162,9 +1303,26 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 if lps is not None:
                     lps = truncate_lps(lps, cut)
             completion_tokens += len(text.split())
+            message = {"role": "assistant", "content": text}
+            if tools_active:
+                hit = extract_tool_call(text, tool_names)
+                if hit is not None:
+                    name, args = hit
+                    message = {
+                        "role": "assistant",
+                        "content": None,
+                        "tool_calls": [{
+                            "id": make_tool_call_id(),
+                            "type": "function",
+                            "function": {
+                                "name": name, "arguments": args,
+                            },
+                        }],
+                    }
+                    finish_reason = "tool_calls"
             choices.append({
                 "index": i,
-                "message": {"role": "assistant", "content": text},
+                "message": message,
                 "finish_reason": finish_reason,
                 "logprobs": (
                     format_chat_logprobs(lps, top_lp)

@@ -93,13 +93,22 @@ def _count_admit(counts, slot, tok):
     return counts.at[slot, tok].add(1)
 
 
+def _unpack_mask(bits: jax.Array, vocab: int) -> jax.Array:
+    """(B, ceil(V/8)) little-endian packed uint8 grammar bitmask →
+    (B, V) bool. The packed form keeps the per-step host→device transfer
+    at V/8 bytes per row (16 KB at a 128k vocab) — noise next to weight
+    streaming; the unpack is one gather + shift on device."""
+    idx = jnp.arange(vocab)
+    return ((bits[:, idx >> 3] >> (idx & 7).astype(jnp.uint8)) & 1) > 0
+
+
 @partial(
     jax.jit, static_argnames=("top_k", "want_lp"),
     donate_argnames=("counts",),
 )
 def _sample_rows_counted(
     logits, keys, temps, top_k: int, top_ps, counts, pres, freq, emit,
-    want_lp: bool = False,
+    want_lp: bool = False, allowed_bits=None,
 ):
     """:func:`_sample_rows` with OpenAI presence/frequency penalties:
     subtract the per-row bias over each row's output-token counts, then
@@ -110,10 +119,20 @@ def _sample_rows_counted(
     ``want_lp`` (STATIC, set when any active row requested OpenAI
     logprobs) additionally returns the chosen-token logprob and
     top-:data:`~..models.decoder.LOGPROBS_K` alternatives of the biased,
-    un-temperature-scaled distribution (decoder._lp_top)."""
+    un-temperature-scaled distribution (decoder._lp_top).
+
+    ``allowed_bits`` (None when no row is grammar-constrained — None vs
+    array is a pytree-structure change, so unconstrained serving keeps
+    its original executable) is the packed per-row grammar mask; masked
+    logits drop to -1e9 before sampling AND before the logprob capture
+    (logprobs report the constrained sampling distribution)."""
     from multimodal_rag_tpu.models.decoder import _lp_top, _penalty_bias
 
     biased = logits - _penalty_bias(counts, pres, freq)
+    if allowed_bits is not None:
+        biased = jnp.where(
+            _unpack_mask(allowed_bits, biased.shape[-1]), biased, -1e9
+        )
     nxt = _sample_rows(biased, keys, temps, top_k, top_ps)
     counts = counts.at[jnp.arange(nxt.shape[0]), nxt].add(emit)
     if want_lp:
@@ -123,7 +142,8 @@ def _sample_rows_counted(
 
 
 @partial(jax.jit, static_argnames=("top_k",))
-def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
+def _sample_rows(logits, keys, temps, top_k: int, top_ps=None,
+                 allowed=None):
     """Per-row temperature + nucleus + PER-ROW key streams ((B,) typed
     keys): temp<=0 rows take argmax, others sample from the
     top_k-filtered, temperature-scaled distribution with the per-row
@@ -131,9 +151,13 @@ def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
     samples from its own key, so a request's tokens are reproducible
     regardless of which neighbors share the decode batch.
     ``temps``/``top_ps`` are TRACED (B,) vectors — a new value never
-    mints a new executable."""
+    mints a new executable. ``allowed`` is an optional (B, V) bool
+    grammar mask (admission-path callers pass it unpacked; the step
+    paths mask before calling)."""
     from multimodal_rag_tpu.models.decoder import _row_categorical
 
+    if allowed is not None:
+        logits = jnp.where(allowed, logits, -1e9)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
     # top_k <= 0 means "no candidate cap": sort the full vocab so the
@@ -160,7 +184,7 @@ def _sample_rows(logits, keys, temps, top_k: int, top_ps=None):
 def _fused_chunk_step(
     params, cache, tokens, pos0, key_mask, positions0, gather, keys,
     temps, top_ps, counts, pres, freq, emit, cfg: DecoderConfig,
-    top_k: int, want_lp: bool = False,
+    top_k: int, want_lp: bool = False, allowed_bits=None,
 ):
     """ONE dispatch that advances a mixed batch (Sarathi-style chunked
     prefill fused with decode): each row's C-token chunk is either the
@@ -186,6 +210,10 @@ def _fused_chunk_step(
     # ``emit`` masks the count update to rows whose sample is real this
     # pass (mid-prefill and idle rows sample garbage the host discards).
     biased = row_logits - _penalty_bias(counts, pres, freq)
+    if allowed_bits is not None:
+        biased = jnp.where(
+            _unpack_mask(allowed_bits, biased.shape[-1]), biased, -1e9
+        )
     nxt = _sample_rows(biased, keys, temps, top_k, top_ps)
     counts = counts.at[jnp.arange(nxt.shape[0]), nxt].add(emit)
     if want_lp:
@@ -203,6 +231,7 @@ def _spec_step_rows(
     k_acc, k_rep, temps, top_ps, counts, pres, freq,
     cfg: DecoderConfig, top_k: int, spec_k: int,
     lp_rows=None, want_lp: bool = False,
+    allowed_bits=None, grammar_rows=None,
 ):
     """One speculative pass for a decode-only batch: per-row bigram
     prompt-lookup drafts K tokens from ``seq`` (the slot-aligned token
@@ -238,6 +267,15 @@ def _spec_step_rows(
     force_single = (pres != 0.0) | (freq != 0.0)
     if lp_rows is not None:
         force_single = force_single | lp_rows
+    # Grammar-constrained rows: the host advances the parser one token
+    # at a time, so they emit exactly one (masked) token per pass —
+    # draft positions can't be grammar-checked ahead of the accept.
+    if allowed_bits is not None:
+        logits = jnp.where(
+            _unpack_mask(allowed_bits, logits.shape[-1])[:, None, :],
+            logits, -1e9,
+        )
+        force_single = force_single | grammar_rows
     emit, n_emit = _speculative_accept_rows(
         draft, logits, k_acc, k_rep, temps, top_ps, top_k, -1,
         force_single,
@@ -317,6 +355,12 @@ class _Request:
     # Set when the streaming consumer went away (SSE client disconnect):
     # the scheduler retires the row instead of decoding for a dead reader.
     cancelled: bool = False
+    # Grammar-constrained decoding (OpenAI response_format / forced tool
+    # calls): a models.grammar.TokenMasker plus the row's parser state.
+    # The host advances the parser on every emitted token and ships the
+    # next packed vocab bitmask with the next dispatch.
+    masker: object = None
+    gstate: int = 0
 
 
 class DecodeServer:
@@ -432,6 +476,11 @@ class DecodeServer:
         # flips the step dispatch to the want_lp executable (compiled
         # once); lp rows take single-token emission in spec mode.
         self.want_lp = np.zeros((slots,), bool)
+        # Grammar masks: per-slot (V,) bool, all-True for unconstrained
+        # rows; packed to bits and shipped only when >= 1 active row is
+        # constrained (None otherwise — keeps the unconstrained
+        # executables untouched).
+        self.g_masks = np.ones((slots, self.cfg.vocab_size), bool)
         # Per-slot sampling keys: each row advances its OWN stream.
         self.keys = jax.random.split(jax.random.key(seed), slots)
         self._admitted = 0  # distinct default-key stream per admission
@@ -471,6 +520,7 @@ class DecodeServer:
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
         logprobs: bool = False,
+        grammar=None,
     ) -> "str | tuple":
         """Generate text for ``prompt``; resolves when the row finishes.
         With ``return_finish=True`` returns ``(text, finish_reason)`` —
@@ -478,7 +528,10 @@ class DecodeServer:
         ``logprobs=True`` (implies finish) returns ``(text, finish,
         lps)`` — per emitted token a dict ``{"id", "token", "logprob",
         "top": [(id, token, logprob)] * LOGPROBS_K}``; callers slice
-        ``top`` to the client's ``top_logprobs``."""
+        ``top`` to the client's ``top_logprobs``. ``grammar`` is an
+        optional :class:`~..models.grammar.TokenMasker` — the row's
+        sampler only ever sees tokens that keep the output inside the
+        grammar (OpenAI ``response_format`` / forced tool calls)."""
         self.start()
         ids = self._encode_prompt(prompt)
         if max_new_tokens > self.max_new_cap:
@@ -498,6 +551,7 @@ class DecodeServer:
             presence_penalty=float(presence_penalty),
             frequency_penalty=float(frequency_penalty),
             logprobs=bool(logprobs),
+            masker=grammar,
         )
         await self.pending.put(req)
         text, finish, lps = await fut
@@ -514,6 +568,7 @@ class DecodeServer:
         seed: Optional[int] = None,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
+        grammar=None,
     ):
         """Per-token streaming variant of :meth:`submit`: an async
         generator of ``(text_delta, finish)`` pairs. ``finish`` is None
@@ -532,6 +587,7 @@ class DecodeServer:
             seed=seed,
             presence_penalty=float(presence_penalty),
             frequency_penalty=float(frequency_penalty),
+            masker=grammar,
         )
         await self.pending.put(req)
         try:
@@ -622,11 +678,16 @@ class DecodeServer:
             else jax.random.fold_in(self._key, self._admitted)
         )
         row_key, sub = jax.random.split(row_key)
+        allowed = None
+        if req.masker is not None:
+            req.gstate = req.masker.start
+            self.g_masks[slot] = req.masker.mask_bool(req.gstate)
+            allowed = jnp.asarray(self.g_masks[slot][None])
         first = int(
             _sample_rows(
                 logits, sub[None],
                 jnp.asarray([req.temperature], jnp.float32), self.top_k,
-                jnp.asarray([req.top_p], jnp.float32),
+                jnp.asarray([req.top_p], jnp.float32), allowed,
             )[0]
         )
         req.slot = slot
@@ -668,6 +729,8 @@ class DecodeServer:
                 req.finish = "length"  # budget of 1, spent on a real token
             return [self._retire(slot)]
         req.tokens.append(first)
+        if req.masker is not None and not self._grammar_advance(req, first):
+            return [self._retire(slot)]
         return []
 
     def _admit_chunked(self, req: _Request, slot: int) -> List[_Request]:
@@ -692,6 +755,9 @@ class DecodeServer:
         self.pres[slot] = req.presence_penalty
         self.freqs[slot] = req.frequency_penalty
         self.want_lp[slot] = req.logprobs
+        if req.masker is not None:
+            req.gstate = req.masker.start
+            self.g_masks[slot] = req.masker.mask_bool(req.gstate)
         self.counts = _count_reset(self.counts, jnp.int32(slot))
         self._admitted += 1
         row_key = (
@@ -778,8 +844,37 @@ class DecodeServer:
         self.pres[slot] = 0.0
         self.freqs[slot] = 0.0
         self.want_lp[slot] = False
+        self.g_masks[slot] = True
         self.requests_done += 1
         return req
+
+    def _grammar_advance(self, req: _Request, tok: int) -> bool:
+        """Advance a constrained row's parser on an emitted token and
+        refresh its slot mask for the next dispatch. False means the
+        parse died — impossible while masks are correct (the token was
+        sampled FROM the mask), kept as a loud guard instead of a hang."""
+        nstate = req.masker.advance(req.gstate, int(tok))
+        if nstate < 0:
+            logger.error(
+                "grammar parse died on token %d (engine bug); "
+                "finishing the row early", tok,
+            )
+            return False
+        req.gstate = nstate
+        self.g_masks[req.slot] = req.masker.mask_bool(nstate)
+        return True
+
+    def _mask_bits(self):
+        """Packed (slots, ceil(V/8)) grammar bitmask for this dispatch,
+        or None when no active row is constrained (None keeps the
+        unconstrained executables — pytree-structure gating)."""
+        if not any(
+            r is not None and r.masker is not None for r in self.requests
+        ):
+            return None
+        return jnp.asarray(
+            np.packbits(self.g_masks, axis=1, bitorder="little")
+        )
 
     def _resolve(self, finished: List[_Request]) -> None:
         """Loop-thread only: hand results to the waiters."""
@@ -846,6 +941,7 @@ class DecodeServer:
             jnp.asarray(self.top_ps), self.counts,
             jnp.asarray(self.pres), jnp.asarray(self.freqs),
             jnp.asarray(emitting), want_lp=want,
+            allowed_bits=self._mask_bits(),
         )
         nxt, self.counts = res[0], res[1]
         lp = tv = ti = None
@@ -872,6 +968,9 @@ class DecodeServer:
             if len(req.tokens) >= req.max_new_tokens:
                 req.finish = "length"
                 finished.append(self._retire(i))
+            elif req.masker is not None \
+                    and not self._grammar_advance(req, tok):
+                finished.append(self._retire(i))
         return finished
 
     def _step_spec(self, active: List[int]) -> List[_Request]:
@@ -885,6 +984,13 @@ class DecodeServer:
         self.keys, k_acc = _split_rows(self.keys)
         self.keys, k_rep = _split_rows(self.keys)
         want = bool(self.want_lp.any())
+        bits = self._mask_bits()
+        g_rows = None
+        if bits is not None:
+            g_rows = jnp.asarray(np.array([
+                r is not None and r.masker is not None
+                for r in self.requests
+            ]))
         res = _spec_step_rows(
             self.dec.params, self.pool, jnp.asarray(self.seq),
             jnp.asarray(self.cur_tok), jnp.asarray(self.prev_tok),
@@ -894,6 +1000,7 @@ class DecodeServer:
             self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
             self.cfg, self.top_k, self.spec_k,
             lp_rows=jnp.asarray(self.want_lp), want_lp=want,
+            allowed_bits=bits, grammar_rows=g_rows,
         )
         emit, n_emit, self.pool, self.counts = res[:4]
         lp = tv = ti = None
@@ -927,6 +1034,13 @@ class DecodeServer:
             req.tokens.extend(toks)
             self.spec_emitted += len(toks)
             n = len(toks)
+            if fin is None and req.masker is not None:
+                # Constrained rows are forced single-emission, so toks
+                # has <= 1 entry; advance the parser on it.
+                for t in toks:
+                    if not self._grammar_advance(req, t):
+                        fin = "stop"
+                        break
             if fin is not None:
                 req.finish = fin
                 finished.append(self._retire(i))
@@ -987,6 +1101,7 @@ class DecodeServer:
             jnp.asarray(self.temps), jnp.asarray(self.top_ps),
             self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
             jnp.asarray(emitting), self.cfg, self.top_k, want_lp=want,
+            allowed_bits=self._mask_bits(),
         )
         nxt, self.pool, self.counts = res[0], res[1], res[2]
         lp = tv = ti = None
@@ -1029,6 +1144,9 @@ class DecodeServer:
                 lp_entry(i, tok)
                 self.cur_tok[i] = tok
                 self.seq[i, req.consumed] = tok  # cur at its slot
+                if req.masker is not None \
+                        and not self._grammar_advance(req, tok):
+                    finished.append(self._retire(i))
             elif i in decoding:
                 # Same bookkeeping as the plain decode step: the token's
                 # k/v landed at slot pos this pass — mark it attendable
@@ -1047,6 +1165,9 @@ class DecodeServer:
                 self.seq[i, self.pos[i]] = tok  # new cur at new slot
                 if len(req.tokens) >= req.max_new_tokens:
                     req.finish = "length"
+                    finished.append(self._retire(i))
+                elif req.masker is not None \
+                        and not self._grammar_advance(req, tok):
                     finished.append(self._retire(i))
         return finished
 
@@ -1072,6 +1193,7 @@ class DecodeServer:
         self.pres[:] = 0.0
         self.freqs[:] = 0.0
         self.want_lp[:] = False
+        self.g_masks[:] = True
 
     async def _admit_safe(self, req: _Request) -> None:
         """Admit ``req`` into the first free slot, failing ITS waiter on a

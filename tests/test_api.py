@@ -1121,3 +1121,144 @@ class TestConfigKnobs:
         assert QueryRequest(query="q").top_k == 9
         monkeypatch.setattr(s, "TOP_K_RESULTS", 999)
         assert QueryRequest(query="q").top_k == 20  # clamped, not invalid
+
+
+class TestChatResponseFormat:
+    """OpenAI ``response_format``: grammar-forced JSON on the on-TPU
+    backend, explicit 400s everywhere it cannot be enforced."""
+
+    def _tpu_client(self, tmp_path):
+        from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+        from multimodal_rag_tpu.models.decoder import (
+            DecoderConfig,
+            TextDecoder,
+            init_params as init_dec,
+        )
+
+        loop = asyncio.new_event_loop()
+        comps = make_components(tmp_path)
+        dcfg = DecoderConfig(
+            vocab_size=512, hidden_dim=32, num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=8, ff_dim=64, max_position=2048,
+            compute_dtype=jnp.float32,
+        )
+        dec = TextDecoder(
+            params=init_dec(jax.random.key(0), dcfg), cfg=dcfg,
+            prompt_buckets=(64, 128),
+        )
+        comps.llm_adapter = TPULLMAdapter(decoder=dec, continuous=True)
+        loop.run_until_complete(comps.initialize())
+        app = create_app(components=comps)
+        client = TestClient(TestServer(app, loop=loop), loop=loop)
+        loop.run_until_complete(client.start_server())
+        return client, loop
+
+    def test_json_object_parses(self, tmp_path):
+        import json as _json
+
+        c, loop = self._tpu_client(tmp_path)
+        try:
+            resp = loop.run_until_complete(
+                c.post("/v1/chat/completions", json={
+                    "messages": [
+                        {"role": "user", "content": "emit JSON"}
+                    ],
+                    "max_tokens": 96,
+                    "temperature": 0.9,
+                    "seed": 5,
+                    "response_format": {"type": "json_object"},
+                })
+            )
+            assert resp.status == 200
+            body = loop.run_until_complete(resp.json())
+            choice = body["choices"][0]
+            if choice["finish_reason"] == "stop":
+                assert isinstance(
+                    _json.loads(choice["message"]["content"]), dict
+                )
+            else:
+                assert choice["message"]["content"].lstrip().startswith(
+                    "{"
+                )
+        finally:
+            loop.run_until_complete(c.close())
+            loop.close()
+
+    def test_json_schema_validates(self, tmp_path):
+        import json as _json
+
+        c, loop = self._tpu_client(tmp_path)
+        try:
+            resp = loop.run_until_complete(
+                c.post("/v1/chat/completions", json={
+                    "messages": [{"role": "user", "content": "go"}],
+                    "max_tokens": 128,
+                    "temperature": 0.9,
+                    "response_format": {
+                        "type": "json_schema",
+                        "json_schema": {
+                            "name": "thing",
+                            "schema": {
+                                "type": "object",
+                                "properties": {
+                                    "kind": {"enum": ["a", "b"]},
+                                    "n": {"type": "integer"},
+                                },
+                                "required": ["kind", "n"],
+                            },
+                        },
+                    },
+                })
+            )
+            assert resp.status == 200
+            body = loop.run_until_complete(resp.json())
+            choice = body["choices"][0]
+            if choice["finish_reason"] == "stop":
+                obj = _json.loads(choice["message"]["content"])
+                assert obj["kind"] in ("a", "b")
+                assert isinstance(obj["n"], int)
+        finally:
+            loop.run_until_complete(c.close())
+            loop.close()
+
+    def test_http_backend_rejected(self, client):
+        """FakeLLMAdapter (stands in for the HTTP adapters) cannot
+        enforce a grammar — explicit 400, not silent plain text."""
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "x"}],
+                "response_format": {"type": "json_object"},
+            })
+        )
+        assert resp.status == 400
+        body = loop.run_until_complete(resp.json())
+        assert "USE_TPU_LLM" in body["error"]["message"]
+
+    def test_text_type_passes_through(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "x"}],
+                "response_format": {"type": "text"},
+                "max_tokens": 8,
+            })
+        )
+        assert resp.status == 200
+
+    def test_malformed_formats_400(self, client):
+        c, loop = client
+        for rf in (
+            "json",
+            {"type": "yaml"},
+            {"type": "json_schema"},
+            {"type": "json_schema",
+             "json_schema": {"schema": {"type": "nope"}}},
+        ):
+            resp = loop.run_until_complete(
+                c.post("/v1/chat/completions", json={
+                    "messages": [{"role": "user", "content": "x"}],
+                    "response_format": rf,
+                })
+            )
+            assert resp.status == 400, rf
