@@ -212,9 +212,9 @@ class TPULLMAdapter(BaseLLMAdapter):
         carryover first — FIFO across rounds), opportunistically absorb
         requests with the same generation preset, run one batched
         generate, fan results back out. Queue items are
-        ``(prompts, preset_key, raw_max_tokens, seed, (pres, freq),
-        future)`` — penalties ride per-row (like seed/budget), so they
-        never fragment coalescing."""
+        ``(prompts, preset_key, raw_max_tokens, seed, (pres, freq,
+        logit_bias), future)`` — penalties and logit_bias ride per-row
+        (like seed/budget), so they never fragment coalescing."""
         while True:
             if self._carry:
                 first = self._carry.pop(0)
@@ -245,6 +245,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             row_seeds = [req[3] for req in batch for _ in req[0]]
             row_pres = [req[4][0] for req in batch for _ in req[0]]
             row_freq = [req[4][1] for req in batch for _ in req[0]]
+            row_bias = [req[4][2] for req in batch for _ in req[0]]
             seed = self._seed
             self._seed += 1
             try:
@@ -265,6 +266,9 @@ class TPULLMAdapter(BaseLLMAdapter):
                         frequency_per_row=row_freq,
                         return_finish=True,
                         logprobs=want_lp,
+                        bias_per_row=(
+                            row_bias if any(row_bias) else None
+                        ),
                     )
                 )
                 outs, fins = res[0], res[1]
@@ -342,6 +346,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                             kw.get("frequency_penalty", 0.0)
                         ),
                         logprobs=logprobs,
+                        logit_bias=kw.get("logit_bias"),
                     )
                 ))
             self._batches_run += len(results)
@@ -367,6 +372,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                         ),
                         logprobs=logprobs,
                         grammar=masker,
+                        logit_bias=kw.get("logit_bias"),
                     )
                     for p in prompts
                 )
@@ -412,6 +418,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                 (
                     float(kw.get("presence_penalty", 0.0)),
                     float(kw.get("frequency_penalty", 0.0)),
+                    kw.get("logit_bias"),
                 ),
                 fut,
             )
@@ -530,6 +537,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                     kwargs.get("frequency_penalty", 0.0)
                 ),
                 grammar=self._compile_grammar(gram) if gram else None,
+                logit_bias=kwargs.get("logit_bias"),
             ):
                 if not started and delta:
                     delta = delta.lstrip()

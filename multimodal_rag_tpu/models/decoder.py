@@ -2052,6 +2052,7 @@ def generate_tokens(
     pres=None,
     freq=None,
     logprobs: bool = False,
+    bias=None,
 ) -> Tuple[jax.Array, ...]:
     """Prefill + sample up to ``max_new_tokens``. ids/mask (B, P) left-
     padded. Returns (tokens (B, max_new_tokens) int32, lengths (B,) int32);
@@ -2062,13 +2063,15 @@ def generate_tokens(
     state is carried at all — the unpenalized executable is unchanged).
     ``logprobs`` (STATIC) additionally returns per-step chosen-token
     logprobs (B, N) f32 and top-:data:`LOGPROBS_K` alternatives
-    ((B, N, K) f32 values + int32 ids) — see :func:`_lp_top`."""
+    ((B, N, K) f32 values + int32 ids) — see :func:`_lp_top`.
+    ``bias`` is an optional (B, V) f32 OpenAI logit_bias addend
+    (loop-invariant; None-gated like pres/freq)."""
     S_max = ids.shape[1] + max_new_tokens
     logits, cache = prefill(params, ids, mask, cfg, S_max)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
         max_new_tokens, temperature, top_k, eos_id, top_p, pres, freq,
-        logprobs,
+        logprobs, bias,
     )
 
 
@@ -2113,8 +2116,14 @@ def _generate_loop(
     params, logits, cache, mask, key, cfg: DecoderConfig,
     max_new_tokens: int, temperature: float, top_k: int, eos_id: int,
     top_p=1.0, pres=None, freq=None, logprobs: bool = False,
+    bias=None,
 ):
     B, P = mask.shape
+    # OpenAI logit_bias: a loop-invariant (B, V) f32 addend (dense-built
+    # by the host from each request's sparse id->bias map). None-gated
+    # like pres/freq: unbiased batches compile exactly as before.
+    if bias is not None:
+        logits = logits + bias
     prompt_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,)
     key_mask0 = jnp.concatenate(
         [mask.astype(jnp.int32), jnp.zeros((B, max_new_tokens), jnp.int32)],
@@ -2179,6 +2188,8 @@ def _generate_loop(
         )
         if penalized:
             logits = logits - _penalty_bias(counts, pres, freq)
+        if bias is not None:
+            logits = logits + bias
         nxt = _sample(logits, sub, temperature, top_k, top_p)
         nxt = jnp.where(done, eos_id, nxt)
         out = out.at[:, t].set(jnp.where(done, out[:, t], nxt))
@@ -2522,6 +2533,7 @@ class TextDecoder:
         presence_per_row: Optional[Sequence[float]] = None,
         frequency_per_row: Optional[Sequence[float]] = None,
         logprobs: bool = False,
+        bias_per_row: Optional[Sequence[Optional[Dict]]] = None,
     ) -> "list[str] | tuple[list[str], list[str]]":
         """Generate one completion per prompt.
 
@@ -2595,6 +2607,10 @@ class TextDecoder:
                         if frequency_per_row is not None else None
                     ),
                     logprobs=logprobs,
+                    bias_per_row=(
+                        list(bias_per_row[start:start + max_bb])
+                        if bias_per_row is not None else None
+                    ),
                 )
                 out.extend(res[0])
                 fins.extend(res[1])
@@ -2635,7 +2651,21 @@ class TextDecoder:
                         and i < len(frequency_per_row):
                     freq_np[i] = float(frequency_per_row[i] or 0.0)
             pres_v, freq_v = jnp.asarray(pres_np), jnp.asarray(freq_np)
-        if self.spec_enabled and pres_v is None and not logprobs:
+        # OpenAI logit_bias: sparse per-row id->bias maps densified to a
+        # (B, V) addend (pad rows stay 0). Out-of-vocab ids are ignored
+        # (OpenAI ids are tokenizer-specific; a foreign id can't bias
+        # anything here).
+        bias_v = None
+        if bias_per_row is not None and any(bias_per_row):
+            bias_np = np.zeros((B, self.cfg.vocab_size), np.float32)
+            for i in range(len(prompts)):
+                d = bias_per_row[i] if i < len(bias_per_row) else None
+                for tid, val in (d or {}).items():
+                    if 0 <= int(tid) < self.cfg.vocab_size:
+                        bias_np[i, int(tid)] = float(val)
+            bias_v = jnp.asarray(bias_np)
+        if self.spec_enabled and pres_v is None and not logprobs \
+                and bias_v is None:
             from multimodal_rag_tpu.models.spec_decode import (
                 generate_tokens_spec,
             )
@@ -2672,6 +2702,7 @@ class TextDecoder:
                 pres=pres_v,
                 freq=freq_v,
                 logprobs=logprobs,
+                bias=bias_v,
             )
             toks, lengths = res[0], res[1]
             if logprobs:
@@ -2727,6 +2758,7 @@ class TextDecoder:
         logprobs: bool = False,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
+        logit_bias: Optional[Dict] = None,
     ) -> "tuple[str, str, Optional[list]]":
         """Grammar-constrained generation for the COALESCED (non-server)
         path: a host-driven loop — prefill, then one
@@ -2764,6 +2796,12 @@ class TextDecoder:
             np.zeros((self.cfg.vocab_size,), np.float64)
             if presence_penalty or frequency_penalty else None
         )
+        bias_row = None
+        if logit_bias:
+            bias_row = np.zeros((self.cfg.vocab_size,), np.float32)
+            for tid, val in logit_bias.items():
+                if 0 <= int(tid) < self.cfg.vocab_size:
+                    bias_row[int(tid)] = float(val)
         for t in range(min(int(max_new_tokens), max_new)):
             row = np.asarray(logits[0], np.float32)
             if counts is not None:
@@ -2771,6 +2809,8 @@ class TextDecoder:
                     presence_penalty * (counts > 0)
                     + frequency_penalty * counts
                 )
+            if bias_row is not None:
+                row = row + bias_row
             allowed = masker.mask_bool(state)
             tok, masked = _host_masked_sample(
                 row, allowed, float(temperature), int(top_k),

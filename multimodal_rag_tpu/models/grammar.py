@@ -151,6 +151,31 @@ class _Builder:
             build(entry)
         return self._generic[name]
 
+    #: Max consecutive whitespace bytes between JSON tokens. BOUNDED on
+    #: purpose: a ws self-loop would let a whitespace-loving model (or a
+    #: +100 logit_bias on '\n') babble legally forever without emitting
+    #: structure — the same cap llguidance-class engines apply.
+    WS_RUN = 12
+
+    def ws_frag(self) -> int:
+        """0..WS_RUN whitespace bytes, as a callable fragment (entry is
+        accepting, so the zero-length match pops immediately)."""
+        def build(entry: int) -> None:
+            self.nodes[entry].accept = True
+            cur = entry
+            for _ in range(self.WS_RUN):
+                nxt = self.node(accept=True)
+                self.edge(cur, _WS, nxt)
+                cur = nxt
+        return self._frag("ws", build)
+
+    def ws_then(self, target: int) -> int:
+        """A node that skips bounded whitespace, then continues at
+        ``target`` (replaces the unbounded ws self-loop pattern)."""
+        x = self.node()
+        self.call(x, self.ws_frag(), target)
+        return x
+
     def string_frag(self) -> int:
         def build(entry: int) -> None:
             inside = self.node()
@@ -234,53 +259,47 @@ class _Builder:
     def object_frag(self) -> int:
         """Generic (free-form) JSON object."""
         def build(entry: int) -> None:
-            opened = self.node()
             end = self.node(accept=True)
-            self.edge(entry, _bm(b"{"), opened)
-            self.edge(opened, _WS, opened)
-            self.edge(opened, _bm(b"}"), end)
-            colon_pre = self.node()
-            self.call(opened, self.string_frag(), colon_pre)
-            self.edge(colon_pre, _WS, colon_pre)
-            val_pre = self.node()
-            self.edge(colon_pre, _bm(b":"), val_pre)
-            self.edge(val_pre, _WS, val_pre)
-            after = self.node()
-            self.call(val_pre, self.value_frag(), after)
-            self.edge(after, _WS, after)
-            self.edge(after, _bm(b"}"), end)
-            key_pre = self.node()
-            self.edge(after, _bm(b","), key_pre)
-            self.edge(key_pre, _WS, key_pre)
-            self.call(key_pre, self.string_frag(), colon_pre)
+            o_core = self.node()
+            self.edge(entry, _bm(b"{"), self.ws_then(o_core))
+            self.edge(o_core, _bm(b"}"), end)
+            c_core = self.node()
+            colon_pre = self.ws_then(c_core)
+            self.call(o_core, self.string_frag(), colon_pre)
+            v_core = self.node()
+            self.edge(c_core, _bm(b":"), self.ws_then(v_core))
+            a_core = self.node()
+            self.call(v_core, self.value_frag(), self.ws_then(a_core))
+            self.edge(a_core, _bm(b"}"), end)
+            k_core = self.node()
+            self.edge(a_core, _bm(b","), self.ws_then(k_core))
+            self.call(k_core, self.string_frag(), colon_pre)
         return self._frag("object", build)
 
     def array_frag(self) -> int:
         """Generic JSON array."""
         def build(entry: int) -> None:
-            opened = self.node()
             end = self.node(accept=True)
-            self.edge(entry, _bm(b"["), opened)
-            self.edge(opened, _WS, opened)
-            self.edge(opened, _bm(b"]"), end)
-            after = self.node()
-            self.call(opened, self.value_frag(), after)
-            self.edge(after, _WS, after)
-            self.edge(after, _bm(b"]"), end)
-            nxt = self.node()
-            self.edge(after, _bm(b","), nxt)
-            self.edge(nxt, _WS, nxt)
-            self.call(nxt, self.value_frag(), after)
+            o_core = self.node()
+            self.edge(entry, _bm(b"["), self.ws_then(o_core))
+            self.edge(o_core, _bm(b"]"), end)
+            a_core = self.node()
+            after = self.ws_then(a_core)
+            self.call(o_core, self.value_frag(), after)
+            self.edge(a_core, _bm(b"]"), end)
+            n_core = self.node()
+            self.edge(a_core, _bm(b","), self.ws_then(n_core))
+            self.call(n_core, self.value_frag(), after)
         return self._frag("array", build)
 
     def finish(self, root_frag: int) -> Grammar:
-        """Wrap a fragment as a document: leading whitespace allowed, NO
+        """Wrap a fragment as a document: bounded leading whitespace, NO
         trailing loop — once the root closes, only EOS remains unmasked
         and generation terminates instead of babbling whitespace."""
-        doc = self.node()
-        self.edge(doc, _WS, doc)
         end = self.node(accept=True)
-        self.call(doc, root_frag, end)
+        core = self.node()
+        doc = self.ws_then(core)
+        self.call(core, root_frag, end)
         return Grammar(nodes=self.nodes, entry=doc)
 
 
@@ -437,27 +456,24 @@ class _SchemaCompiler:
                 f"minItems/maxItems beyond {_MAX_ITEM_STATES} unsupported"
             )
         entry = b.node()
-        opened = b.node()
+        o_core = b.node()
         end = b.node(accept=True)
-        b.edge(entry, _bm(b"["), opened)
-        b.edge(opened, _WS, opened)
+        b.edge(entry, _bm(b"["), b.ws_then(o_core))
         if mn == 0:
-            b.edge(opened, _bm(b"]"), end)
+            b.edge(o_core, _bm(b"]"), end)
         # after(c): c items consumed so far. Beyond max(mn, 1) items the
         # count stops mattering (unbounded tail loops on the last state).
         n_states = max(bound, 1)
         afters = [b.node() for _ in range(n_states)]
-        b.call(opened, item, afters[0])
+        b.call(o_core, item, b.ws_then(afters[0]))
         for c, af in enumerate(afters, start=1):
-            b.edge(af, _WS, af)
             if c >= mn:
                 b.edge(af, _bm(b"]"), end)
             if mx is not None and c >= mx:
                 continue  # no further items
             nxt = b.node()
-            b.edge(af, _bm(b","), nxt)
-            b.edge(nxt, _WS, nxt)
-            b.call(nxt, item, afters[min(c, n_states - 1)])
+            b.edge(af, _bm(b","), b.ws_then(nxt))
+            b.call(nxt, item, b.ws_then(afters[min(c, n_states - 1)]))
         return entry
 
     def _object_frag(self, schema: dict) -> int:
@@ -491,18 +507,16 @@ class _SchemaCompiler:
         pair_frags: List[int] = []
         for nm in names:
             ent = b.node()
-            colon = b.node()
+            c_core = b.node()
             b.chain(
                 ent,
                 json.dumps(nm, ensure_ascii=False).encode("utf-8"),
-                colon,
+                b.ws_then(c_core),
             )
-            b.edge(colon, _WS, colon)
-            vpre = b.node()
-            b.edge(colon, _bm(b":"), vpre)
-            b.edge(vpre, _WS, vpre)
+            v_core = b.node()
+            b.edge(c_core, _bm(b":"), b.ws_then(v_core))
             fin = b.node(accept=True)
-            b.call(vpre, self.compile(props[nm]), fin)
+            b.call(v_core, self.compile(props[nm]), fin)
             pair_frags.append(ent)
 
         def reachable(i: int) -> List[int]:
@@ -519,27 +533,24 @@ class _SchemaCompiler:
             return all(optional[j] for j in range(i, n))
 
         entry = b.node()
-        opened = b.node()
+        o_core = b.node()
         end = b.node(accept=True)
-        b.edge(entry, _bm(b"{"), opened)
-        b.edge(opened, _WS, opened)
+        b.edge(entry, _bm(b"{"), b.ws_then(o_core))
         afters = [b.node() for _ in range(n + 1)]  # after prop k emitted
         if can_close(0):
-            b.edge(opened, _bm(b"}"), end)
+            b.edge(o_core, _bm(b"}"), end)
         for j in reachable(0):
-            b.call(opened, pair_frags[j], afters[j + 1])
+            b.call(o_core, pair_frags[j], b.ws_then(afters[j + 1]))
         for k in range(1, n + 1):
             af = afters[k]
-            b.edge(af, _WS, af)
             if can_close(k):
                 b.edge(af, _bm(b"}"), end)
             nxt_js = reachable(k)
             if nxt_js:
                 comma = b.node()
-                b.edge(af, _bm(b","), comma)
-                b.edge(comma, _WS, comma)
+                b.edge(af, _bm(b","), b.ws_then(comma))
                 for j in nxt_js:
-                    b.call(comma, pair_frags[j], afters[j + 1])
+                    b.call(comma, pair_frags[j], b.ws_then(afters[j + 1]))
         return entry
 
 

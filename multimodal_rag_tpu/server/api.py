@@ -136,10 +136,11 @@ class Components:
 def parse_sampling_params(body: dict):
     """Shared OpenAI sampling-parameter policy for /v1/chat/completions
     and /v1/completions. Parameters that would silently change the output
-    contract are either honored (max_tokens, temperature, top_p, stop,
+    contract are honored (max_tokens, temperature, top_p, stop,
     n ≤ 8 — n choices fan out as concurrent generations, which the TPU
-    adapter coalesces into ONE batched dispatch) or explicitly rejected
-    (logit_bias); logprobs is validated per dialect in each handler and
+    adapter coalesces into ONE batched dispatch; logit_bias as a
+    per-row logit addend on the TPU backends, see below);
+    logprobs is validated per dialect in each handler and
     honored by the on-TPU backends; ``presence_penalty``/
     ``frequency_penalty`` are validated to OpenAI's [-2, 2] range and
     honored by the on-TPU backends (per-row output-token-count logit
@@ -184,8 +185,32 @@ def parse_sampling_params(body: dict):
         return None, "n must be an integer in [1, 8]"
     # logprobs is dialect-specific (chat: bool + top_logprobs; legacy
     # completions: int) — each handler validates its own form.
-    if body.get("logit_bias"):
-        return None, "logit_bias is not supported"
+    # logit_bias: OpenAI's sparse token-id -> bias map, honored on the
+    # TPU backends (densified to a per-row addend in the compiled
+    # samplers; device-resident rows in the continuous server), ignored
+    # by the HTTP backends like penalties/seed. Ids are tokenizer-
+    # specific; out-of-vocab ids are ignored at the adapter.
+    lb_raw = body.get("logit_bias")
+    logit_bias = None
+    if lb_raw:
+        if not isinstance(lb_raw, dict) or len(lb_raw) > 300:
+            return None, (
+                "logit_bias must be an object with at most 300 entries"
+            )
+        logit_bias = {}
+        for k, v in lb_raw.items():
+            try:
+                tid = int(k)
+            except (TypeError, ValueError):
+                return None, f"logit_bias key {k!r} is not a token id"
+            if tid < 0:
+                return None, "logit_bias token ids must be >= 0"
+            if not isinstance(v, (int, float)) or isinstance(v, bool) \
+                    or not (-100.0 <= float(v) <= 100.0):
+                return None, (
+                    "logit_bias values must be numbers in [-100, 100]"
+                )
+            logit_bias[tid] = float(v)
     stop_raw = body.get("stop")
     if stop_raw is None or stop_raw == []:  # clients serialize default []
         stops = []
@@ -224,6 +249,8 @@ def parse_sampling_params(body: dict):
     for name, v in penalties.items():
         if v != 0.0:
             gen_kw[name] = v
+    if logit_bias:
+        gen_kw["logit_bias"] = logit_bias
     return {
         "max_tokens": max_tokens,
         "temperature": temperature,

@@ -84,6 +84,14 @@ def _count_reset(counts, slot):
     return counts.at[slot].set(0)
 
 
+@partial(jax.jit, donate_argnames=("bias",))
+def _bias_row_set(bias, slot, row):
+    """Write one slot's dense logit_bias row (admission / retire)."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        bias, row[None], slot, axis=0
+    )
+
+
 @partial(jax.jit, donate_argnames=("counts",))
 def _count_admit(counts, slot, tok):
     """Admission bookkeeping for the classic path: zero the slot's count
@@ -108,7 +116,7 @@ def _unpack_mask(bits: jax.Array, vocab: int) -> jax.Array:
 )
 def _sample_rows_counted(
     logits, keys, temps, top_k: int, top_ps, counts, pres, freq, emit,
-    want_lp: bool = False, allowed_bits=None,
+    want_lp: bool = False, allowed_bits=None, bias=None,
 ):
     """:func:`_sample_rows` with OpenAI presence/frequency penalties:
     subtract the per-row bias over each row's output-token counts, then
@@ -129,6 +137,8 @@ def _sample_rows_counted(
     from multimodal_rag_tpu.models.decoder import _lp_top, _penalty_bias
 
     biased = logits - _penalty_bias(counts, pres, freq)
+    if bias is not None:  # OpenAI logit_bias (device-resident rows)
+        biased = biased + bias
     if allowed_bits is not None:
         biased = jnp.where(
             _unpack_mask(allowed_bits, biased.shape[-1]), biased, -1e9
@@ -184,7 +194,7 @@ def _sample_rows(logits, keys, temps, top_k: int, top_ps=None,
 def _fused_chunk_step(
     params, cache, tokens, pos0, key_mask, positions0, gather, keys,
     temps, top_ps, counts, pres, freq, emit, cfg: DecoderConfig,
-    top_k: int, want_lp: bool = False, allowed_bits=None,
+    top_k: int, want_lp: bool = False, allowed_bits=None, bias=None,
 ):
     """ONE dispatch that advances a mixed batch (Sarathi-style chunked
     prefill fused with decode): each row's C-token chunk is either the
@@ -210,6 +220,8 @@ def _fused_chunk_step(
     # ``emit`` masks the count update to rows whose sample is real this
     # pass (mid-prefill and idle rows sample garbage the host discards).
     biased = row_logits - _penalty_bias(counts, pres, freq)
+    if bias is not None:  # OpenAI logit_bias (device-resident rows)
+        biased = biased + bias
     if allowed_bits is not None:
         biased = jnp.where(
             _unpack_mask(allowed_bits, biased.shape[-1]), biased, -1e9
@@ -231,7 +243,7 @@ def _spec_step_rows(
     k_acc, k_rep, temps, top_ps, counts, pres, freq,
     cfg: DecoderConfig, top_k: int, spec_k: int,
     lp_rows=None, want_lp: bool = False,
-    allowed_bits=None, grammar_rows=None,
+    allowed_bits=None, grammar_rows=None, bias=None,
 ):
     """One speculative pass for a decode-only batch: per-row bigram
     prompt-lookup drafts K tokens from ``seq`` (the slot-aligned token
@@ -264,6 +276,11 @@ def _spec_step_rows(
     # (``lp_rows``) are forced single too: their per-token distribution
     # record is only computed for position 0.
     logits = logits - _penalty_bias(counts, pres, freq)[:, None, :]
+    if bias is not None:
+        # logit_bias is STATIC per request, so applying it at every
+        # draft position keeps speculative acceptance exact — no
+        # single-token fallback needed (unlike penalties).
+        logits = logits + bias[:, None, :]
     force_single = (pres != 0.0) | (freq != 0.0)
     if lp_rows is not None:
         force_single = force_single | lp_rows
@@ -361,6 +378,9 @@ class _Request:
     # next packed vocab bitmask with the next dispatch.
     masker: object = None
     gstate: int = 0
+    # OpenAI logit_bias: sparse id->bias map; densified into the
+    # device-resident per-slot bias array at admission.
+    logit_bias: Optional[Dict] = None
 
 
 class DecodeServer:
@@ -481,6 +501,12 @@ class DecodeServer:
         # constrained (None otherwise — keeps the unconstrained
         # executables untouched).
         self.g_masks = np.ones((slots, self.cfg.vocab_size), bool)
+        # OpenAI logit_bias: DEVICE-RESIDENT (slots, V) f32 addend —
+        # written once per admission (a request's bias is static), never
+        # re-shipped per step. Created lazily on the first biased
+        # request; steps receive it only while >= 1 biased row is live.
+        self.bias: Optional[jax.Array] = None
+        self._bias_slots: set = set()
         # Per-slot sampling keys: each row advances its OWN stream.
         self.keys = jax.random.split(jax.random.key(seed), slots)
         self._admitted = 0  # distinct default-key stream per admission
@@ -521,6 +547,7 @@ class DecodeServer:
         frequency_penalty: float = 0.0,
         logprobs: bool = False,
         grammar=None,
+        logit_bias: Optional[Dict] = None,
     ) -> "str | tuple":
         """Generate text for ``prompt``; resolves when the row finishes.
         With ``return_finish=True`` returns ``(text, finish_reason)`` —
@@ -552,6 +579,7 @@ class DecodeServer:
             frequency_penalty=float(frequency_penalty),
             logprobs=bool(logprobs),
             masker=grammar,
+            logit_bias=logit_bias,
         )
         await self.pending.put(req)
         text, finish, lps = await fut
@@ -569,6 +597,7 @@ class DecodeServer:
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
         grammar=None,
+        logit_bias: Optional[Dict] = None,
     ):
         """Per-token streaming variant of :meth:`submit`: an async
         generator of ``(text_delta, finish)`` pairs. ``finish`` is None
@@ -588,6 +617,7 @@ class DecodeServer:
             presence_penalty=float(presence_penalty),
             frequency_penalty=float(frequency_penalty),
             masker=grammar,
+            logit_bias=logit_bias,
         )
         await self.pending.put(req)
         try:
@@ -683,6 +713,10 @@ class DecodeServer:
             req.gstate = req.masker.start
             self.g_masks[slot] = req.masker.mask_bool(req.gstate)
             allowed = jnp.asarray(self.g_masks[slot][None])
+        if req.logit_bias:
+            logits = logits + jnp.asarray(
+                self._dense_bias_row(req.logit_bias)[None]
+            )
         first = int(
             _sample_rows(
                 logits, sub[None],
@@ -702,6 +736,7 @@ class DecodeServer:
         self.pres[slot] = req.presence_penalty
         self.freqs[slot] = req.frequency_penalty
         self.want_lp[slot] = req.logprobs
+        self._admit_bias(slot, req)
         if req.logprobs and first != self.eos_id:
             from multimodal_rag_tpu.models.decoder import _lp_top
 
@@ -758,6 +793,7 @@ class DecodeServer:
         if req.masker is not None:
             req.gstate = req.masker.start
             self.g_masks[slot] = req.masker.mask_bool(req.gstate)
+        self._admit_bias(slot, req)
         self.counts = _count_reset(self.counts, jnp.int32(slot))
         self._admitted += 1
         row_key = (
@@ -845,6 +881,7 @@ class DecodeServer:
         self.freqs[slot] = 0.0
         self.want_lp[slot] = False
         self.g_masks[slot] = True
+        self._clear_bias(slot)
         self.requests_done += 1
         return req
 
@@ -875,6 +912,41 @@ class DecodeServer:
         return jnp.asarray(
             np.packbits(self.g_masks, axis=1, bitorder="little")
         )
+
+    # -- OpenAI logit_bias (device-resident per-slot rows) ---------------
+
+    def _dense_bias_row(self, d: Dict) -> np.ndarray:
+        row = np.zeros((self.cfg.vocab_size,), np.float32)
+        for tid, val in (d or {}).items():
+            if 0 <= int(tid) < self.cfg.vocab_size:
+                row[int(tid)] = float(val)
+        return row
+
+    def _admit_bias(self, slot: int, req: _Request) -> None:
+        if not req.logit_bias:
+            return
+        if self.bias is None:
+            self.bias = jnp.zeros(
+                (self.slots, self.cfg.vocab_size), jnp.float32
+            )
+        self.bias = _bias_row_set(
+            self.bias, jnp.int32(slot),
+            jnp.asarray(self._dense_bias_row(req.logit_bias)),
+        )
+        self._bias_slots.add(slot)
+
+    def _clear_bias(self, slot: int) -> None:
+        if slot in self._bias_slots:
+            self.bias = _bias_row_set(
+                self.bias, jnp.int32(slot),
+                jnp.zeros((self.cfg.vocab_size,), jnp.float32),
+            )
+            self._bias_slots.discard(slot)
+
+    def _bias_arg(self):
+        """(slots, V) bias for this dispatch, or None when no live row
+        is biased (None keeps the unbiased executables)."""
+        return self.bias if self._bias_slots else None
 
     def _resolve(self, finished: List[_Request]) -> None:
         """Loop-thread only: hand results to the waiters."""
@@ -941,7 +1013,7 @@ class DecodeServer:
             jnp.asarray(self.top_ps), self.counts,
             jnp.asarray(self.pres), jnp.asarray(self.freqs),
             jnp.asarray(emitting), want_lp=want,
-            allowed_bits=self._mask_bits(),
+            allowed_bits=self._mask_bits(), bias=self._bias_arg(),
         )
         nxt, self.counts = res[0], res[1]
         lp = tv = ti = None
@@ -1001,6 +1073,7 @@ class DecodeServer:
             self.cfg, self.top_k, self.spec_k,
             lp_rows=jnp.asarray(self.want_lp), want_lp=want,
             allowed_bits=bits, grammar_rows=g_rows,
+            bias=self._bias_arg(),
         )
         emit, n_emit, self.pool, self.counts = res[:4]
         lp = tv = ti = None
@@ -1101,7 +1174,7 @@ class DecodeServer:
             jnp.asarray(self.temps), jnp.asarray(self.top_ps),
             self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
             jnp.asarray(emitting), self.cfg, self.top_k, want_lp=want,
-            allowed_bits=self._mask_bits(),
+            allowed_bits=self._mask_bits(), bias=self._bias_arg(),
         )
         nxt, self.pool, self.counts = res[0], res[1], res[2]
         lp = tv = ti = None
@@ -1194,6 +1267,8 @@ class DecodeServer:
         self.freqs[:] = 0.0
         self.want_lp[:] = False
         self.g_masks[:] = True
+        self.bias = None
+        self._bias_slots.clear()
 
     async def _admit_safe(self, req: _Request) -> None:
         """Admit ``req`` into the first free slot, failing ITS waiter on a
