@@ -59,6 +59,11 @@ class Settings:
     # text; runs random-init with a loud warning otherwise.
     USE_TPU_LLM: bool = False
     MMRAG_LLM_CHECKPOINT_PATH: str = ""
+    # LoRA finetune adapters (PEFT layout: adapter_config.json +
+    # adapter_model.safetensors), merged into the base weights at load —
+    # decode then serves the finetune at exactly base-model cost
+    # (models/lora.py). Colon-separated; applied in order.
+    MMRAG_LLM_LORA_PATH: str = ""
     # On-TPU multimodal generation (models/llava.py): llava-architecture
     # vision+text on the chip instead of an Ollama-hosted llava. Needs
     # MMRAG_MLLM_CHECKPOINT_PATH (a local HF llava safetensors snapshot).

@@ -2285,6 +2285,7 @@ class TextDecoder:
         quantize: bool = False,
         speculative: Optional[bool] = None,
         spec_k: Optional[int] = None,
+        lora_paths: Optional[Sequence[str]] = None,
     ) -> None:
         from multimodal_rag_tpu.models.tokenizer import (
             ByteTokenizer,
@@ -2333,6 +2334,22 @@ class TextDecoder:
                         "falling back to random init", checkpoint_path, e,
                     )
                     params = None
+            if params is not None and lora_paths is None:
+                from multimodal_rag_tpu.models.lora import find_lora_paths
+
+                lora_paths = find_lora_paths()
+        if params is not None and lora_paths:
+            # Merge BEFORE quantize/TP: the finetune then serves at
+            # exactly base-model cost (models/lora.py rationale). A bad
+            # adapter fails the load loudly — serving the base silently
+            # under a finetune's name would be worse.
+            from multimodal_rag_tpu.models.lora import merge_lora
+
+            for lp in lora_paths:
+                params = merge_lora(params, cfg, lp)
+            self.lora_paths = tuple(lora_paths)
+        else:
+            self.lora_paths = ()
         if tokenizer is None and self.pretrained:
             tokenizer = load_decoder_tokenizer(checkpoint_path)
             if tokenizer is None:
