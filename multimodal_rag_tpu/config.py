@@ -64,6 +64,13 @@ class Settings:
     # decode then serves the finetune at exactly base-model cost
     # (models/lora.py). Colon-separated; applied in order.
     MMRAG_LLM_LORA_PATH: str = ""
+    # Multi-model serving: additional NAMED on-TPU models routed by the
+    # OpenAI ``model`` parameter. Comma-separated
+    # ``name=/path/to/snapshot`` entries; append ``+/path/to/lora`` (one
+    # or more) to serve a merged finetune under its own name. Weights
+    # load lazily on a model's first request. Empty = single-model
+    # behavior (the ``model`` field stays display-only).
+    MMRAG_LLM_MODELS: str = ""
     # On-TPU multimodal generation (models/llava.py): llava-architecture
     # vision+text on the chip instead of an Ollama-hosted llava. Needs
     # MMRAG_MLLM_CHECKPOINT_PATH (a local HF llava safetensors snapshot).

@@ -59,10 +59,17 @@ class TPULLMAdapter(BaseLLMAdapter):
     MAX_COALESCE = 8
 
     def __init__(self, model_name: str = None, decoder=None,
-                 continuous: Optional[bool] = None, **kwargs):
+                 continuous: Optional[bool] = None,
+                 checkpoint_path: Optional[str] = None,
+                 lora_paths: Optional[List[str]] = None, **kwargs):
         super().__init__(model_name or "tpu-local", **kwargs)
         self.backend = "tpu"
         self._decoder = decoder  # tests inject a tiny TextDecoder
+        # Multi-model serving: a registry entry pins its OWN checkpoint
+        # (and optional LoRA adapters) instead of the global settings
+        # default; weights load lazily on first use.
+        self._checkpoint_path = checkpoint_path
+        self._lora_paths = lora_paths
         self._queue: Optional[asyncio.Queue] = None
         # Requests deferred by _drain for a different generation preset:
         # considered BEFORE fresh queue arrivals next round, so a
@@ -134,8 +141,12 @@ class TPULLMAdapter(BaseLLMAdapter):
 
             self._decoder = await asyncio.to_thread(
                 TextDecoder,
-                checkpoint_path=settings.MMRAG_LLM_CHECKPOINT_PATH or None,
+                checkpoint_path=(
+                    self._checkpoint_path
+                    or settings.MMRAG_LLM_CHECKPOINT_PATH or None
+                ),
                 quantize=settings.TPU_LLM_QUANTIZE,
+                lora_paths=self._lora_paths,
             )
         if self._continuous is None:
             from multimodal_rag_tpu.config import settings

@@ -54,6 +54,10 @@ NOT_FOUND_ANSWER = (
 class Components:
     """The six pipeline singletons (reference lifespan, api.py:65-128)."""
 
+    #: ``model`` values that always mean "the default text backend" —
+    #: what single-model clients send (or omit).
+    DEFAULT_MODEL_ALIASES = {"", "default", "mmrag"}
+
     def __init__(
         self,
         parser=None,
@@ -63,6 +67,7 @@ class Components:
         embedder=None,
         retriever=None,
         crossmodal=None,
+        llm_models=None,
     ):
         self.parser = parser
         self.llm_adapter = llm_adapter
@@ -71,6 +76,32 @@ class Components:
         self.embedder = embedder
         self.retriever = retriever
         self.crossmodal = crossmodal
+        # Multi-model serving registry: name -> adapter, routed by the
+        # OpenAI ``model`` parameter (settings.MMRAG_LLM_MODELS). Empty
+        # keeps the single-model contract: any name serves the default
+        # and the field stays display-only.
+        self.llm_models: Dict[str, Any] = dict(llm_models or {})
+
+    def resolve_llm(self, name) -> "tuple[Any, Optional[str]]":
+        """OpenAI ``model`` → the serving adapter. Returns
+        ``(adapter, None)`` or ``(None, error)`` for an unknown name
+        when a registry is configured."""
+        if not self.llm_models:
+            return self.llm_adapter, None
+        if name is None or (
+            isinstance(name, str)
+            and (name in self.DEFAULT_MODEL_ALIASES
+                 or name.startswith("mmrag-")
+                 or name == getattr(self.llm_adapter, "model_name", None))
+        ):
+            return self.llm_adapter, None
+        adapter = self.llm_models.get(name)
+        if adapter is None:
+            return None, (
+                f"model {name!r} does not exist; available: "
+                + ", ".join(sorted(self.llm_models))
+            )
+        return adapter, None
 
     @classmethod
     def build_default(cls) -> "Components":
@@ -99,6 +130,29 @@ class Components:
             crossmodal = CrossModalIndex(
                 persist_dir=settings.VECTOR_PERSIST_DIR
             )
+        llm_models = {}
+        if settings.USE_TPU_LLM and settings.MMRAG_LLM_MODELS:
+            from multimodal_rag_tpu.models.adapters import TPULLMAdapter
+
+            for entry in settings.MMRAG_LLM_MODELS.split(","):
+                entry = entry.strip()
+                if not entry:
+                    continue
+                name, sep, spec = entry.partition("=")
+                name = name.strip()
+                if not sep or not name or not spec.strip():
+                    logger.error(
+                        "MMRAG_LLM_MODELS entry %r is not "
+                        "name=/path[+lora...]; skipped", entry,
+                    )
+                    continue
+                ckpt, *loras = [p.strip() for p in spec.split("+")]
+                # Explicit [] (not None) for lora-less entries: a named
+                # model must NOT inherit the global MMRAG_LLM_LORA_PATH.
+                llm_models[name] = TPULLMAdapter(
+                    model_name=name, checkpoint_path=ckpt,
+                    lora_paths=loras,
+                )
         return cls(
             parser=DocumentParser(llm_adapter=llm, mllm_adapter=mllm),
             llm_adapter=llm,
@@ -107,6 +161,7 @@ class Components:
             embedder=EmbeddingManager(persist_dir=settings.VECTOR_PERSIST_DIR),
             retriever=MultiVectorRetriever(),
             crossmodal=crossmodal,
+            llm_models=llm_models,
         )
 
     async def initialize(self) -> None:
@@ -125,6 +180,7 @@ class Components:
         for component in (
             self.llm_adapter, self.mllm_adapter, self.embedder,
             self.retriever, self.crossmodal,
+            *self.llm_models.values(),
         ):
             if component is not None:
                 try:
@@ -883,6 +939,16 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             return bad_request("messages must be a non-empty list")
         if not all(isinstance(m, dict) for m in messages):
             return bad_request("each message must be an object")
+        # Multi-model routing: the OpenAI ``model`` field selects a
+        # registry adapter (MMRAG_LLM_MODELS); without a registry it
+        # stays display-only and the default backend serves.
+        llm, merr = comps.resolve_llm(body.get("model"))
+        if merr:
+            return web.json_response(
+                {"error": {"message": merr,
+                           "type": "invalid_request_error",
+                           "code": "model_not_found"}}, status=404,
+            )
         stream = bool(body.get("stream"))
 
         def parse_image_url(part):
@@ -998,12 +1064,12 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         # tell the adapter to skip its generic framing. Vision requests
         # keep the fold: the template's content contract is text, and
         # the MLLM adapters carry their own multimodal framing.
-        fmt = getattr(comps.llm_adapter, "format_chat", None)
+        fmt = getattr(llm, "format_chat", None)
         raw_prompt = False
         if fmt is not None and not images:
             tmpl_msgs = normalize_tool_messages(messages, texts)
             native_tools = tools_active and getattr(
-                comps.llm_adapter, "template_accepts_tools", False
+                llm, "template_accepts_tools", False
             )
             if preamble and not native_tools:
                 # Template without native tool rendering: carry the
@@ -1060,7 +1126,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         "for vision requests"
                     )
                 if not getattr(
-                    comps.llm_adapter, "supports_grammar", False
+                    llm, "supports_grammar", False
                 ):
                     return bad_request(
                         "response_format json modes require the on-TPU "
@@ -1076,7 +1142,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         # are grammar-enforced: the sampler can only emit a call
         # envelope whose arguments satisfy the tool's parameters schema.
         if tools_active and tool_choice != "auto":
-            if not getattr(comps.llm_adapter, "supports_grammar", False):
+            if not getattr(llm, "supports_grammar", False):
                 return bad_request(
                     "tool_choice 'required' or a named function requires "
                     "the on-TPU text backend (USE_TPU_LLM); use "
@@ -1114,7 +1180,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 return bad_request("top_logprobs requires logprobs: true")
         top_lp = int(top_lp_raw or 0)
         gen_lp = getattr(
-            comps.llm_adapter, "generate_text_with_logprobs", None
+            llm, "generate_text_with_logprobs", None
         )
         if want_lp:
             if stream:
@@ -1154,7 +1220,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 )
         start = time.time()
         gen_meta = getattr(
-            comps.llm_adapter, "generate_text_with_finish", None
+            llm, "generate_text_with_finish", None
         )
         if stream:
             # Pre-validate what the adapter would reject, BEFORE the SSE
@@ -1202,7 +1268,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             for i in range(n):
                 await resp.write(chunk({"role": "assistant"}, idx=i))
             gen_stream = getattr(
-                comps.llm_adapter, "generate_text_stream", None
+                llm, "generate_text_stream", None
             )
 
             async def run_choice(i):
@@ -1216,7 +1282,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     if gen_meta is not None:
                         text, fin = await gen_meta(prompt, **kw)
                     else:
-                        text = await comps.llm_adapter.generate_text(
+                        text = await llm.generate_text(
                             prompt, **kw
                         )
                         fin = "stop"
@@ -1255,7 +1321,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     )
                 else:
                     # HTTP adapters: one coarse delta (the full answer).
-                    text = await comps.llm_adapter.generate_text(
+                    text = await llm.generate_text(
                         prompt, **kw
                     )
                 fin = "stop"
@@ -1300,7 +1366,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             if gen_meta is not None:
                 text, fin = await gen_meta(prompt, **kw)
                 return text, fin, None
-            return await comps.llm_adapter.generate_text(prompt, **kw), \
+            return await llm.generate_text(prompt, **kw), \
                 "stop", None
 
         # n choices fan out concurrently; the TPU adapter's batcher
@@ -1357,7 +1423,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 ),
             })
         aggregator.record("chat.total", time.time() - start)
-        backend = getattr(comps.llm_adapter, "backend", "unknown")
+        backend = getattr(llm, "backend", "unknown")
         prompt_tokens = len(prompt.split())
         return web.json_response(
             {
@@ -1415,6 +1481,13 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             return bad_request(
                 "each prompt must be 1..10000 characters"
             )
+        llm, merr = comps.resolve_llm(body.get("model"))
+        if merr:
+            return web.json_response(
+                {"error": {"message": merr,
+                           "type": "invalid_request_error",
+                           "code": "model_not_found"}}, status=404,
+            )
         sampling, err = parse_sampling_params(body)
         if err:
             return bad_request(err)
@@ -1429,7 +1502,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         # Legacy-dialect logprobs: an integer top-alternative count.
         lp_n = body.get("logprobs")
         gen_lp = getattr(
-            comps.llm_adapter, "generate_text_with_logprobs", None
+            llm, "generate_text_with_logprobs", None
         )
         if lp_n is not None:
             if isinstance(lp_n, bool) or not isinstance(lp_n, int) \
@@ -1452,7 +1525,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         model = body.get("model") or "mmrag"
         start = time.time()
         gen_meta = getattr(
-            comps.llm_adapter, "generate_text_with_finish", None
+            llm, "generate_text_with_finish", None
         )
 
         async def generate_one(prompt, ci=0):
@@ -1463,7 +1536,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 text, fin = await gen_meta(prompt, **kw)
                 return text, fin, None
             return (
-                await comps.llm_adapter.generate_text(prompt, **kw),
+                await llm.generate_text(prompt, **kw),
                 "stop", None,
             )
 
@@ -1500,7 +1573,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     await resp.write(buf)
 
             gen_stream = getattr(
-                comps.llm_adapter, "generate_text_stream", None
+                llm, "generate_text_stream", None
             )
 
             async def run_choice(i):
@@ -1701,6 +1774,15 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 "owned_by": "multimodal_rag_tpu",
             },
         ]
+        # Multi-model registry entries (MMRAG_LLM_MODELS) are selectable
+        # via the ``model`` parameter on both /v1 completion surfaces.
+        for name in sorted(comps.llm_models):
+            models.append({
+                "id": name,
+                "object": "model",
+                "created": created,
+                "owned_by": "multimodal_rag_tpu",
+            })
         return web.json_response({"object": "list", "data": models})
 
     async def metrics(request):
