@@ -464,6 +464,14 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     comps = components or Components.build_default()
     app["components"] = comps
     app["start_time"] = time.time()
+    # OpenAI-surface feature usage, surfaced via /stats["openai"] and
+    # /metrics (per-app: test apps must not share counters).
+    openai_counters = {
+        "response_format_requests": 0,
+        "tool_requests": 0,
+        "tool_calls_emitted": 0,
+        "logit_bias_requests": 0,
+    }
 
     async def on_startup(app):
         await comps.initialize()
@@ -907,6 +915,10 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         if comps.crossmodal is not None
                         else {}
                     ),
+                    # OpenAI-surface feature usage (structured outputs /
+                    # tool calling / logit_bias) — zero-cost counters so
+                    # operators can see which contracts traffic exercises.
+                    "openai": dict(openai_counters),
                 }
             )
         except Exception as e:  # noqa: BLE001
@@ -1037,6 +1049,8 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         if tool_choice == "none":
             tools = None  # declared but disabled: plain chat
         tools_active = bool(tools)
+        if tools_active:
+            openai_counters["tool_requests"] += 1
         tool_names = (
             {t["function"]["name"] for t in tools} if tools_active
             else set()
@@ -1103,6 +1117,8 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         sampling, err = parse_sampling_params(body)
         if err:
             return bad_request(err)
+        if "logit_bias" in sampling["gen_kw"]:
+            openai_counters["logit_bias_requests"] += 1
         if raw_prompt:
             sampling["gen_kw"]["raw"] = True
         # OpenAI response_format: json_object / json_schema compile to a
@@ -1138,6 +1154,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         "forced tool_choice (the two grammars conflict)"
                     )
                 sampling["gen_kw"]["grammar"] = gspec
+                openai_counters["response_format_requests"] += 1
         # Forced tool calls (tool_choice 'required' or a named function)
         # are grammar-enforced: the sampler can only emit a call
         # envelope whose arguments satisfy the tool's parameters schema.
@@ -1291,6 +1308,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                         text, fin = text[:cut], "stop"
                     hit = extract_tool_call(text, tool_names)
                     if hit is not None:
+                        openai_counters["tool_calls_emitted"] += 1
                         name, args = hit
                         await wchunk(chunk({"tool_calls": [{
                             "index": 0,
@@ -1400,6 +1418,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             if tools_active:
                 hit = extract_tool_call(text, tool_names)
                 if hit is not None:
+                    openai_counters["tool_calls_emitted"] += 1
                     name, args = hit
                     message = {
                         "role": "assistant",
@@ -1491,11 +1510,17 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         sampling, err = parse_sampling_params(body)
         if err:
             return bad_request(err)
+        if "logit_bias" in sampling["gen_kw"]:
+            openai_counters["logit_bias_requests"] += 1
         gen_kw = sampling["gen_kw"]
         stops = sampling["stops"]
         n = sampling["n"]
-        if body.get("echo"):
-            return bad_request("echo is not supported")
+        # echo (legacy): prefix each choice's text with its prompt.
+        # echo + logprobs stays a 400 — OpenAI's form includes PROMPT
+        # token logprobs, which the decode path doesn't capture;
+        # returning completion-only records under that contract would be
+        # silently wrong.
+        echo = bool(body.get("echo"))
         stream = bool(body.get("stream"))
         if stream and len(prompts) > 1:
             return bad_request("stream supports a single prompt")
@@ -1510,6 +1535,11 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 return bad_request("logprobs must be an integer in [0, 5]")
             if stream:
                 return bad_request("logprobs with stream is not supported")
+            if echo:
+                return bad_request(
+                    "echo with logprobs is not supported (prompt token "
+                    "logprobs are not captured)"
+                )
             if gen_lp is None:
                 return bad_request(
                     "logprobs requires the on-TPU text backend "
@@ -1578,6 +1608,8 @@ def create_app(components: Optional[Components] = None) -> web.Application:
 
             async def run_choice(i):
                 kw = choice_kw(gen_kw, i)
+                if echo:  # the prompt leads the stream (OpenAI echo)
+                    await wchunk(chunk(prompts[0], idx=i))
                 if gen_stream is not None:
                     async def emit(text, _i=i):
                         await wchunk(chunk(text, idx=_i))
@@ -1643,6 +1675,8 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 if lps is not None:
                     lps = truncate_lps(lps, cut)
             total_completion += len(text.split())
+            if echo:  # choice index is prompt-major: prompt i // n
+                text = prompts[i // n] + text
             choices.append({
                 "index": i,
                 "text": text,
@@ -1833,6 +1867,12 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             lines.append(
                 f"mmrag_generation_requests_total "
                 f"{comps.llm_adapter.requests_served}"
+            )
+        lines.append("# TYPE mmrag_openai_feature_requests_total counter")
+        for feat, count in openai_counters.items():
+            lines.append(
+                "mmrag_openai_feature_requests_total"
+                f'{{feature="{feat}"}} {count}'
             )
         lines.append("# TYPE mmrag_uptime_seconds gauge")
         lines.append(

@@ -994,6 +994,42 @@ class TestCompletions:
         assert all(e["object"] == "text_completion" for e in events)
         assert raw.rstrip().endswith("data: [DONE]")
 
+    def test_echo_prefixes_prompt(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": ["first prompt", "second prompt"],
+                "echo": True,
+                "max_tokens": 8,
+            })
+        )
+        assert resp.status == 200
+        body = loop.run_until_complete(resp.json())
+        assert body["choices"][0]["text"].startswith("first prompt")
+        assert body["choices"][1]["text"].startswith("second prompt")
+
+    def test_echo_streaming_leads_with_prompt(self, client):
+        import json as _json
+
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": "echoed prompt",
+                "echo": True,
+                "stream": True,
+                "max_tokens": 8,
+            })
+        )
+        assert resp.status == 200
+        raw = loop.run_until_complete(resp.text())
+        events = [
+            _json.loads(line[len("data: "):])
+            for line in raw.splitlines()
+            if line.startswith("data: ") and line != "data: [DONE]"
+        ]
+        text = "".join(e["choices"][0]["text"] for e in events)
+        assert text.startswith("echoed prompt")
+
     def test_validation(self, client):
         c, loop = client
         cases = [
@@ -1003,7 +1039,7 @@ class TestCompletions:
             {"prompt": ["x"] * 17},
             {"prompt": ""},
             {"prompt": "x", "n": 0},
-            {"prompt": "x", "echo": True},
+            {"prompt": "x", "echo": True, "logprobs": 1},
             {"prompt": "x", "logprobs": 9},
             {"prompt": "x", "logprobs": True},
             {"prompt": "x", "logprobs": 1, "stream": True},

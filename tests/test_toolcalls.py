@@ -396,3 +396,43 @@ class TestToolCallsHTTP:
         finally:
             loop.run_until_complete(c.close())
             loop.close()
+
+
+class TestOpenAICounters:
+    def test_stats_surface_feature_usage(self, tmp_path):
+        c, loop = _tpu_client(tmp_path)
+        try:
+            loop.run_until_complete(
+                c.post("/v1/chat/completions", json={
+                    "messages": [{"role": "user", "content": "go"}],
+                    "tools": [SEARCH],
+                    "tool_choice": "required",
+                    "max_tokens": 64,
+                    "temperature": 0.9,
+                })
+            )
+            loop.run_until_complete(
+                c.post("/v1/chat/completions", json={
+                    "messages": [{"role": "user", "content": "j"}],
+                    "response_format": {"type": "json_object"},
+                    "max_tokens": 24,
+                })
+            )
+
+            async def stats():
+                resp = await c.get("/stats")
+                return await resp.json()
+
+            body = loop.run_until_complete(stats())
+            oc = body["openai"]
+            assert oc["tool_requests"] == 1
+            assert oc["response_format_requests"] == 1
+            async def metrics():
+                resp = await c.get("/metrics")
+                return await resp.text()
+
+            text = loop.run_until_complete(metrics())
+            assert 'mmrag_openai_feature_requests_total{feature="tool_requests"} 1' in text
+        finally:
+            loop.run_until_complete(c.close())
+            loop.close()
