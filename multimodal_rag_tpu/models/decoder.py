@@ -1159,17 +1159,36 @@ def _qmatmul(x: jax.Array, lp: Dict, name: str, cd) -> jax.Array:
             jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8
         ) / 127.0
         x_q = jnp.clip(jnp.round(x32 / x_s), -127, 127).astype(jnp.int8)
-        y = jax.lax.dot_general(
+        yq = jax.lax.dot_general(
             x_q, w_q,
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        return (y.astype(jnp.float32) * x_s * w_s).astype(cd)
-    return jax.lax.dot_general(
-        x.astype(cd), lp[name].astype(cd),
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(cd)
+        y = (yq.astype(jnp.float32) * x_s * w_s).astype(cd)
+    else:
+        y = jax.lax.dot_general(
+            x.astype(cd), lp[name].astype(cd),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+    # Runtime LoRA side-path (training only — serving merges adapters
+    # into the base weights, models/lora.py): leaves ``lora_A_<name>``
+    # (in, r) / ``lora_B_<name>`` (r, out) ride in ``lp`` like any other
+    # scanned layer tensor; the scale is folded into the trained B
+    # (divided back out at PEFT export, models/lora_train.py).
+    a = lp.get("lora_A_" + name)
+    if a is not None:
+        dn = lambda nd: (((nd - 1,), (0,)), ((), ()))  # noqa: E731
+        ya = jax.lax.dot_general(
+            x.astype(cd), a.astype(cd), dimension_numbers=dn(x.ndim),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + jax.lax.dot_general(
+            ya, lp["lora_B_" + name].astype(cd),
+            dimension_numbers=dn(ya.ndim),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+    return y
 
 
 def _rmsnorm(x: jax.Array, w: jax.Array, cfg: DecoderConfig) -> jax.Array:
@@ -1755,6 +1774,34 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
     return logits, {"k": k_new, "v": v_new}
 
 
+def causal_lm_logits(params, ids, mask, cfg: DecoderConfig) -> jax.Array:
+    """ALL-position next-token logits (B, T, V) — the training forward
+    (models/lora_train.py). Same layer stack as :func:`_prefill_core`
+    (so LoRA leaves in ``params['layers']`` take the `_qmatmul` runtime
+    side-path), but no cache survives and every position's logits are
+    materialized for the causal-LM loss. ids/mask (B, T), RIGHT-padded
+    (training batches pack left-to-right; mask 0 marks padding)."""
+    B, T = mask.shape
+    x = _embed_tokens(params, ids, cfg)
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    visible = causal[None, :, :] & (mask[:, None, :] > 0)
+    add_mask = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
+    cache = init_cache(cfg, B, T)
+    slots = (jnp.arange(T), jnp.arange(T))
+
+    def body(x, scanned):
+        lp, kc, vc = scanned
+        h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
+        k, v = _project_kv(h_norm, lp, positions, cfg)
+        x = _layer_forward(x, lp, k, v, positions, add_mask, cfg, slots)
+        return x, (kc, vc)
+
+    x, _ = _run_layers(x, params, cache["k"], cache["v"], cfg, body)
+    x = _rmsnorm(x, params["final_norm"], cfg)
+    return _logits(params, x, cfg)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def decode_step(
     params: Dict,
@@ -2338,18 +2385,6 @@ class TextDecoder:
                 from multimodal_rag_tpu.models.lora import find_lora_paths
 
                 lora_paths = find_lora_paths()
-        if params is not None and lora_paths:
-            # Merge BEFORE quantize/TP: the finetune then serves at
-            # exactly base-model cost (models/lora.py rationale). A bad
-            # adapter fails the load loudly — serving the base silently
-            # under a finetune's name would be worse.
-            from multimodal_rag_tpu.models.lora import merge_lora
-
-            for lp in lora_paths:
-                params = merge_lora(params, cfg, lp)
-            self.lora_paths = tuple(lora_paths)
-        else:
-            self.lora_paths = ()
         if tokenizer is None and self.pretrained:
             tokenizer = load_decoder_tokenizer(checkpoint_path)
             if tokenizer is None:
@@ -2395,6 +2430,18 @@ class TextDecoder:
                 "local Llama/Qwen2/Gemma safetensors snapshot."
             )
             params = init_params(jax.random.key(seed), cfg)
+        if lora_paths:
+            # Merge BEFORE quantize/TP: the finetune then serves at
+            # exactly base-model cost (models/lora.py rationale). A bad
+            # adapter fails the load loudly — serving the base silently
+            # under a finetune's name would be worse. (Runs after the
+            # random-init fallback too, so explicit adapters are never
+            # silently dropped.)
+            from multimodal_rag_tpu.models.lora import merge_lora
+
+            for lp in lora_paths:
+                params = merge_lora(params, cfg, lp)
+        self.lora_paths = tuple(lora_paths or ())
         self.cfg = cfg
         if quantize and not any(
             k.endswith("_q") for k in params["layers"]
