@@ -1819,6 +1819,112 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             })
         return web.json_response({"object": "list", "data": models})
 
+    async def rerank_http(request):
+        """Standalone rerank endpoint (Cohere/Jina ``/v1/rerank`` contract):
+        ``{query, documents[], top_n?, return_documents?}`` → results ranked
+        by the on-TPU reranker (cross-encoder or MaxSim per ``RERANK_MODE``).
+        The reference shipped rerank only as an unreachable placeholder
+        (``embedder.py:834-859``); here it is both a ``/query`` flag and a
+        first-class service any retrieval stack can call. Documents may be
+        strings or ``{"text": ...}`` objects (both client conventions)."""
+        try:
+            body = await request.json()
+        except Exception:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": "invalid JSON body",
+                           "type": "invalid_request_error"}}, status=400,
+            )
+
+        def bad_request(msg):
+            return web.json_response(
+                {"error": {"message": msg, "type": "invalid_request_error"}},
+                status=400,
+            )
+
+        if not isinstance(body, dict):
+            return bad_request("request body must be a JSON object")
+        query_text = body.get("query")
+        if not isinstance(query_text, str) or not query_text.strip():
+            return bad_request("query must be a non-empty string")
+        if len(query_text) > 10_000:
+            return bad_request("query is capped at 10000 chars")
+        raw_docs = body.get("documents")
+        if not isinstance(raw_docs, list) or not raw_docs:
+            return bad_request("documents must be a non-empty list")
+        if len(raw_docs) > 1024:
+            return bad_request("documents exceed the 1024-item cap")
+        texts = []
+        for i, d in enumerate(raw_docs):
+            if isinstance(d, str):
+                text = d
+            elif isinstance(d, dict) and isinstance(d.get("text"), str):
+                text = d["text"]
+            else:
+                return bad_request(
+                    f"documents[{i}] must be a string or {{'text': ...}}"
+                )
+            if not text.strip():
+                return bad_request(f"documents[{i}] must be non-empty")
+            if len(text) > 10_000:
+                return bad_request(
+                    f"documents[{i}] exceeds the 10000-char cap"
+                )
+            texts.append(text)
+        top_n = body.get("top_n", len(texts))
+        if not isinstance(top_n, int) or isinstance(top_n, bool) or top_n < 1:
+            return bad_request("top_n must be a positive integer")
+        return_documents = body.get("return_documents", True)
+        if not isinstance(return_documents, bool):
+            return bad_request("return_documents must be a boolean")
+
+        start = time.time()
+        # Ride the same lazily-built reranker the /query rerank flag uses;
+        # ids carry the original positions so the response can report them.
+        flat = {
+            "ids": list(range(len(texts))),
+            "documents": texts,
+            "distances": [0.0] * len(texts),
+            "metadatas": [None] * len(texts),
+        }
+        try:
+            out = await comps.embedder.rerank_results(
+                query_text, flat, top_k=top_n
+            )
+        except Exception as e:  # noqa: BLE001
+            return web.json_response(
+                {"error": {"message": f"rerank failed: {e}",
+                           "type": "server_error"}}, status=503,
+            )
+        if "rerank_scores" not in out:
+            # Untrained rerankers deliberately pass results through on the
+            # /query path; an explicit rerank API must not echo input order
+            # as if it were a ranking — fail loudly with the fix.
+            return web.json_response(
+                {"error": {
+                    "message": (
+                        "no trained reranker available: set "
+                        "MMRAG_CROSS_ENCODER_PATH (RERANK_MODE=cross) or "
+                        "MMRAG_CHECKPOINT_PATH (RERANK_MODE=maxsim)"
+                    ),
+                    "type": "server_error",
+                }}, status=503,
+            )
+        aggregator.record("rerank.total", time.time() - start)
+        results = []
+        for idx, score in zip(out["ids"], out["rerank_scores"]):
+            item = {"index": int(idx), "relevance_score": float(score)}
+            if return_documents:
+                item["document"] = {"text": texts[int(idx)]}
+            results.append(item)
+        n_tok = len(query_text.split()) + sum(
+            len(t.split()) for t in texts
+        )  # approximate accounting, same convention as /v1/embeddings
+        return web.json_response({
+            "model": body.get("model") or settings.RERANK_MODE,
+            "results": results,
+            "usage": {"total_tokens": n_tok},
+        })
+
     async def metrics(request):
         lines = [
             "# HELP mmrag_stage_latency_seconds per-stage latency",
@@ -1935,6 +2041,7 @@ def create_app(components: Optional[Components] = None) -> web.Application:
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/embeddings", openai_embeddings)
+    app.router.add_post("/v1/rerank", rerank_http)
     app.router.add_get("/v1/models", openai_models)
     app.router.add_get("/metrics", metrics)
     app.router.add_post("/profile", profile)
@@ -1970,6 +2077,9 @@ def _route_docs():
          "list prompt)"),
         ("POST", "/v1/embeddings",
          "OpenAI-compatible embeddings over the on-TPU encoder"),
+        ("POST", "/v1/rerank",
+         "Cohere/Jina-style rerank over the on-TPU cross-encoder/MaxSim "
+         "reranker {query, documents[], top_n?, return_documents?}"),
         ("GET", "/v1/models", "OpenAI-compatible model listing"),
     ]
 
