@@ -461,6 +461,10 @@ class _SchemaCompiler:
         b.edge(entry, _bm(b"["), b.ws_then(o_core))
         if mn == 0:
             b.edge(o_core, _bm(b"]"), end)
+        if mx == 0:
+            # maxItems: 0 — only the empty array; no item call at all
+            # (wiring the first-item call would still accept '[x]').
+            return entry
         # after(c): c items consumed so far. Beyond max(mn, 1) items the
         # count stops mattering (unbounded tail loops on the last state).
         n_states = max(bound, 1)
@@ -735,6 +739,18 @@ def token_byte_table(tokenizer) -> List[Optional[bytes]]:
         ):
             if sid is not None and 0 <= sid < v:
                 table[sid] = None
+        # Added/special tokens in byte-level vocabs are pure printable-
+        # alias ASCII (e.g. '<|im_end|>', '<|eot_id|>') and would map to
+        # literal bytes above, staying sampleable inside JSON string
+        # content under grammar constraints. Null the FULL added-token
+        # id set, not just bos/eos.
+        try:
+            added = tok.get_added_tokens_decoder()
+        except AttributeError:
+            added = {}
+        for sid in added:
+            if 0 <= sid < v:
+                table[sid] = None
     else:
         raise ValueError(
             f"no byte table for tokenizer {type(tokenizer).__name__}"
@@ -767,20 +783,23 @@ class _TokenTrie:
             self.tokens[cur].append(tid)
 
 
-_TRIE_CACHE: "Dict[int, _TokenTrie]" = {}
 _TRIE_LOCK = threading.Lock()
 
 
 def _trie_for(tokenizer) -> _TokenTrie:
+    # Cached on the tokenizer instance (like _grammar_byte_table) so the
+    # cache entry's lifetime equals the keyed object's — an id()-keyed
+    # global dict would hand a new tokenizer at a recycled address a
+    # trie built for a different vocab.
+    trie = getattr(tokenizer, "_grammar_trie", None)
+    if trie is not None:
+        return trie
     table = token_byte_table(tokenizer)
-    key = id(table)
     with _TRIE_LOCK:
-        trie = _TRIE_CACHE.get(key)
+        trie = getattr(tokenizer, "_grammar_trie", None)
         if trie is None:
             trie = _TokenTrie(table)
-            if len(_TRIE_CACHE) > 8:
-                _TRIE_CACHE.clear()
-            _TRIE_CACHE[key] = trie
+            tokenizer._grammar_trie = trie
     return trie
 
 
@@ -800,6 +819,10 @@ class TokenMasker:
     def __init__(self, grammar: Grammar, tokenizer,
                  eos_id: int, vocab_size: Optional[int] = None) -> None:
         self.machine = GrammarMachine(grammar)
+        # Strong ref: _MASKER_CACHE keys by id(tokenizer); holding the
+        # tokenizer here means the id cannot be recycled while the
+        # cached masker lives.
+        self.tokenizer = tokenizer
         self.table = token_byte_table(tokenizer)
         self.trie = _trie_for(tokenizer)
         # The MODEL vocab can exceed the tokenizer's (padded embedding

@@ -88,6 +88,11 @@ class Components:
         when a registry is configured."""
         if not self.llm_models:
             return self.llm_adapter, None
+        # Registry names win over alias/prefix fallbacks: an entry named
+        # e.g. "mmrag-finetune" must serve ITS adapter, never silently
+        # the base model under the finetune's name.
+        if isinstance(name, str) and name in self.llm_models:
+            return self.llm_models[name], None
         if name is None or (
             isinstance(name, str)
             and (name in self.DEFAULT_MODEL_ALIASES

@@ -741,10 +741,17 @@ class DecodeServer:
             from multimodal_rag_tpu.models.decoder import _lp_top
 
             # First token: its penalty bias is an exact 0 (empty output),
-            # so the raw prefill logits ARE the sampling distribution.
+            # so the prefill logits ARE the sampling distribution — but a
+            # grammar-constrained row sampled from the MASKED logits, and
+            # the record must report that same distribution (mirrors
+            # _sample_rows_counted's allowed_bits handling).
+            lp_logits = (
+                jnp.where(allowed, logits, -1e9)
+                if allowed is not None else logits
+            )
             lp1, tv1, ti1 = (
                 np.asarray(x) for x in _lp_top(
-                    logits, jnp.asarray([first], jnp.int32)
+                    lp_logits, jnp.asarray([first], jnp.int32)
                 )
             )
             req.lps.append((

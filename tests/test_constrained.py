@@ -193,6 +193,31 @@ class TestServerGrammar:
         else:
             assert text.lstrip().startswith("{")
 
+    def test_admission_logprob_reports_constrained_distribution(self):
+        """The first token of a grammar-constrained row is sampled from
+        MASKED logits; its logprob record must report the same
+        distribution (r3 advisor: admission used the unmasked logits).
+        On a random-init model the unmasked top-20 would almost surely
+        contain grammar-forbidden tokens with ordinary logprobs."""
+        dec = _decoder()
+        m = _masker(dec)
+
+        async def run():
+            srv = DecodeServer(dec, slots=2, max_new_cap=8)
+            out = await srv.submit(
+                "x", max_new_tokens=8, temperature=0.9, seed=3,
+                logprobs=True, grammar=m,
+            )
+            await srv.stop()
+            return out
+
+        _, _, lps = asyncio.new_event_loop().run_until_complete(run())
+        allowed = m.mask_bool(m.start)
+        first = lps[0]
+        for tid, _tok, lp in first["top"]:
+            if lp > -1e8:  # masked entries carry the -1e9 sentinel
+                assert allowed[tid], (tid, lp)
+
     def test_greedy_server_matches_coalesced(self):
         """Greedy constrained output must be identical between the
         host-stepped loop and the continuous-batching server."""

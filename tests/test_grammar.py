@@ -135,6 +135,19 @@ class TestSchemaGrammar:
         assert not accepts(g, '[1, 2, 3, 4]')
         assert not accepts(g, '[1, "x"]')
 
+    def test_array_max_items_zero(self):
+        """maxItems: 0 — only the empty array; '[x]' must not parse
+        (r3 advisor: the first-item call used to be wired
+        unconditionally)."""
+        g = schema_to_grammar({
+            "type": "array", "items": {"type": "integer"},
+            "maxItems": 0,
+        })
+        assert accepts(g, '[]')
+        assert accepts(g, '[ ]')
+        assert not accepts(g, '[1]')
+        assert not accepts(g, '[1, 2]')
+
     def test_array_unbounded(self):
         g = schema_to_grammar({"type": "array", "items": {"type": "null"}})
         assert accepts(g, '[]')
@@ -303,6 +316,43 @@ class TestTokenMasker:
         assert table[tok.bos_id] is None
         assert table[tok.eos_id] is None
         assert table[tok.encode("a")[-1]] == b"a"
+
+    def test_byte_table_nulls_added_tokens(self):
+        """Added/special tokens in byte-level vocabs (e.g. '<|im_end|>')
+        are pure printable-alias ASCII and would otherwise map to
+        literal bytes, staying sampleable inside JSON strings under
+        grammar constraints (r3 advisor)."""
+        from tokenizers import Tokenizer
+        from tokenizers.models import BPE
+
+        from multimodal_rag_tpu.models.clip_bpe import bytes_to_unicode
+
+        vocab = {ch: i for i, ch in enumerate(bytes_to_unicode().values())}
+        hf = Tokenizer(BPE(vocab=vocab, merges=[]))
+        hf.add_special_tokens(["<|im_end|>"])
+        special_id = hf.token_to_id("<|im_end|>")
+
+        class Wrapped:
+            _tok = hf
+            vocab_size = hf.get_vocab_size()
+            bos_id = None
+            eos_id = None
+
+        table = token_byte_table(Wrapped())
+        assert table[special_id] is None
+        assert table[hf.token_to_id("a")] == b"a"
+
+    def test_trie_and_table_cached_on_tokenizer_instance(self):
+        """Caches must live on the keyed object, not in id()-keyed
+        globals (r3 advisor: id reuse after GC hands a new tokenizer a
+        trie built for a different vocab)."""
+        from multimodal_rag_tpu.models.grammar import _trie_for
+
+        tok = ByteTokenizer()
+        assert _trie_for(tok) is _trie_for(tok)
+        assert getattr(tok, "_grammar_trie", None) is not None
+        m = masker_for(tok, ("json", None), tok.eos_id)
+        assert m.tokenizer is tok  # keepalive: id(tok) can't recycle
 
 
 class TestResponseFormat:

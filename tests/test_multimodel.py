@@ -78,6 +78,19 @@ class TestResolution:
         adapter, err = comps.resolve_llm("missing")
         assert adapter is None and "missing" in err and "alt" in err
 
+    def test_registry_name_wins_over_prefix_and_aliases(self):
+        """A registry entry whose name collides with the 'mmrag-' prefix
+        or a default alias must serve ITS adapter — never silently the
+        base model under the finetune's name (r3 advisor, medium)."""
+        comps = Components(
+            llm_adapter="DEFAULT",
+            llm_models={"mmrag-finetune": "TUNED", "default": "ODD"},
+        )
+        assert comps.resolve_llm("mmrag-finetune") == ("TUNED", None)
+        assert comps.resolve_llm("default") == ("ODD", None)
+        # Non-colliding prefix names still fall back to the default.
+        assert comps.resolve_llm("mmrag-tpu") == ("DEFAULT", None)
+
 
 class TestHTTPRouting:
     def test_models_route_to_different_weights(self, tmp_path):
