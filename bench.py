@@ -335,6 +335,345 @@ def bench_decode(B=8, P=128, quantize=False):
     return dt * 1e3  # ms per decode step
 
 
+def bench_vision():
+    """Vision-stack performance (BASELINE configs 2-3 / VERDICT r3 §6):
+    cross-modal image-embed throughput for the CLIP ViT-B/32 and SigLIP
+    B/16 towers (images/s/chip through the device-side forward; host
+    decode is covered by native/imgdec.cc and overlaps), plus the
+    multimodal generation cost the VLM path adds on top of text serving —
+    llava-1.5-shaped vision+projector (CLIP-L/14-336, 576 soft tokens)
+    and Gemma3-shaped vision+projector (SigLIP so400m 896px, 4096 patches
+    pooled to 256 soft tokens), and the spliced-prefill cost at the
+    resulting sequence length. VLM decode steps are the text decoder's
+    (bench_decode) — images only lengthen the prefix."""
+    from multimodal_rag_tpu.models import clip as clip_mod
+    from multimodal_rag_tpu.models import siglip as siglip_mod
+
+    out = {}
+    rng = np.random.default_rng(0)
+
+    def img_batch(B, size):
+        return jnp.asarray(
+            rng.standard_normal((B, size, size, 3)), jnp.float32
+        )
+
+    # -- CLIP ViT-B/32 image embed throughput ------------------------------
+    B = 128
+    cparams = clip_mod.init_params(jax.random.key(0), clip_mod.CLIP_B32)
+    pixels = img_batch(B, clip_mod.CLIP_B32.image_size)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def clip_loop(params, px, reps):
+        def body(i, carry):
+            out = clip_mod.encode_image(
+                params, px + carry, clip_mod.CLIP_B32
+            )
+            return (jnp.abs(out[0, 0]) * 1e-6).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    dt = _timed_loop(lambda p, r: clip_loop(cparams, pixels + p, r))
+    out["clip_b32_images_per_s"] = round(B / dt, 1)
+
+    # -- SigLIP B/16 image embed throughput --------------------------------
+    B = 64
+    sparams = siglip_mod.init_params(
+        jax.random.key(1), siglip_mod.SIGLIP_B16
+    )
+    pixels = img_batch(B, siglip_mod.SIGLIP_B16.image_size)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def sig_loop(params, px, reps):
+        def body(i, carry):
+            out = siglip_mod.encode_image(
+                params, px + carry, siglip_mod.SIGLIP_B16
+            )
+            return (jnp.abs(out[0, 0]) * 1e-6).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    dt = _timed_loop(lambda p, r: sig_loop(sparams, pixels + p, r))
+    out["siglip_b16_images_per_s"] = round(B / dt, 1)
+
+    # -- llava-1.5-shaped VLM: vision+projector per image + spliced prefill
+    from multimodal_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_params as init_lm,
+        prefill_embeds,
+    )
+    from multimodal_rag_tpu.models.llava import (
+        LlavaConfig,
+        encode_images_for_llm,
+        init_llava_params,
+    )
+
+    lcfg = LlavaConfig(
+        text=DecoderConfig(),  # the 0.8B bench decoder
+        vision=clip_mod.CLIPConfig(
+            image_size=336, patch_size=14, vision_width=1024,
+            vision_layers=24, vision_heads=16, embed_dim=768,
+        ),
+    )
+    lparams = init_llava_params(jax.random.key(2), lcfg)
+    pixels1 = img_batch(1, 336)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def lv_loop(params, px, reps):
+        def body(i, carry):
+            emb = encode_images_for_llm(params, px + carry, lcfg)
+            return (jnp.abs(emb[0, 0, 0]) * 1e-6).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    dt = _timed_loop(lambda p, r: lv_loop(lparams, pixels1 + p, r))
+    out["llava_vision_ms_per_image"] = round(dt * 1e3, 3)
+
+    # Spliced prefill: 576 image tokens + 128 text tokens → bucket 768.
+    P = 768
+    embeds = jnp.asarray(
+        rng.standard_normal((1, P, lcfg.text.hidden_dim)) * 0.02,
+        jnp.float32,
+    )
+    pmask = jnp.ones((1, P), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def pf_loop(params, emb, reps):
+        def body(i, carry):
+            logits, _ = prefill_embeds(
+                params, emb + carry, pmask, lcfg.text, P + 64
+            )
+            return (jnp.abs(logits[0, 0]) * 1e-9).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    dt = _timed_loop(lambda p, r: pf_loop(lparams["lm"], embeds + p, r))
+    out["llava_prefill_ms_704tok"] = round(dt * 1e3, 3)
+
+    # -- Gemma3-shaped VLM vision+projector (so400m 896px → 256 tokens) ---
+    from multimodal_rag_tpu.models.gemma3_vlm import (
+        Gemma3VLMConfig,
+        encode_images_for_llm as g3_encode,
+        init_gemma3_vlm_params,
+    )
+
+    gcfg = Gemma3VLMConfig(
+        text=DecoderConfig(),
+        vision=siglip_mod.SigLIPConfig(
+            image_size=896, patch_size=14, vision_width=1152,
+            vision_layers=27, vision_heads=16, embed_dim=1152,
+        ),
+        image_token_id=262144,
+    )
+    gparams = init_gemma3_vlm_params(jax.random.key(3), gcfg)
+    pixels1 = img_batch(1, 896)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def g3_loop(params, px, reps):
+        def body(i, carry):
+            emb = g3_encode(params, px + carry, gcfg)
+            return (jnp.abs(emb[0, 0, 0]) * 1e-6).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    dt = _timed_loop(lambda p, r: g3_loop(gparams, pixels1 + p, r))
+    out["gemma3_vision_ms_per_image"] = round(dt * 1e3, 3)
+    return out
+
+
+def bench_serving(
+    slots=8,
+    n_requests=32,
+    waves=4,
+    shared_tokens=384,
+    unique_tokens=128,
+    max_new=48,
+    chunk_tokens=128,
+    prefix_entries=8,
+    spec_k=7,
+    quantize=False,
+    greedy=True,
+    decoder=None,
+):
+    """The serving layer measured as a SYSTEM (VERDICT r3 §1): a
+    ``DecodeServer`` with chunked prefill + prefix cache + speculative
+    decoding ON, driven by concurrent OpenAI-style request streams —
+    ``waves`` waves of requests sharing a RAG preamble (``shared_tokens``)
+    with unique tails, TTFT taken from the stream's first delta.
+
+    Reports BOTH raw wall-clock numbers and the relay-independent
+    decomposition: the dev chip sits behind a tunnel that adds ~30 ms per
+    dispatch (measured; device step time is ~2.5 ms), so raw TTFT/tok-s
+    are dominated by host↔chip RTT a locally-attached chip does not pay.
+    ``tokens_per_dispatch`` (scheduling efficiency) and the measured
+    speculative acceptance are hardware-independent; local throughput ≈
+    tokens_per_dispatch / (device_step_ms + host overhead).
+
+    Spec-acceptance caveat: the bench decoder is random-init, so
+    acceptance reflects the drafter mechanism on degenerate (often
+    repetitive) output, not real RAG quoting behavior — treat it as a
+    lower bound for retrieval-grounded answers that quote their context.
+    """
+    import asyncio
+
+    from multimodal_rag_tpu.models.decoder import (
+        DecoderConfig,
+        TextDecoder,
+        init_params,
+        quantize_decoder_params,
+    )
+    from multimodal_rag_tpu.serving_decode import DecodeServer
+
+    from multimodal_rag_tpu.models.tokenizer import ByteTokenizer
+
+    class _BenchTokenizer(ByteTokenizer):
+        """Every vocab id decodes to a visible ASCII char, so streaming
+        deltas track token emission 1:1. (The plain byte fallback drops
+        ids outside the byte range; a random-init model samples mostly
+        out-of-range ids, which makes its stream look empty until the
+        final flush and breaks TTFT/per-token measurement.)"""
+
+        def __init__(self, vocab_size: int) -> None:
+            super().__init__()
+            self.vocab_size = vocab_size
+
+        def decode(self, ids):
+            return "".join(chr(97 + (int(i) % 26)) for i in ids)
+
+    if decoder is None:
+        cfg = DecoderConfig()
+        params = init_params(jax.random.key(0), cfg)
+        if quantize:
+            params = quantize_decoder_params(params)
+        decoder = TextDecoder(
+            params=params, cfg=cfg,
+            tokenizer=_BenchTokenizer(cfg.vocab_size),
+            prompt_buckets=(128, 256, 512, 1024),
+        )
+    server = DecodeServer(
+        decoder,
+        slots=slots,
+        max_new_cap=max_new,
+        chunk_tokens=chunk_tokens,
+        prefix_entries=prefix_entries,
+        spec_k=spec_k,
+    )
+
+    # ByteTokenizer: chars == tokens, so prompts are plain ASCII strings.
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"abcdefghij klmnopqrstuvwxyz. ", np.uint8)
+    shared = bytes(rng.choice(alpha, shared_tokens)).decode()
+
+    def make_prompt(i):
+        tail = bytes(rng.choice(alpha, unique_tokens)).decode()
+        return shared + f"[q{i:03d}]" + tail
+
+    temperature = 0.0 if greedy else 0.7
+    # Suppress EOS so every request emits exactly ``max_new`` tokens
+    # (random-init greedy can lock onto EOS and silently shrink the token
+    # denominator). The bias is a device-resident (slots, V) add per step
+    # — noise next to the weight stream — and exercises the same biased
+    # executables OpenAI logit_bias traffic uses.
+    no_eos = {int(server.eos_id): -100.0}
+
+    async def one(i, wave, out):
+        t_sub = time.perf_counter()
+        t_first = None
+        async for delta, fin in server.submit_stream(
+            make_prompt(i), max_new_tokens=max_new,
+            temperature=temperature, logit_bias=no_eos,
+        ):
+            now = time.perf_counter()
+            if t_first is None and delta:
+                t_first = now
+            if fin is not None:
+                out.append((t_sub, t_first or now, now, wave))
+
+    async def drive():
+        t0 = time.perf_counter()
+        out = []
+        per_wave = max(1, n_requests // waves)
+        tasks = []
+        for w in range(waves):
+            tasks += [
+                asyncio.create_task(one(w * per_wave + j, w, out))
+                for j in range(per_wave)
+            ]
+            # Stagger waves by a beat so later waves hit the prefix cache
+            # stored by the first (realistic multi-turn RAG arrival).
+            await asyncio.sleep(0.3)
+        await asyncio.gather(*tasks)
+        await server.stop()
+        return out, time.perf_counter() - t0
+
+    # Warm the executables OUTSIDE the timed window (first compile is
+    # tens of seconds and would swamp every percentile). The server is
+    # stopped between asyncio.run calls so its loop task re-binds to the
+    # fresh event loop.
+    async def warm():
+        if server.chunk:
+            wp = "warmup " + shared[: server.chunk + 9]
+        else:
+            # Classic-mode admission prefills at the request's prompt
+            # bucket — warm the bucket the REAL prompts will use.
+            wp = "w" * (shared_tokens + unique_tokens + 7)
+        await server.submit(
+            wp, max_new_tokens=max(spec_k + 2, 4),
+            temperature=temperature, logit_bias=no_eos,
+        )
+        if prefix_entries:
+            # Second warm request shares the first's chunk-aligned prefix
+            # → compiles the prefix-hit load path too.
+            await server.submit(
+                wp + "x", max_new_tokens=2, temperature=temperature,
+                logit_bias=no_eos,
+            )
+        await server.stop()
+
+    asyncio.run(warm())
+    server.steps_run = 0
+    server.spec_passes = 0
+    server.spec_emitted = 0
+    server.prefix_hits = 0
+    server.prefix_tokens_reused = 0
+    done_before = server.requests_done
+    records, wall = asyncio.run(drive())
+    n_done = server.requests_done - done_before
+    total_tokens = max_new * n_done  # EOS suppressed → exact count
+    ttfts = sorted((f - s) * 1e3 for s, f, _, _ in records)
+    # Wave-1 TTFT: requests that found a free slot immediately — the
+    # unsaturated-deployment number. Whole-run TTFT includes queue wait
+    # under the (waves-1)x oversubscribed burst.
+    ttfts_w1 = sorted(
+        (f - s) * 1e3 for s, f, _, w in records if w == 0
+    ) or [float("nan")]
+    per_tok = sorted(
+        (d - f) * 1e3 / max(max_new - 1, 1) for _, f, d, _ in records
+    )
+    p = lambda xs, q: xs[min(len(xs) - 1, int(q * len(xs)))]  # noqa: E731
+    spec_accept = None
+    if server.spec_passes:
+        spec_accept = server.spec_emitted / (
+            server.spec_passes * (spec_k + 1)
+        )
+    return {
+        "serving_tok_s": round(total_tokens / wall, 1),
+        "serving_ttft_ms_p50": round(p(ttfts, 0.50), 1),
+        "serving_ttft_ms_p95": round(p(ttfts, 0.95), 1),
+        "serving_ttft_unqueued_ms_p50": round(p(ttfts_w1, 0.50), 1),
+        "serving_per_token_ms_p50": round(p(per_tok, 0.50), 2),
+        "serving_requests": n_done,
+        "serving_wall_s": round(wall, 2),
+        "serving_dispatches": server.steps_run,
+        "serving_tokens_per_dispatch": round(
+            total_tokens / max(server.steps_run, 1), 2
+        ),
+        "spec_accept_rate": (
+            round(spec_accept, 4) if spec_accept is not None else None
+        ),
+        "spec_tokens_per_pass": (
+            round(server.spec_emitted / server.spec_passes, 2)
+            if server.spec_passes else None
+        ),
+        "prefix_cache_hits": server.prefix_hits,
+        "prefix_tokens_reused": server.prefix_tokens_reused,
+    }
+
+
 def main():
     backend = jax.default_backend()
     t_start = time.time()
@@ -369,6 +708,10 @@ def main():
         decode_int8_ms = round(bench_decode(quantize=True), 3)
     except Exception:  # noqa: BLE001
         decode_int8_ms = None
+    try:
+        serving = bench_serving()
+    except Exception:  # noqa: BLE001 — small-memory backends skip
+        serving = {}
     result = {
         "metric": "embed_chunks_per_sec_per_chip",
         "value": round(embed_cps, 1),
@@ -391,6 +734,7 @@ def main():
             "retrieval_10M_ivf_rows": ivf_n,
             "decode_ms_per_step_0p8B_b8": decode_ms,
             "decode_ms_per_step_0p8B_b8_int8": decode_int8_ms,
+            **serving,
             "bench_wall_s": round(time.time() - t_start, 1),
         },
     }

@@ -64,6 +64,15 @@ class Settings:
     # decode then serves the finetune at exactly base-model cost
     # (models/lora.py). Colon-separated; applied in order.
     MMRAG_LLM_LORA_PATH: str = ""
+    # S-LoRA multi-adapter serving: NAMED LoRA finetunes served
+    # concurrently from the ONE default-model weight copy, routed by the
+    # OpenAI ``model`` parameter. Comma-separated ``name=/peft/dir``
+    # entries; each adapter costs only its own low-rank pairs in HBM
+    # (models/lora.py stack_lora_adapters), unlike MMRAG_LLM_MODELS
+    # entries which load a full checkpoint each. Composes with
+    # TPU_LLM_QUANTIZE (int8 base + f32 side-path) and the
+    # continuous-batching server (per-slot routing).
+    MMRAG_LORA_ADAPTERS: str = ""
     # Multi-model serving: additional NAMED on-TPU models routed by the
     # OpenAI ``model`` parameter. Comma-separated
     # ``name=/path/to/snapshot`` entries; append ``+/path/to/lora`` (one
@@ -107,12 +116,14 @@ class Settings:
     TPU_LLM_PREFIX_CACHE: int = 0
     # Prompt-length buckets (tokens) for the on-TPU decoder; the LAST
     # entry is the hard prompt ceiling — longer prompts keep only their
-    # tail (counted in /stats as generation.truncated_prompts). A top-5
-    # RAG context of 1000-char chunks is ~1300+ tokens, so raise this
-    # (e.g. "256,512,1024,2048") to keep full retrieval context; each
-    # extra bucket costs one more compiled executable per generation
-    # preset.
-    TPU_LLM_PROMPT_BUCKETS: str = "128,256,512,1024"
+    # tail (counted in /stats as generation.truncated_prompts). The
+    # default top ceiling is 2048 because the framework's OWN default
+    # /query prompt (top-5 x 1000-char chunks, SURVEY §3.5) is ~1300+
+    # tokens — a 1024 ceiling silently dropped the earliest retrieved
+    # chunk (VERDICT r3 §6). Each extra bucket costs one more compiled
+    # executable per generation preset; lower it for short-prompt
+    # deployments.
+    TPU_LLM_PROMPT_BUCKETS: str = "128,256,512,1024,2048"
     # Prompt-lookup speculative decoding for the coalesced on-TPU decode
     # path: drafts come from n-gram matches against the prompt (RAG
     # answers quote their context), verified K+1-at-a-time in one weight

@@ -51,6 +51,76 @@ SUMMARY_PROMPTS = {
 }
 
 
+def parse_lora_adapters(raw: str) -> "List[tuple]":
+    """``MMRAG_LORA_ADAPTERS`` — comma-separated ``name=/peft/dir``
+    entries → [(name, path)] for S-LoRA stacking. Malformed entries and
+    missing paths raise (same posture as find_lora_paths: silently
+    serving the base under a finetune's name is a correctness lie)."""
+    import os
+
+    pairs: List[tuple] = []
+    for entry in (raw or "").split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        name, sep, path = entry.partition("=")
+        name, path = name.strip(), path.strip()
+        if not sep or not name or not path:
+            raise ValueError(
+                f"MMRAG_LORA_ADAPTERS entry {entry!r} is not name=/path"
+            )
+        if not os.path.exists(path):
+            raise ValueError(
+                f"MMRAG_LORA_ADAPTERS adapter path does not exist: {path}"
+            )
+        pairs.append((name, path))
+    return pairs
+
+
+class LoRAView:
+    """One named S-LoRA adapter served over a SHARED :class:`TPULLMAdapter`
+    — the multi-model registry entry for a finetune that costs no extra
+    weight copy. Generation calls inject ``adapter=<name>`` (routed to
+    the stacked side-path by the decoder); everything else proxies to the
+    base adapter. VERDICT r3 §3: N adapters, one base weight set."""
+
+    def __init__(self, base: "TPULLMAdapter", name: str) -> None:
+        self._base = base
+        self._adapter_name = name
+        self.model_name = name
+
+    def __getattr__(self, item):
+        return getattr(self._base, item)
+
+    async def generate_text(self, *a, **kw):
+        kw.setdefault("adapter", self._adapter_name)
+        return await self._base.generate_text(*a, **kw)
+
+    async def generate_text_with_finish(self, *a, **kw):
+        kw.setdefault("adapter", self._adapter_name)
+        return await self._base.generate_text_with_finish(*a, **kw)
+
+    async def generate_text_with_logprobs(self, *a, **kw):
+        kw.setdefault("adapter", self._adapter_name)
+        return await self._base.generate_text_with_logprobs(*a, **kw)
+
+    def generate_text_stream(self, *a, **kw):
+        kw.setdefault("adapter", self._adapter_name)
+        return self._base.generate_text_stream(*a, **kw)
+
+    async def generate_multimodal(self, *a, **kw):
+        kw.setdefault("adapter", self._adapter_name)
+        return await self._base.generate_multimodal(*a, **kw)
+
+    async def summarize(self, *a, **kw):
+        kw.setdefault("adapter", self._adapter_name)
+        return await self._base.summarize(*a, **kw)
+
+    async def summarize_batch(self, *a, **kw):
+        kw.setdefault("adapter", self._adapter_name)
+        return await self._base.summarize_batch(*a, **kw)
+
+
 class TPULLMAdapter(BaseLLMAdapter):
     """Serves ``generate_text``/``summarize`` from an on-device decoder."""
 
@@ -61,7 +131,8 @@ class TPULLMAdapter(BaseLLMAdapter):
     def __init__(self, model_name: str = None, decoder=None,
                  continuous: Optional[bool] = None,
                  checkpoint_path: Optional[str] = None,
-                 lora_paths: Optional[List[str]] = None, **kwargs):
+                 lora_paths: Optional[List[str]] = None,
+                 lora_stack: "Optional[List[tuple]]" = None, **kwargs):
         super().__init__(model_name or "tpu-local", **kwargs)
         self.backend = "tpu"
         self._decoder = decoder  # tests inject a tiny TextDecoder
@@ -70,6 +141,12 @@ class TPULLMAdapter(BaseLLMAdapter):
         # default; weights load lazily on first use.
         self._checkpoint_path = checkpoint_path
         self._lora_paths = lora_paths
+        # S-LoRA multi-adapter serving: (name, path) pairs stacked as
+        # runtime side-paths over ONE base copy (lora.stack_lora_adapters);
+        # requests route by name via the ``adapter`` kwarg / the OpenAI
+        # ``model`` param (server.api builds a LoRAView per name). None ⇒
+        # parse MMRAG_LORA_ADAPTERS at initialize.
+        self._lora_stack = lora_stack
         self._queue: Optional[asyncio.Queue] = None
         # Requests deferred by _drain for a different generation preset:
         # considered BEFORE fresh queue arrivals next round, so a
@@ -139,6 +216,11 @@ class TPULLMAdapter(BaseLLMAdapter):
             from multimodal_rag_tpu.config import settings
             from multimodal_rag_tpu.models.decoder import TextDecoder
 
+            lora_stack = self._lora_stack
+            if lora_stack is None:
+                lora_stack = parse_lora_adapters(
+                    settings.MMRAG_LORA_ADAPTERS
+                )
             self._decoder = await asyncio.to_thread(
                 TextDecoder,
                 checkpoint_path=(
@@ -147,6 +229,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                 ),
                 quantize=settings.TPU_LLM_QUANTIZE,
                 lora_paths=self._lora_paths,
+                lora_stack=lora_stack or None,
             )
         if self._continuous is None:
             from multimodal_rag_tpu.config import settings
@@ -257,6 +340,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             row_pres = [req[4][0] for req in batch for _ in req[0]]
             row_freq = [req[4][1] for req in batch for _ in req[0]]
             row_bias = [req[4][2] for req in batch for _ in req[0]]
+            row_adapters = [req[4][3] for req in batch for _ in req[0]]
             seed = self._seed
             self._seed += 1
             try:
@@ -279,6 +363,9 @@ class TPULLMAdapter(BaseLLMAdapter):
                         logprobs=want_lp,
                         bias_per_row=(
                             row_bias if any(row_bias) else None
+                        ),
+                        adapter_per_row=(
+                            row_adapters if any(row_adapters) else None
                         ),
                     )
                 )
@@ -337,6 +424,11 @@ class TPULLMAdapter(BaseLLMAdapter):
         if not self.is_initialized:
             await self.initialize()
         grammar = kw.pop("grammar", None)
+        # S-LoRA routing: named adapter → stack slot (0 = base). Unknown
+        # names raise (KeyError) — the API layer validates names against
+        # the registry before calls reach here.
+        adapter = kw.pop("adapter", None)
+        aid = self._decoder.adapter_index(adapter) if adapter else 0
         masker = self._compile_grammar(grammar) if grammar else None
         if self._server is None and masker is not None:
             results = []
@@ -358,6 +450,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                         ),
                         logprobs=logprobs,
                         logit_bias=kw.get("logit_bias"),
+                        adapter_id=aid,
                     )
                 ))
             self._batches_run += len(results)
@@ -384,6 +477,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                         logprobs=logprobs,
                         grammar=masker,
                         logit_bias=kw.get("logit_bias"),
+                        adapter_id=aid,
                     )
                     for p in prompts
                 )
@@ -419,10 +513,11 @@ class TPULLMAdapter(BaseLLMAdapter):
             bool(logprobs),
         )
         fut = asyncio.get_running_loop().create_future()
-        # The raw budget (and per-request seed/penalties) ride alongside
-        # the bucketed key: batching is by bucket, but each row is
-        # truncated to its client budget, sampled from its own seed
-        # stream, and biased by its own penalties.
+        # The raw budget (and per-request seed/penalties/adapter) ride
+        # alongside the bucketed key: batching is by bucket, but each row
+        # is truncated to its client budget, sampled from its own seed
+        # stream, biased by its own penalties, and routed to its own
+        # S-LoRA adapter slot.
         await self._queue.put(
             (
                 list(prompts), key, int(max_tokens), kw.get("seed"),
@@ -430,6 +525,7 @@ class TPULLMAdapter(BaseLLMAdapter):
                     float(kw.get("presence_penalty", 0.0)),
                     float(kw.get("frequency_penalty", 0.0)),
                     kw.get("logit_bias"),
+                    aid,
                 ),
                 fut,
             )
@@ -537,6 +633,7 @@ class TPULLMAdapter(BaseLLMAdapter):
             # withholding the final delta, which is an acceptable delta.
             started = False
             gram = kwargs.get("grammar")
+            adapter = kwargs.pop("adapter", None)
             async for delta, fin in self._server.submit_stream(
                 full, max_new_tokens=max_tokens, temperature=temperature,
                 top_p=float(kwargs.get("top_p", 1.0)),
@@ -549,6 +646,9 @@ class TPULLMAdapter(BaseLLMAdapter):
                 ),
                 grammar=self._compile_grammar(gram) if gram else None,
                 logit_bias=kwargs.get("logit_bias"),
+                adapter_id=(
+                    self._decoder.adapter_index(adapter) if adapter else 0
+                ),
             ):
                 if not started and delta:
                     delta = delta.lstrip()

@@ -1148,6 +1148,34 @@ def quantize_decoder_params(params: Dict) -> Dict:
     return out
 
 
+def has_adapter_stack(params: Dict) -> bool:
+    """Whether ``params`` carry S-LoRA stacked adapters
+    (lora.stack_lora_adapters leaves)."""
+    return any(k.startswith("slora_A_") for k in params.get("layers", {}))
+
+
+def with_adapter_rows(params: Dict, ids) -> Dict:
+    """Per-dispatch S-LoRA routing: return a shallow params copy whose
+    ``layers`` carry the per-row adapter ids as a scanned (L, B) leaf
+    (every layer slice sees the same (B,) ids). ``ids`` is a host/device
+    (B,) int32 vector — id 0 is the base model. Identity when the params
+    hold no stack. The copy is O(L·B) int32 per dispatch — nothing — and
+    the pytree STRUCTURE is stable across dispatches, so jitted steps
+    keep one executable."""
+    if not has_adapter_stack(params):
+        return params
+    lay = params["layers"]
+    L = next(
+        v.shape[0] for k, v in lay.items() if k.startswith("slora_A_")
+    )
+    ids = jnp.asarray(ids, jnp.int32)
+    lay = dict(lay)
+    lay["slora_ids"] = jnp.broadcast_to(ids[None], (L, ids.shape[0]))
+    out = dict(params)
+    out["layers"] = lay
+    return out
+
+
 def _qmatmul(x: jax.Array, lp: Dict, name: str, cd) -> jax.Array:
     """(..., in) @ layer weight ``name`` → (..., out) in compute dtype.
     Dispatches on quantization: int8 weights take the int8 MXU path with
@@ -1188,6 +1216,40 @@ def _qmatmul(x: jax.Array, lp: Dict, name: str, cd) -> jax.Array:
             dimension_numbers=dn(ya.ndim),
             preferred_element_type=jnp.float32,
         ).astype(cd)
+    # S-LoRA multi-adapter serving (lora.stack_lora_adapters): per-ROW
+    # low-rank pairs gathered by the request's adapter id — N finetunes
+    # serve concurrently from one base weight copy. ``slora_ids`` is the
+    # (B,) per-row id leaf injected per dispatch by
+    # :func:`with_adapter_rows`; absent ids ⇒ base behavior with zero
+    # overhead (and an unchanged executable). The side-path runs f32:
+    # adapter bytes are O(B·r·(in+out)) per matmul — noise next to the
+    # weight stream — and slot 0 is all-zero, so base rows in a mixed
+    # batch are exact.
+    sa = lp.get("slora_A_" + name)
+    ids = lp.get("slora_ids")
+    if sa is not None and ids is not None:
+        Am = sa[ids]                          # (B, in, r) f32
+        Bm = lp["slora_B_" + name][ids]       # (B, r, out) f32
+        x32 = x.astype(jnp.float32)
+        if x.ndim == 2:  # (B, in)
+            ya = jnp.einsum(
+                "bi,bir->br", x32, Am,
+                preferred_element_type=jnp.float32,
+            )
+            yb = jnp.einsum(
+                "br,bro->bo", ya, Bm,
+                preferred_element_type=jnp.float32,
+            )
+        else:  # (B, T, in)
+            ya = jnp.einsum(
+                "bti,bir->btr", x32, Am,
+                preferred_element_type=jnp.float32,
+            )
+            yb = jnp.einsum(
+                "btr,bro->bto", ya, Bm,
+                preferred_element_type=jnp.float32,
+            )
+        y = y + yb.astype(cd)
     return y
 
 
@@ -2333,6 +2395,7 @@ class TextDecoder:
         speculative: Optional[bool] = None,
         spec_k: Optional[int] = None,
         lora_paths: Optional[Sequence[str]] = None,
+        lora_stack: Optional[Sequence[Tuple[str, str]]] = None,
     ) -> None:
         from multimodal_rag_tpu.models.tokenizer import (
             ByteTokenizer,
@@ -2366,7 +2429,7 @@ class TextDecoder:
             raw = settings.TPU_LLM_PROMPT_BUCKETS
             prompt_buckets = tuple(
                 sorted(int(x) for x in str(raw).split(",") if x.strip())
-            ) or (128, 256, 512, 1024)
+            ) or (128, 256, 512, 1024, 2048)
         self.pretrained = False
         if params is None:
             checkpoint_path = checkpoint_path or find_local_lm_checkpoint()
@@ -2447,6 +2510,28 @@ class TextDecoder:
             k.endswith("_q") for k in params["layers"]
         ):
             params = quantize_decoder_params(params)
+        # S-LoRA multi-adapter stack (``lora_stack``: (name, path) pairs):
+        # N finetunes served concurrently from this ONE base weight set,
+        # routed per request by adapter index (0 = base). Stacks AFTER
+        # quantize — the int8 base streams as-is; the f32 side-path adds
+        # on top (lora.stack_lora_adapters).
+        self.adapter_names: Tuple[str, ...] = ()
+        if lora_stack:
+            from multimodal_rag_tpu.models.lora import stack_lora_adapters
+
+            names = [n for n, _p in lora_stack]
+            if len(set(names)) != len(names):
+                raise ValueError(
+                    f"duplicate adapter names in lora_stack: {names}"
+                )
+            params = stack_lora_adapters(
+                params, cfg, [p for _n, p in lora_stack]
+            )
+            self.adapter_names = tuple(names)
+            logger.info(
+                "Serving %d stacked LoRA adapter(s) from one base copy: "
+                "%s", len(names), ", ".join(names),
+            )
         params, self.cache_sharding = self._maybe_shard_tp(params, cfg)
         self.params = params
         self.prompt_buckets = tuple(prompt_buckets)
@@ -2549,6 +2634,21 @@ class TextDecoder:
 
         return template_accepts_tools(self.chat_template)
 
+    def adapter_index(self, name) -> int:
+        """S-LoRA adapter name → stack slot (1-based; slot 0 is the base
+        model, selected by None/""/"base"). Raises ``KeyError`` on an
+        unknown name — silently serving the base under a finetune's name
+        would be a correctness lie (models/lora.py posture)."""
+        if name in (None, "", "base"):
+            return 0
+        try:
+            return self.adapter_names.index(name) + 1
+        except ValueError:
+            raise KeyError(
+                f"unknown LoRA adapter {name!r}; stacked: "
+                f"{list(self.adapter_names)}"
+            ) from None
+
     def prepare(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Encode + LEFT-pad into the smallest (batch, prompt) bucket.
         ``len(prompts)`` must not exceed the largest batch bucket
@@ -2598,6 +2698,7 @@ class TextDecoder:
         frequency_per_row: Optional[Sequence[float]] = None,
         logprobs: bool = False,
         bias_per_row: Optional[Sequence[Optional[Dict]]] = None,
+        adapter_per_row: Optional[Sequence[int]] = None,
     ) -> "list[str] | tuple[list[str], list[str]]":
         """Generate one completion per prompt.
 
@@ -2675,6 +2776,10 @@ class TextDecoder:
                         list(bias_per_row[start:start + max_bb])
                         if bias_per_row is not None else None
                     ),
+                    adapter_per_row=(
+                        list(adapter_per_row[start:start + max_bb])
+                        if adapter_per_row is not None else None
+                    ),
                 )
                 out.extend(res[0])
                 fins.extend(res[1])
@@ -2728,6 +2833,16 @@ class TextDecoder:
                     if 0 <= int(tid) < self.cfg.vocab_size:
                         bias_np[i, int(tid)] = float(val)
             bias_v = jnp.asarray(bias_np)
+        # S-LoRA routing: per-row adapter slots (pad rows = 0 = base).
+        # No active adapter ⇒ params pass through untouched, keeping the
+        # slora-free executables.
+        gen_params = self.params
+        if adapter_per_row is not None and any(adapter_per_row):
+            row_ids = np.zeros((B,), np.int32)
+            for i in range(len(prompts)):
+                if i < len(adapter_per_row) and adapter_per_row[i]:
+                    row_ids[i] = int(adapter_per_row[i])
+            gen_params = with_adapter_rows(self.params, row_ids)
         if self.spec_enabled and pres_v is None and not logprobs \
                 and bias_v is None:
             from multimodal_rag_tpu.models.spec_decode import (
@@ -2735,7 +2850,7 @@ class TextDecoder:
             )
 
             toks, lengths, iters = generate_tokens_spec(
-                self.params,
+                gen_params,
                 jnp.asarray(ids),
                 jnp.asarray(mask),
                 jnp.stack(row_keys),
@@ -2753,7 +2868,7 @@ class TextDecoder:
             )
         else:
             res = generate_tokens(
-                self.params,
+                gen_params,
                 jnp.asarray(ids),
                 jnp.asarray(mask),
                 jnp.stack(row_keys),
@@ -2823,6 +2938,7 @@ class TextDecoder:
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
         logit_bias: Optional[Dict] = None,
+        adapter_id: int = 0,
     ) -> "tuple[str, str, Optional[list]]":
         """Grammar-constrained generation for the COALESCED (non-server)
         path: a host-driven loop — prefill, then one
@@ -2839,8 +2955,16 @@ class TextDecoder:
         B, P = mask.shape
         max_new = bucket_for(max_new_tokens, GEN_BUCKETS)
         S_max = P + max_new
+        # S-LoRA routing (stack_lora_adapters): constrained rows run B=1,
+        # so the id vector is a single slot.
+        gen_params = (
+            with_adapter_rows(
+                self.params, np.full((B,), int(adapter_id), np.int32)
+            )
+            if adapter_id else self.params
+        )
         logits, cache = prefill(
-            self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg,
+            gen_params, jnp.asarray(ids), jnp.asarray(mask), self.cfg,
             S_max,
         )
         key_mask = np.zeros((B, S_max), np.int32)
@@ -2896,7 +3020,7 @@ class TextDecoder:
             pos = P + t
             key_mask[:, pos] = 1
             logits, cache = _decode_step_jit(
-                self.params, cache,
+                gen_params, cache,
                 jnp.full((B,), tok, jnp.int32), jnp.int32(pos),
                 jnp.asarray(key_mask), jnp.asarray(sem_pos), self.cfg,
             )

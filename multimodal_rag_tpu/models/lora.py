@@ -32,7 +32,12 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["load_lora_adapter", "merge_lora", "find_lora_paths"]
+__all__ = [
+    "load_lora_adapter",
+    "merge_lora",
+    "find_lora_paths",
+    "stack_lora_adapters",
+]
 
 #: PEFT target-module name -> (our stacked leaf, fused-split role).
 #: Plain targets map 1:1; fused targets (Phi-3 qkv_proj / gate_up_proj)
@@ -209,6 +214,144 @@ def merge_lora(params: Dict, cfg, path: str) -> Dict:
     logger.info(
         "Merged LoRA adapter %s: %d module-layer deltas (scale %.3f)",
         path, applied, scale,
+    )
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def stack_lora_adapters(params: Dict, cfg, paths) -> Dict:
+    """S-LoRA-style multi-adapter serving: attach N PEFT adapters as
+    STACKED runtime side-paths instead of merging them.
+
+    Where :func:`merge_lora` bakes ONE finetune into the base weights
+    (every named finetune then costs a full weight copy), this keeps a
+    single base copy and adds, per targeted weight ``name``, two scanned
+    leaves ``slora_A_<name>`` (L, N+1, in, r_max) / ``slora_B_<name>``
+    (L, N+1, r_max, out) — slot 0 is the all-zero BASE "adapter", slot j
+    is adapter ``paths[j-1]`` (PEFT scale folded into B, ranks zero-
+    padded to r_max; zero padding is exact since the delta is x@A@B).
+    ``decoder._qmatmul`` gathers each batch row's pair by the per-row
+    adapter id (the ``slora_ids`` leaf injected per dispatch by
+    :func:`decoder.with_adapter_rows`), so N finetunes serve
+    CONCURRENTLY from one base weight set — HBM grows by the adapters
+    only, and the stack composes with int8 base weights (the side-path
+    stays f32) and the continuous-batching server.
+
+    Runtime cost: per targeted matmul, a (B, in, r)+(B, r, out) gather +
+    two skinny f32 matmuls — O(B·r·(in+out)) extra HBM bytes per step,
+    a few percent of the weight stream at r<=32. The reference has no
+    counterpart (finetunes there are whole separate Ollama models,
+    ``/root/reference/config.py:24-28``).
+    """
+    import jax.numpy as jnp
+
+    if getattr(cfg, "kv_lora_rank", 0):
+        raise ValueError(
+            "adapter stacking for MLA-family (DeepSeek) checkpoints is "
+            "not supported (projections are absorbed at load)"
+        )
+    if not paths:
+        return params
+    layers = dict(params["layers"])
+    if any(k.startswith("slora_") for k in layers):
+        raise ValueError("params already carry an adapter stack")
+
+    def leaf_dims(name):
+        w = layers.get(name)
+        if w is None:
+            w = layers.get(name + "_q")
+        if w is None or w.ndim == 4:
+            # 4-D = per-expert MoE stacks: the expert einsum path does
+            # not consult slora leaves, so stacking there would silently
+            # no-op — skip loudly instead (same posture as merge_lora).
+            return None
+        return int(w.shape[0]), int(w.shape[-2]), int(w.shape[-1])
+
+    loaded = [load_lora_adapter(p) for p in paths]
+    n_ad = len(loaded)
+    r_max = max(
+        slot["A"].shape[0]
+        for _s, modules in loaded
+        for slot in modules.values()
+    )
+
+    # Union of targeted leaves across adapters (missing targets stay
+    # all-zero for that adapter — an exact no-op).
+    targets: Dict[str, tuple] = {}
+    skipped = []
+    for _scale, modules in loaded:
+        for (_layer, module) in modules:
+            names = (
+                [_PLAIN_TARGETS[module]]
+                if module in _PLAIN_TARGETS
+                else [t[0] for t in (_fused_splits(cfg, module) or [])]
+            )
+            if not names:
+                skipped.append(f"{module} (unsupported target)")
+                continue
+            for name in names:
+                dims = leaf_dims(name)
+                if dims is None:
+                    skipped.append(f"{module} -> {name} (leaf absent)")
+                    continue
+                targets[name] = dims
+    if not targets:
+        raise ValueError(
+            "no adapter matched any weight in this checkpoint: "
+            + "; ".join(sorted(set(skipped))[:8])
+        )
+
+    A_host = {
+        name: np.zeros((L, n_ad + 1, d_in, r_max), np.float32)
+        for name, (L, d_in, _d_out) in targets.items()
+    }
+    B_host = {
+        name: np.zeros((L, n_ad + 1, r_max, d_out), np.float32)
+        for name, (L, _d_in, d_out) in targets.items()
+    }
+    applied = 0
+    for j, (scale, modules) in enumerate(loaded, start=1):
+        for (layer, module), slot in sorted(modules.items()):
+            A, B = slot["A"], slot["B"]  # (r, in), (out, r)
+            r = A.shape[0]
+            if module in _PLAIN_TARGETS:
+                parts = [(_PLAIN_TARGETS[module], B)]
+            else:
+                splits = _fused_splits(cfg, module)
+                parts = (
+                    [(name, B[lo:hi]) for name, lo, hi in splits]
+                    if splits else []
+                )
+            for name, Bpart in parts:
+                if name not in targets:
+                    continue
+                L, d_in, d_out = targets[name]
+                if layer >= L:
+                    skipped.append(f"layer {layer} out of range")
+                    continue
+                if A.shape[1] != d_in or Bpart.shape[0] != d_out:
+                    raise ValueError(
+                        f"adapter {paths[j - 1]} layer {layer} {module}: "
+                        f"shapes A{A.shape} B{Bpart.shape} do not match "
+                        f"weight ({d_in}, {d_out})"
+                    )
+                A_host[name][layer, j, :, :r] = A.T
+                B_host[name][layer, j, :r, :] = scale * Bpart.T
+                applied += 1
+    if skipped:
+        logger.warning(
+            "adapter stack skipped %d target(s): %s",
+            len(skipped), "; ".join(sorted(set(skipped))[:8]),
+        )
+    if applied == 0:
+        raise ValueError("adapters matched no weights in this checkpoint")
+    for name in targets:
+        layers["slora_A_" + name] = jnp.asarray(A_host[name])
+        layers["slora_B_" + name] = jnp.asarray(B_host[name])
+    logger.info(
+        "Stacked %d LoRA adapter(s): %d module-layer pairs over %s "
+        "(r_max %d)", n_ad, applied, sorted(targets), r_max,
     )
     out = dict(params)
     out["layers"] = layers

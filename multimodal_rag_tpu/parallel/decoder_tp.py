@@ -169,6 +169,24 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
             ),
         },
     }
+    # S-LoRA stacked adapters (lora.stack_lora_adapters): (L, N+1, in, r)
+    # A / (L, N+1, r, out) B side-path pairs follow their base matmul's
+    # split — col-split bases shard B's out dim, row-split bases shard
+    # A's in dim (the skinny x@A contraction then psums with wo/w_down's
+    # existing reduction under GSPMD); the rank dim never shards.
+    kv_col = cfg.num_kv_heads % tp == 0
+    col4 = P(None, None, None, MODEL_AXIS)
+    row4 = P(None, None, MODEL_AXIS, None)
+    specs["layers"].update({
+        "slora_ids": P(None, None),  # (L, B) per-dispatch routing ids
+        "slora_A_wq": P(), "slora_B_wq": col4,
+        "slora_A_wk": P(), "slora_B_wk": col4 if kv_col else P(),
+        "slora_A_wv": P(), "slora_B_wv": col4 if kv_col else P(),
+        "slora_A_wo": row4, "slora_B_wo": P(),
+        "slora_A_w_gate": P(), "slora_B_w_gate": col4,
+        "slora_A_w_up": P(), "slora_B_w_up": col4,
+        "slora_A_w_down": row4, "slora_B_w_down": P(),
+    })
     return specs
 
 

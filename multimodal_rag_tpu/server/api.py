@@ -158,6 +158,28 @@ class Components:
                     model_name=name, checkpoint_path=ckpt,
                     lora_paths=loras,
                 )
+        if settings.USE_TPU_LLM and settings.MMRAG_LORA_ADAPTERS:
+            # S-LoRA: named finetunes served from the DEFAULT adapter's
+            # one weight copy (stacked low-rank side-paths), routed by
+            # the OpenAI ``model`` param like any registry entry. The
+            # default adapter builds its stack from the same setting at
+            # initialize (tpu_llm.parse_lora_adapters).
+            from multimodal_rag_tpu.models.adapters.tpu_llm import (
+                LoRAView,
+                parse_lora_adapters,
+            )
+
+            for name, _path in parse_lora_adapters(
+                settings.MMRAG_LORA_ADAPTERS
+            ):
+                if name in llm_models:
+                    logger.error(
+                        "MMRAG_LORA_ADAPTERS name %r collides with an "
+                        "MMRAG_LLM_MODELS entry; the full-checkpoint "
+                        "entry wins", name,
+                    )
+                    continue
+                llm_models[name] = LoRAView(llm, name)
         return cls(
             parser=DocumentParser(llm_adapter=llm, mllm_adapter=mllm),
             llm_adapter=llm,

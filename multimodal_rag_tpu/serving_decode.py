@@ -57,8 +57,10 @@ from multimodal_rag_tpu.models.decoder import (
     DecoderConfig,
     _decode_verify_impl,
     decode_step_rows,
+    has_adapter_stack,
     init_cache,
     prefill,
+    with_adapter_rows,
 )
 
 logger = logging.getLogger(__name__)
@@ -189,7 +191,40 @@ def _sample_rows(logits, keys, temps, top_k: int, top_ps=None,
 
 @partial(
     jax.jit, static_argnames=("cfg", "top_k", "want_lp"),
-    donate_argnames=("cache", "counts"),
+    donate_argnames=("cache", "counts", "keys"),
+)
+def _fused_decode_step(
+    params, cache, cur, pos, key_mask, sem_pos, keys, temps, top_ps,
+    counts, pres, freq, emit, cfg: DecoderConfig, top_k: int,
+    want_lp: bool = False, allowed_bits=None, bias=None,
+):
+    """decode_step_rows + per-row key split + counted sampling fused into
+    ONE dispatch. A host-driven decode loop pays per-dispatch overhead on
+    every hop (sub-ms locally; a full RTT on a relay-tunneled dev chip),
+    so the plain decode path is one executable per token, like the
+    chunked and speculative paths. Returns
+    (nxt, cache, keys, counts[, lp, tv, ti]) — ``keys`` advanced one
+    split per row."""
+    from multimodal_rag_tpu.models.decoder import _split_rows
+
+    keys, sub = _split_rows(keys)
+    logits, cache = decode_step_rows(
+        params, cache, cur, pos, key_mask, sem_pos, cfg
+    )
+    res = _sample_rows_counted(
+        logits, sub, temps, top_k, top_ps, counts, pres, freq, emit,
+        want_lp=want_lp, allowed_bits=allowed_bits, bias=bias,
+    )
+    if want_lp:
+        nxt, counts, lp, tv, ti = res
+        return nxt, cache, keys, counts, lp, tv, ti
+    nxt, counts = res
+    return nxt, cache, keys, counts
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "top_k", "want_lp"),
+    donate_argnames=("cache", "counts", "keys"),
 )
 def _fused_chunk_step(
     params, cache, tokens, pos0, key_mask, positions0, gather, keys,
@@ -207,7 +242,12 @@ def _fused_chunk_step(
     garbage k/v at slots ``[pos0 + real, pos0 + C)``; the caller never
     marks those attendable and later writes overwrite them (the cache
     carries a C-slot scratch tail so the scatter never clamps onto a
-    live slot)."""
+    live slot). ``keys`` are the full per-row key streams, split
+    in-dispatch (one executable per pass — no separate split hop); the
+    advanced keys come back in the result."""
+    from multimodal_rag_tpu.models.decoder import _split_rows
+
+    keys, sub = _split_rows(keys)
     logits, cache = _decode_verify_impl(
         params, cache, tokens, pos0, key_mask, positions0, cfg
     )
@@ -226,21 +266,21 @@ def _fused_chunk_step(
         biased = jnp.where(
             _unpack_mask(allowed_bits, biased.shape[-1]), biased, -1e9
         )
-    nxt = _sample_rows(biased, keys, temps, top_k, top_ps)
+    nxt = _sample_rows(biased, sub, temps, top_k, top_ps)
     counts = counts.at[jnp.arange(nxt.shape[0]), nxt].add(emit)
     if want_lp:
         lp, tv, ti = _lp_top(biased, nxt)
-        return nxt, cache, counts, lp, tv, ti
-    return nxt, cache, counts
+        return nxt, cache, keys, counts, lp, tv, ti
+    return nxt, cache, keys, counts
 
 
 @partial(
     jax.jit, static_argnames=("cfg", "top_k", "spec_k", "want_lp"),
-    donate_argnames=("cache", "counts"),
+    donate_argnames=("cache", "counts", "keys"),
 )
 def _spec_step_rows(
     params, cache, seq, cur, prev, pos, key_mask, sem_pos,
-    k_acc, k_rep, temps, top_ps, counts, pres, freq,
+    keys, temps, top_ps, counts, pres, freq,
     cfg: DecoderConfig, top_k: int, spec_k: int,
     lp_rows=None, want_lp: bool = False,
     allowed_bits=None, grammar_rows=None, bias=None,
@@ -252,11 +292,17 @@ def _spec_step_rows(
     tokens per row per dispatch. Greedy rows are bit-equal to the plain
     sequential step; sampled rows are distribution-identical (rejection
     sampling). Host dispatches drop by the acceptance factor — the
-    relay/tunnel-latency lever for continuous batching."""
+    relay/tunnel-latency lever for continuous batching. ``keys`` are the
+    full per-row key streams, split twice in-dispatch (accept + repair);
+    the advanced keys come back in the result."""
+    from multimodal_rag_tpu.models.decoder import _split_rows
     from multimodal_rag_tpu.models.spec_decode import (
         _propose_ngram,
         _speculative_accept_rows,
     )
+
+    keys, k_acc = _split_rows(keys)
+    keys, k_rep = _split_rows(keys)
 
     match_valid = key_mask | (
         jnp.arange(key_mask.shape[1])[None, :] == pos[:, None]
@@ -304,8 +350,8 @@ def _spec_step_rows(
         )
     if want_lp:
         lp, tv, ti = _lp_top(logits[:, 0], emit[:, 0])
-        return emit, n_emit, cache, counts, lp, tv, ti
-    return emit, n_emit, cache, counts
+        return emit, n_emit, cache, keys, counts, lp, tv, ti
+    return emit, n_emit, cache, keys, counts
 
 
 @partial(jax.jit, donate_argnames=("pool",))
@@ -381,6 +427,9 @@ class _Request:
     # OpenAI logit_bias: sparse id->bias map; densified into the
     # device-resident per-slot bias array at admission.
     logit_bias: Optional[Dict] = None
+    # S-LoRA routing: the stacked-adapter slot this request decodes with
+    # (0 = base; lora.stack_lora_adapters / decoder.with_adapter_rows).
+    adapter_id: int = 0
 
 
 class DecodeServer:
@@ -460,8 +509,8 @@ class DecodeServer:
                 self.prefix_pool = jax.device_put(
                     self.prefix_pool, cache_sharding
                 )
-            # Per entry: (token tuple, stored_len) or None; parallel
-            # last-use tick for LRU eviction.
+            # Per entry: (token tuple, stored_len, adapter_id) or None;
+            # parallel last-use tick for LRU eviction.
             self.prefix_meta: List[Optional[tuple]] = (
                 [None] * self.prefix_entries
             )
@@ -492,6 +541,13 @@ class DecodeServer:
         self.pres = np.zeros((slots,), np.float32)
         self.freqs = np.zeros((slots,), np.float32)
         self.counts = jnp.zeros((slots, self.cfg.vocab_size), jnp.int32)
+        # S-LoRA: per-slot stacked-adapter ids (0 = base). When the
+        # decoder params carry a stack AND any live row routes a
+        # non-base adapter, dispatches inject the ids as a params leaf
+        # (decoder.with_adapter_rows); all-base batches keep the
+        # stack-free executables.
+        self.adapter_rows = np.zeros((slots,), np.int32)
+        self._has_stack = has_adapter_stack(decoder.params)
         # OpenAI logprobs: rows that asked for them. Any active lp row
         # flips the step dispatch to the want_lp executable (compiled
         # once); lp rows take single-token emission in spec mode.
@@ -515,6 +571,17 @@ class DecodeServer:
         self._task: Optional[asyncio.Task] = None
         self.steps_run = 0
         self.requests_done = 0
+
+    def _params(self, rows=None):
+        """Decoder params for this dispatch: S-LoRA ids injected when any
+        routed row is live (``rows`` overrides the slot table — the
+        classic admission path prefills a single row)."""
+        ids = self.adapter_rows if rows is None else np.asarray(
+            rows, np.int32
+        )
+        if not self._has_stack or not ids.any():
+            return self.dec.params
+        return with_adapter_rows(self.dec.params, ids)
 
     # -- public API -------------------------------------------------------
 
@@ -548,6 +615,7 @@ class DecodeServer:
         logprobs: bool = False,
         grammar=None,
         logit_bias: Optional[Dict] = None,
+        adapter_id: int = 0,
     ) -> "str | tuple":
         """Generate text for ``prompt``; resolves when the row finishes.
         With ``return_finish=True`` returns ``(text, finish_reason)`` —
@@ -580,6 +648,7 @@ class DecodeServer:
             logprobs=bool(logprobs),
             masker=grammar,
             logit_bias=logit_bias,
+            adapter_id=int(adapter_id),
         )
         await self.pending.put(req)
         text, finish, lps = await fut
@@ -598,6 +667,7 @@ class DecodeServer:
         frequency_penalty: float = 0.0,
         grammar=None,
         logit_bias: Optional[Dict] = None,
+        adapter_id: int = 0,
     ):
         """Per-token streaming variant of :meth:`submit`: an async
         generator of ``(text_delta, finish)`` pairs. ``finish`` is None
@@ -618,6 +688,7 @@ class DecodeServer:
             frequency_penalty=float(frequency_penalty),
             masker=grammar,
             logit_bias=logit_bias,
+            adapter_id=int(adapter_id),
         )
         await self.pending.put(req)
         try:
@@ -697,7 +768,8 @@ class DecodeServer:
         row_ids[0, P - len(ids):] = ids
         row_mask[0, P - len(ids):] = 1
         logits, row_cache = prefill(
-            self.dec.params, jnp.asarray(row_ids), jnp.asarray(row_mask),
+            self._params(rows=[req.adapter_id]),
+            jnp.asarray(row_ids), jnp.asarray(row_mask),
             self.cfg, self.max_seq,
         )
         self.pool = _insert_row(self.pool, row_cache, jnp.int32(slot))
@@ -736,6 +808,7 @@ class DecodeServer:
         self.pres[slot] = req.presence_penalty
         self.freqs[slot] = req.frequency_penalty
         self.want_lp[slot] = req.logprobs
+        self.adapter_rows[slot] = req.adapter_id
         self._admit_bias(slot, req)
         if req.logprobs and first != self.eos_id:
             from multimodal_rag_tpu.models.decoder import _lp_top
@@ -797,6 +870,7 @@ class DecodeServer:
         self.pres[slot] = req.presence_penalty
         self.freqs[slot] = req.frequency_penalty
         self.want_lp[slot] = req.logprobs
+        self.adapter_rows[slot] = req.adapter_id
         if req.masker is not None:
             req.gstate = req.masker.start
             self.g_masks[slot] = req.masker.mask_bool(req.gstate)
@@ -810,7 +884,9 @@ class DecodeServer:
         )
         self.keys = self.keys.at[slot].set(row_key)
         if self.prefix_entries > 0:
-            entry, match = self._match_prefix(req.prompt_ids)
+            entry, match = self._match_prefix(
+                req.prompt_ids, req.adapter_id
+            )
             if entry >= 0:
                 self.pool = _load_prefix(
                     self.pool, self.prefix_pool,
@@ -824,18 +900,22 @@ class DecodeServer:
                 self.prefix_tokens_reused += match
         return []
 
-    def _match_prefix(self, ids: List[int]) -> tuple:
+    def _match_prefix(self, ids: List[int], adapter_id: int = 0) -> tuple:
         """Longest cached chunk-aligned prefix of ``ids`` that still
         leaves at least one token to run (the final prompt token must be
-        processed to produce first-token logits). Returns (entry, length)
-        or (-1, 0)."""
+        processed to produce first-token logits). Entries are keyed by
+        the adapter that computed them: S-LoRA rows change the k/v
+        projections, so a prefix prefilled under one adapter is WRONG
+        for another. Returns (entry, length) or (-1, 0)."""
         C = self.chunk
         limit = ((len(ids) - 1) // C) * C
         best, best_len = -1, 0
         for e, meta in enumerate(self.prefix_meta):
             if meta is None:
                 continue
-            toks, stored = meta
+            toks, stored, owner = meta
+            if owner != adapter_id:
+                continue
             usable = min(stored, limit)
             # Longest chunk-aligned common prefix (entries diverge from
             # the prompt wherever the question/suffix starts).
@@ -862,7 +942,8 @@ class DecodeServer:
         key = tuple(ids[:stored])
         for meta in self.prefix_meta:
             if meta is not None and meta[1] >= stored \
-                    and meta[0][:stored] == key:
+                    and meta[0][:stored] == key \
+                    and meta[2] == req.adapter_id:
                 return
         # Evict the least-recently-used entry (empty entries first).
         entry = min(
@@ -876,7 +957,7 @@ class DecodeServer:
         )
         self._prefix_tick += 1
         self._prefix_use[entry] = self._prefix_tick
-        self.prefix_meta[entry] = (key, stored)
+        self.prefix_meta[entry] = (key, stored, req.adapter_id)
 
     def _retire(self, slot: int) -> _Request:
         req = self.requests[slot]
@@ -888,6 +969,7 @@ class DecodeServer:
         self.freqs[slot] = 0.0
         self.want_lp[slot] = False
         self.g_masks[slot] = True
+        self.adapter_rows[slot] = 0
         self._clear_bias(slot)
         self.requests_done += 1
         return req
@@ -1000,32 +1082,30 @@ class DecodeServer:
             return self._step_spec(active)
         for i in active:
             self.key_mask[i, self.pos[i]] = 1
-        from multimodal_rag_tpu.models.decoder import _split_rows
-
-        self.keys, sub = _split_rows(self.keys)
-        logits, self.pool = decode_step_rows(
-            self.dec.params,
+        emitting = np.zeros((self.slots,), np.int32)
+        emitting[active] = 1
+        want = bool(self.want_lp.any())
+        res = _fused_decode_step(
+            self._params(),
             self.pool,
             jnp.asarray(self.cur_tok),
             jnp.asarray(self.pos),
             jnp.asarray(self.key_mask),
             jnp.asarray(self.sem_pos),
-            self.cfg,
-        )
-        emitting = np.zeros((self.slots,), np.int32)
-        emitting[active] = 1
-        want = bool(self.want_lp.any())
-        res = _sample_rows_counted(
-            logits, sub, jnp.asarray(self.temps), self.top_k,
-            jnp.asarray(self.top_ps), self.counts,
-            jnp.asarray(self.pres), jnp.asarray(self.freqs),
-            jnp.asarray(emitting), want_lp=want,
+            self.keys,
+            jnp.asarray(self.temps),
+            jnp.asarray(self.top_ps),
+            self.counts,
+            jnp.asarray(self.pres),
+            jnp.asarray(self.freqs),
+            jnp.asarray(emitting),
+            self.cfg, self.top_k, want_lp=want,
             allowed_bits=self._mask_bits(), bias=self._bias_arg(),
         )
-        nxt, self.counts = res[0], res[1]
+        nxt, self.pool, self.keys, self.counts = res[:4]
         lp = tv = ti = None
         if want:
-            lp, tv, ti = (np.asarray(x) for x in res[2:])
+            lp, tv, ti = (np.asarray(x) for x in res[4:])
         nxt = np.asarray(nxt)
         self.steps_run += 1
         finished: List[_Request] = []
@@ -1058,10 +1138,6 @@ class DecodeServer:
         emits 1..K+1 verified tokens in a single dispatch. Greedy rows
         reproduce the sequential greedy tokens exactly; sampled rows are
         distribution-identical with per-row key streams."""
-        from multimodal_rag_tpu.models.decoder import _split_rows
-
-        self.keys, k_acc = _split_rows(self.keys)
-        self.keys, k_rep = _split_rows(self.keys)
         want = bool(self.want_lp.any())
         bits = self._mask_bits()
         g_rows = None
@@ -1071,10 +1147,10 @@ class DecodeServer:
                 for r in self.requests
             ]))
         res = _spec_step_rows(
-            self.dec.params, self.pool, jnp.asarray(self.seq),
+            self._params(), self.pool, jnp.asarray(self.seq),
             jnp.asarray(self.cur_tok), jnp.asarray(self.prev_tok),
             jnp.asarray(self.pos), jnp.asarray(self.key_mask),
-            jnp.asarray(self.sem_pos), k_acc, k_rep,
+            jnp.asarray(self.sem_pos), self.keys,
             jnp.asarray(self.temps), jnp.asarray(self.top_ps),
             self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
             self.cfg, self.top_k, self.spec_k,
@@ -1082,10 +1158,10 @@ class DecodeServer:
             allowed_bits=bits, grammar_rows=g_rows,
             bias=self._bias_arg(),
         )
-        emit, n_emit, self.pool, self.counts = res[:4]
+        emit, n_emit, self.pool, self.keys, self.counts = res[:5]
         lp = tv = ti = None
         if want:
-            lp, tv, ti = (np.asarray(x) for x in res[4:])
+            lp, tv, ti = (np.asarray(x) for x in res[5:])
         emit, n_emit = np.asarray(emit), np.asarray(n_emit)
         self.steps_run += 1
         self.spec_passes += 1
@@ -1170,23 +1246,20 @@ class DecodeServer:
                 positions0[i] = self.sem_pos[i]
                 decoding.append(i)
                 emitting[i] = 1
-        from multimodal_rag_tpu.models.decoder import _split_rows
-
-        self.keys, sub = _split_rows(self.keys)
         want = bool(self.want_lp.any())
         res = _fused_chunk_step(
-            self.dec.params, self.pool, jnp.asarray(tokens),
+            self._params(), self.pool, jnp.asarray(tokens),
             jnp.asarray(pos0), jnp.asarray(self.key_mask),
-            jnp.asarray(positions0), jnp.asarray(gather), sub,
+            jnp.asarray(positions0), jnp.asarray(gather), self.keys,
             jnp.asarray(self.temps), jnp.asarray(self.top_ps),
             self.counts, jnp.asarray(self.pres), jnp.asarray(self.freqs),
             jnp.asarray(emitting), self.cfg, self.top_k, want_lp=want,
             allowed_bits=self._mask_bits(), bias=self._bias_arg(),
         )
-        nxt, self.pool, self.counts = res[0], res[1], res[2]
+        nxt, self.pool, self.keys, self.counts = res[:4]
         lp = tv = ti = None
         if want:
-            lp, tv, ti = (np.asarray(x) for x in res[3:])
+            lp, tv, ti = (np.asarray(x) for x in res[4:])
 
         def lp_entry(i, tok):
             if self.requests[i] is not None and self.requests[i].logprobs:
@@ -1274,6 +1347,7 @@ class DecodeServer:
         self.freqs[:] = 0.0
         self.want_lp[:] = False
         self.g_masks[:] = True
+        self.adapter_rows[:] = 0
         self.bias = None
         self._bias_slots.clear()
 

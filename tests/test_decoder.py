@@ -404,6 +404,44 @@ class TestTextDecoder:
                           cfg=TINY_BYTE)
         assert dec.prompt_buckets == (16, 32, 64)
 
+    def test_default_ceiling_fits_default_rag_prompt(self):
+        """The DEFAULT bucket ceiling must hold the framework's OWN
+        default /query prompt — top-5 x 1000-char chunks + question
+        (SURVEY §3.5), ~1300 tokens with a ~4-chars/token BPE — so the
+        default config never silently drops the earliest retrieved chunk
+        (VERDICT r3 §6). Uses a 4-chars/token mock tokenizer standing in
+        for real BPE rates."""
+        from multimodal_rag_tpu.config import Settings
+
+        default_buckets = tuple(
+            int(x)
+            for x in Settings.TPU_LLM_PROMPT_BUCKETS.split(",")
+        )
+        assert default_buckets[-1] >= 2048
+
+        class FourCharToken:
+            pad_id, bos_id, eos_id = 0, 1, 2
+            vocab_size = 512
+
+            def encode(self, text):
+                return [3 + (i % 32) for i in range(len(text) // 4 + 1)]
+
+            def decode(self, ids):
+                return "x" * len(ids)
+
+        dec = TextDecoder(
+            params=init_params(jax.random.key(0), TINY_BYTE),
+            cfg=TINY_BYTE, tokenizer=FourCharToken(),
+            prompt_buckets=default_buckets,
+        )
+        context = "\n\n".join("c" * 1000 for _ in range(5))
+        prompt = (
+            f"Context:\n{context}\n\nQuestion: what does it say?\n"
+            "Answer:"
+        )
+        dec.prepare([prompt])
+        assert dec.truncated_prompts == 0
+
 
 TINY_BYTE = DecoderConfig(
     vocab_size=512,
