@@ -303,7 +303,9 @@ def bench_decode(B=8, P=128, quantize=False):
     cfg = DecoderConfig()
     params = init_params(jax.random.key(0), cfg)
     if quantize:
-        params = quantize_decoder_params(params)
+        params = quantize_decoder_params(
+            params, bits=4 if quantize == "int4" else 8
+        )
     MAXNEW = 64
     S = P + MAXNEW
     rng = np.random.default_rng(0)
@@ -475,6 +477,25 @@ def bench_vision():
     return out
 
 
+def make_bench_tokenizer(vocab_size: int):
+    """Tokenizer for serving benches: every vocab id decodes to a visible
+    ASCII char, so streaming deltas track token emission 1:1. (The plain
+    byte fallback drops ids outside the byte range; a random-init model
+    samples mostly out-of-range ids, which makes its stream look empty
+    until the final flush and breaks TTFT/per-token measurement.)"""
+    from multimodal_rag_tpu.models.tokenizer import ByteTokenizer
+
+    class _BenchTokenizer(ByteTokenizer):
+        def __init__(self) -> None:
+            super().__init__()
+            self.vocab_size = vocab_size
+
+        def decode(self, ids):
+            return "".join(chr(97 + (int(i) % 26)) for i in ids)
+
+    return _BenchTokenizer()
+
+
 def bench_serving(
     slots=8,
     n_requests=32,
@@ -518,22 +539,6 @@ def bench_serving(
     )
     from multimodal_rag_tpu.serving_decode import DecodeServer
 
-    from multimodal_rag_tpu.models.tokenizer import ByteTokenizer
-
-    class _BenchTokenizer(ByteTokenizer):
-        """Every vocab id decodes to a visible ASCII char, so streaming
-        deltas track token emission 1:1. (The plain byte fallback drops
-        ids outside the byte range; a random-init model samples mostly
-        out-of-range ids, which makes its stream look empty until the
-        final flush and breaks TTFT/per-token measurement.)"""
-
-        def __init__(self, vocab_size: int) -> None:
-            super().__init__()
-            self.vocab_size = vocab_size
-
-        def decode(self, ids):
-            return "".join(chr(97 + (int(i) % 26)) for i in ids)
-
     if decoder is None:
         cfg = DecoderConfig()
         params = init_params(jax.random.key(0), cfg)
@@ -541,7 +546,7 @@ def bench_serving(
             params = quantize_decoder_params(params)
         decoder = TextDecoder(
             params=params, cfg=cfg,
-            tokenizer=_BenchTokenizer(cfg.vocab_size),
+            tokenizer=make_bench_tokenizer(cfg.vocab_size),
             prompt_buckets=(128, 256, 512, 1024),
         )
     server = DecodeServer(
@@ -709,9 +714,17 @@ def main():
     except Exception:  # noqa: BLE001
         decode_int8_ms = None
     try:
+        decode_int4_ms = round(bench_decode(quantize="int4"), 3)
+    except Exception:  # noqa: BLE001
+        decode_int4_ms = None
+    try:
         serving = bench_serving()
     except Exception:  # noqa: BLE001 — small-memory backends skip
         serving = {}
+    try:
+        vision = bench_vision()
+    except Exception:  # noqa: BLE001 — small-memory backends skip
+        vision = {}
     result = {
         "metric": "embed_chunks_per_sec_per_chip",
         "value": round(embed_cps, 1),
@@ -734,6 +747,8 @@ def main():
             "retrieval_10M_ivf_rows": ivf_n,
             "decode_ms_per_step_0p8B_b8": decode_ms,
             "decode_ms_per_step_0p8B_b8_int8": decode_int8_ms,
+            "decode_ms_per_step_0p8B_b8_int4": decode_int4_ms,
+            **vision,
             **serving,
             "bench_wall_s": round(time.time() - t_start, 1),
         },

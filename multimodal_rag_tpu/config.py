@@ -90,6 +90,11 @@ class Settings:
     # (measured 2.45 -> 1.53 ms/step at B=8 on v5e) at a small (w8a8
     # per-channel) quality cost.
     TPU_LLM_QUANTIZE: bool = False
+    # Weight-quantization width when TPU_LLM_QUANTIZE=true: 8 (w8a8
+    # int8 MXU path) or 4 (packed-nibble int4 weights with in-kernel
+    # unpack, ops/qmatmul_int4.py — halves the int8 stream again; bf16
+    # activations). Validate output quality per checkpoint at 4 bits.
+    TPU_LLM_QUANTIZE_BITS: int = 8
     # Continuous batching (serving_decode.DecodeServer): requests join the
     # running decode batch at token boundaries instead of waiting for the
     # current batch to finish. Best under sustained concurrent query load

@@ -227,7 +227,12 @@ class TPULLMAdapter(BaseLLMAdapter):
                     self._checkpoint_path
                     or settings.MMRAG_LLM_CHECKPOINT_PATH or None
                 ),
-                quantize=settings.TPU_LLM_QUANTIZE,
+                quantize=(
+                    "int4"
+                    if settings.TPU_LLM_QUANTIZE
+                    and settings.TPU_LLM_QUANTIZE_BITS == 4
+                    else settings.TPU_LLM_QUANTIZE
+                ),
                 lora_paths=self._lora_paths,
                 lora_stack=lora_stack or None,
             )

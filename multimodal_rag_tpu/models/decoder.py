@@ -1104,8 +1104,8 @@ def map_hf_causal_lm(
 # ---------------------------------------------------------------------------
 
 
-def quantize_decoder_params(params: Dict) -> Dict:
-    """Per-output-channel symmetric int8 quantization of the seven matmul
+def quantize_decoder_params(params: Dict, bits: int = 8) -> Dict:
+    """Per-output-channel symmetric quantization of the seven matmul
     weights per layer. Decode is weight-streaming bound (the whole weight
     set crosses HBM every step), so int8 halves the stream — measured
     1.6x decode speedup at B=8 on v5e (2.45 → 1.53 ms/step) — and, unlike
@@ -1113,12 +1113,28 @@ def quantize_decoder_params(params: Dict) -> Dict:
     (minilm.quantize_params NOTE), the per-token activation-quant VPU cost
     is negligible at decode batch sizes (B rows, not B*S).
 
+    ``bits=4`` stores the seven standard dense (L, in, out) projections
+    as PACKED-nibble uint8 (ops/qmatmul_int4.py — half the int8 stream
+    again; the in-kernel unpack amortizes over the matmul, VERDICT r3
+    §2). The packed stacks live in a SEPARATE top-level ``layers_q4``
+    dict, NOT in ``layers``: the layer scan must keep them
+    scan-invariant and index them by layer inside the Pallas kernel
+    (scalar prefetch) — scanning them as ``xs`` makes XLA materialize a
+    per-layer slice copy before the custom-call, which erases the whole
+    int4 saving (measured: 21.2 μs/layer sliced vs 16.5 μs prefetched
+    vs 18.7 μs int8, ff matmul, v5e). MoE expert stacks (4-D) and the
+    DeepSeek unrolled dense prefix stay int8 under bits=4: neither runs
+    inside the homogeneous scan.
+
     Embeddings / norms / lm_head stay float32 (the tied logit head reads
     the f32 embedding; quantizing it would couple logit error to the
     gather). Returns a pytree where each ``w`` becomes ``w_q`` (int8) +
-    ``w_s`` (f32 per-channel scale)."""
+    ``w_s`` (f32 per-channel scale), plus ``layers_q4[w_q4/w_s4]`` at
+    bits=4."""
+    assert bits in (4, 8), bits
+    q4_stacks: Dict[str, jax.Array] = {}
 
-    def quantize_stack(stack: Dict) -> Dict:
+    def quantize_stack(stack: Dict, allow_q4: bool) -> Dict:
         out_layers: Dict[str, jax.Array] = {}
         for name, w in stack.items():
             # (L, in, out) dense matmuls and (L, E, in, out) MoE experts
@@ -1128,6 +1144,21 @@ def quantize_decoder_params(params: Dict) -> Dict:
             # weights apply, not just their precision.
             if name != "w_router" and name.startswith("w") \
                     and w.ndim in (3, 4):
+                # int4 covers the seven standard dense projections only;
+                # family-specific leaves (MLA latents, shared experts)
+                # keep int8 — their consumers (_weight, _moe_mlp) read
+                # the ``_q`` layout.
+                if bits == 4 and allow_q4 and w.ndim == 3 and name in (
+                    "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                ):
+                    from multimodal_rag_tpu.ops.qmatmul_int4 import (
+                        quantize_int4,
+                    )
+
+                    packed, scale = jax.vmap(quantize_int4)(w)
+                    q4_stacks[name + "_q4"] = packed
+                    q4_stacks[name + "_s4"] = scale
+                    continue
                 absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
                 scale = jnp.maximum(absmax, 1e-8) / 127.0
                 out_layers[name + "_q"] = jnp.clip(
@@ -1142,9 +1173,13 @@ def quantize_decoder_params(params: Dict) -> Dict:
         k: v for k, v in params.items()
         if k not in ("layers", "dense_layers")
     }
-    out["layers"] = quantize_stack(params["layers"])
+    out["layers"] = quantize_stack(params["layers"], allow_q4=True)
     if "dense_layers" in params:
-        out["dense_layers"] = quantize_stack(params["dense_layers"])
+        out["dense_layers"] = quantize_stack(
+            params["dense_layers"], allow_q4=False
+        )
+    if q4_stacks:
+        out["layers_q4"] = q4_stacks
     return out
 
 
@@ -1179,8 +1214,23 @@ def with_adapter_rows(params: Dict, ids) -> Dict:
 def _qmatmul(x: jax.Array, lp: Dict, name: str, cd) -> jax.Array:
     """(..., in) @ layer weight ``name`` → (..., out) in compute dtype.
     Dispatches on quantization: int8 weights take the int8 MXU path with
-    per-token dynamic activation scales (same recipe as minilm._qdot)."""
-    if name + "_q" in lp:
+    per-token dynamic activation scales (same recipe as minilm._qdot);
+    int4 weights take the packed-nibble Pallas path
+    (ops/qmatmul_int4.py — bf16 activations, no activation quant). The
+    int4 stacks ride OUTSIDE the layer scan: ``_run_layers`` injects the
+    scan-invariant ``_q4`` dict plus the per-iteration ``_li`` layer
+    index into ``lp``, and the kernel's scalar-prefetch index_map picks
+    the layer's tiles straight from HBM (see quantize_decoder_params)."""
+    q4 = lp.get("_q4")
+    if q4 is not None and name + "_q4" in q4:
+        from multimodal_rag_tpu.ops.qmatmul_int4 import (
+            qmatmul_int4_stacked,
+        )
+
+        y = qmatmul_int4_stacked(
+            x, lp["_li"], q4[name + "_q4"], q4[name + "_s4"]
+        ).astype(cd)
+    elif name + "_q" in lp:
         w_q, w_s = lp[name + "_q"], lp[name + "_s"]  # (in,out) i8, (1,out)
         x32 = x.astype(jnp.float32)
         x_s = jnp.maximum(
@@ -1783,24 +1833,56 @@ def _run_layers(x, params, cache_k, cache_v, cfg: DecoderConfig, body):
     first — its leaves differ structurally from the MoE stack, so it
     cannot share the scan — then the homogeneous stack scans. ``body``
     is the per-layer step ``(x, (lp, kc, vc)) -> (x, (kc, vc))`` shared
-    by both. Cache rows [0, K) belong to the prefix."""
+    by both. Cache rows [0, K) belong to the prefix.
+
+    int4 serving (``params["layers_q4"]``): the packed stacks stay
+    scan-INVARIANT (a closure of this wrapper, never ``xs``) and the
+    scan additionally carries the layer index; the wrapper injects both
+    into ``lp`` as ``_q4``/``_li`` for `_qmatmul`'s scalar-prefetch
+    kernel dispatch. Scanning packed weights as xs would materialize a
+    per-layer slice copy before the Pallas custom-call and erase the
+    int4 bandwidth saving (see quantize_decoder_params)."""
+    q4 = params.get("layers_q4")
+    if q4 is not None:
+        inner = body
+        n_scan = jax.tree.leaves(params["layers"])[0].shape[0]
+
+        def body(x, scanned):  # noqa: F811 — deliberate wrap
+            lp, li, kc, vc = scanned
+            lp = dict(lp)
+            lp["_q4"] = q4
+            lp["_li"] = li
+            return inner(x, (lp, kc, vc))
+
+        layers_xs = (
+            params["layers"], jnp.arange(n_scan, dtype=jnp.int32),
+        )
+    else:
+        layers_xs = (params["layers"],)
+
+    def scan_stack(x, ck, cv):
+        return jax.lax.scan(body, x, layers_xs + (ck, cv))
+
     K = cfg.first_k_dense
     if K:
         dl = params["dense_layers"]
         pk, pv = [], []
         for i in range(K):
             lp = jax.tree.map(lambda a, _i=i: a[_i], dl)
-            x, (nk, nv) = body(x, (lp, cache_k[i], cache_v[i]))
+            # The unrolled prefix never carries q4 leaves
+            # (quantize_decoder_params keeps it int8), so it calls the
+            # caller's body directly.
+            x, (nk, nv) = (inner if q4 is not None else body)(
+                x, (lp, cache_k[i], cache_v[i])
+            )
             pk.append(nk)
             pv.append(nv)
-        x, (sk, sv) = jax.lax.scan(
-            body, x, (params["layers"], cache_k[K:], cache_v[K:])
-        )
+        x, (sk, sv) = scan_stack(x, cache_k[K:], cache_v[K:])
         return x, (
             jnp.concatenate([jnp.stack(pk), sk]),
             jnp.concatenate([jnp.stack(pv), sv]),
         )
-    return jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    return scan_stack(x, cache_k, cache_v)
 
 
 def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
@@ -2506,10 +2588,14 @@ class TextDecoder:
                 params = merge_lora(params, cfg, lp)
         self.lora_paths = tuple(lora_paths or ())
         self.cfg = cfg
-        if quantize and not any(
+        # quantize: False | True/"int8" (w8a8) | "int4" (packed-nibble
+        # weights, ops/qmatmul_int4.py).
+        if quantize and "layers_q4" not in params and not any(
             k.endswith("_q") for k in params["layers"]
         ):
-            params = quantize_decoder_params(params)
+            params = quantize_decoder_params(
+                params, bits=4 if str(quantize) == "int4" else 8
+            )
         # S-LoRA multi-adapter stack (``lora_stack``: (name, path) pairs):
         # N finetunes served concurrently from this ONE base weight set,
         # routed per request by adapter index (0 = base). Stacks AFTER
@@ -2599,6 +2685,7 @@ class TextDecoder:
         if (
             n <= 1
             or "wq_q" in params["layers"]
+            or "layers_q4" in params
             or cfg.num_heads % n
             or cfg.ff_dim % n
         ):

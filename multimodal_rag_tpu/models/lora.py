@@ -261,6 +261,13 @@ def stack_lora_adapters(params: Dict, cfg, paths) -> Dict:
         w = layers.get(name)
         if w is None:
             w = layers.get(name + "_q")
+        if w is None:
+            w = params.get("layers_q4", {}).get(name + "_q4")
+            if w is not None:  # packed nibbles: in dim is halved
+                return (
+                    int(w.shape[0]), int(w.shape[-2]) * 2,
+                    int(w.shape[-1]),
+                )
         if w is None or w.ndim == 4:
             # 4-D = per-expert MoE stacks: the expert einsum path does
             # not consult slora leaves, so stacking there would silently

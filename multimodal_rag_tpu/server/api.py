@@ -416,6 +416,47 @@ def choice_kw(gen_kw: dict, i: int) -> dict:
     return kw
 
 
+def parse_stream_options(body: dict, stream: bool):
+    """OpenAI ``stream_options`` validation (both /v1 surfaces). Returns
+    ``(include_usage, error)``. Only ``include_usage`` is defined by the
+    contract; unknown keys are rejected so clients discover typos instead
+    of silently losing the usage frame."""
+    opts = body.get("stream_options")
+    if opts is None:
+        return False, None
+    if not isinstance(opts, dict):
+        return False, "stream_options must be an object"
+    if not stream:
+        return False, "stream_options requires stream=true"
+    unknown = set(opts) - {"include_usage"}
+    if unknown:
+        return False, (
+            f"unsupported stream_options key(s): {sorted(unknown)}"
+        )
+    return bool(opts.get("include_usage")), None
+
+
+def usage_chunk_frame(cid, created, model, obj, prompt_tokens,
+                      completion_tokens) -> bytes:
+    """The final pre-[DONE] SSE frame for ``stream_options.include_usage``:
+    empty ``choices`` plus the aggregate usage block (OpenAI emits exactly
+    one such frame after all choice chunks)."""
+    return (
+        "data: " + json.dumps({
+            "id": cid,
+            "object": obj,
+            "created": created,
+            "model": model,
+            "choices": [],
+            "usage": {
+                "prompt_tokens": prompt_tokens,
+                "completion_tokens": completion_tokens,
+                "total_tokens": prompt_tokens + completion_tokens,
+            },
+        }) + "\n\n"
+    ).encode()
+
+
 def stop_cut_at(text: str, stops) -> int:
     """Earliest stop-sequence hit in ``text``, or -1. The ONE copy of
     the stop-scan used by the streaming hold-back pump and both
@@ -989,6 +1030,9 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                            "code": "model_not_found"}}, status=404,
             )
         stream = bool(body.get("stream"))
+        include_usage, so_err = parse_stream_options(body, stream)
+        if so_err:
+            return bad_request(so_err)
 
         def parse_image_url(part):
             """OpenAI image part → bare base64 payload. Only ``data:``
@@ -1284,8 +1328,18 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 }
             )
             await resp.prepare(request)
+            # Per-choice emitted text, for the include_usage frame (same
+            # whitespace accounting as the non-streaming usage block).
+            stream_texts = [""] * n
 
             def chunk(delta, fin=None, idx=0):
+                c = delta.get("content")
+                if c:
+                    stream_texts[idx] += c
+                for tc in delta.get("tool_calls") or ():
+                    stream_texts[idx] += (
+                        tc.get("function", {}).get("arguments") or ""
+                    )
                 return (
                     "data: " + json.dumps({
                         "id": cid,
@@ -1396,6 +1450,12 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             aggregator.record("chat.total", time.time() - start)
             for i, finish_reason in enumerate(results):
                 await resp.write(chunk({}, finish_reason, idx=i))
+            if include_usage:
+                await resp.write(usage_chunk_frame(
+                    cid, created, model, "chat.completion.chunk",
+                    len(prompt.split()),
+                    sum(len(t.split()) for t in stream_texts),
+                ))
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
@@ -1551,6 +1611,9 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         stream = bool(body.get("stream"))
         if stream and len(prompts) > 1:
             return bad_request("stream supports a single prompt")
+        include_usage, so_err = parse_stream_options(body, stream)
+        if so_err:
+            return bad_request(so_err)
         # Legacy-dialect logprobs: an integer top-alternative count.
         lp_n = body.get("logprobs")
         gen_lp = getattr(
@@ -1607,7 +1670,10 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             )
             await resp.prepare(request)
 
+            stream_texts = [""] * n
+
             def chunk(text, fin=None, idx=0):
+                stream_texts[idx] += text
                 return (
                     "data: " + json.dumps({
                         "id": cid,
@@ -1671,6 +1737,16 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             aggregator.record("completions.total", time.time() - start)
             for i, finish_reason in enumerate(results):
                 await resp.write(chunk("", finish_reason, idx=i))
+            if include_usage:
+                # echo leads the stream with the prompt; usage still
+                # counts it as prompt tokens only (OpenAI semantics).
+                ct = sum(len(t.split()) for t in stream_texts)
+                pt = len(prompts[0].split())
+                if echo:
+                    ct = max(0, ct - pt)
+                await resp.write(usage_chunk_frame(
+                    cid, created, model, "text_completion", pt, ct,
+                ))
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp

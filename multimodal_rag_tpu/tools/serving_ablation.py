@@ -50,7 +50,7 @@ def main(argv=None) -> int:
 
     import jax
 
-    from bench import bench_serving
+    from bench import bench_serving, make_bench_tokenizer
     from multimodal_rag_tpu.models.decoder import (
         DecoderConfig,
         TextDecoder,
@@ -66,6 +66,7 @@ def main(argv=None) -> int:
         cfg = DecoderConfig()  # the 0.8B bench model
     dec = TextDecoder(
         params=init_params(jax.random.key(0), cfg), cfg=cfg,
+        tokenizer=make_bench_tokenizer(cfg.vocab_size),
         prompt_buckets=(128, 256, 512, 1024),
     )
 

@@ -599,6 +599,98 @@ class TestChatCompletions:
         assert resp.status == 400
 
 
+class TestStreamOptions:
+    """OpenAI ``stream_options.include_usage``: one final pre-[DONE]
+    frame with empty choices and the aggregate usage block."""
+
+    @staticmethod
+    def _events(raw):
+        return [
+            line[len("data: "):]
+            for line in raw.splitlines()
+            if line.startswith("data: ")
+        ]
+
+    def test_chat_include_usage_final_frame(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 16,
+                "stream": True,
+                "stream_options": {"include_usage": True},
+            })
+        )
+        assert resp.status == 200
+        events = self._events(loop.run_until_complete(resp.text()))
+        assert events[-1] == "[DONE]"
+        usage_frame = json.loads(events[-2])
+        assert usage_frame["choices"] == []
+        u = usage_frame["usage"]
+        assert u["total_tokens"] == (
+            u["prompt_tokens"] + u["completion_tokens"]
+        )
+        assert u["completion_tokens"] >= 1
+        # No other frame carries usage (OpenAI emits exactly one).
+        assert all(
+            "usage" not in json.loads(e) for e in events[:-2]
+        )
+
+    def test_completions_include_usage_final_frame(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": "hello there",
+                "max_tokens": 16,
+                "stream": True,
+                "stream_options": {"include_usage": True},
+            })
+        )
+        assert resp.status == 200
+        events = self._events(loop.run_until_complete(resp.text()))
+        assert events[-1] == "[DONE]"
+        usage_frame = json.loads(events[-2])
+        assert usage_frame["choices"] == []
+        u = usage_frame["usage"]
+        assert u["prompt_tokens"] == 2
+        assert u["total_tokens"] == (
+            u["prompt_tokens"] + u["completion_tokens"]
+        )
+
+    def test_stream_options_requires_stream(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "stream_options": {"include_usage": True},
+            })
+        )
+        assert resp.status == 400
+
+    def test_unknown_stream_options_key_rejected(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/completions", json={
+                "prompt": "hi",
+                "stream": True,
+                "stream_options": {"include_usage": True, "nope": 1},
+            })
+        )
+        assert resp.status == 400
+
+    def test_without_include_usage_no_usage_frame(self, client):
+        c, loop = client
+        resp = loop.run_until_complete(
+            c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 16,
+                "stream": True,
+            })
+        )
+        events = self._events(loop.run_until_complete(resp.text()))
+        assert all("usage" not in json.loads(e) for e in events[:-1])
+
+
 class TestChatVision:
     """OpenAI image content parts route to the MLLM adapter (the
     reference's own multimodal wire format, mllm_adapter.py:275-284) —
