@@ -110,7 +110,10 @@ class Settings:
     # blocks the loop for a full prompt-bucket pass). Also switches rows
     # to an unpadded cache layout, which is what enables the prefix
     # cache below. Only meaningful with TPU_LLM_CONTINUOUS=true.
-    TPU_LLM_CHUNKED_PREFILL: bool = False
+    # Default ON (r4 ablation, tools/serving_ablation.py on v5e:
+    # unqueued TTFT p50 347 ms vs 476 ms classic at equal throughput —
+    # DEPLOYMENT.md "Serving configuration").
+    TPU_LLM_CHUNKED_PREFILL: bool = True
     TPU_LLM_PREFILL_CHUNK: int = 128
     # Device-resident prompt-prefix KV cache (requires chunked prefill):
     # N cache entries of up to the largest prompt bucket, LRU-evicted.
@@ -118,7 +121,12 @@ class Settings:
     # context across turns; a hit skips recomputing the matched
     # chunk-aligned prefix entirely (device-to-device block copy). HBM
     # cost per entry: L*Lp*n_kv*head_dim*4 bytes (k+v, bf16). 0 = off.
-    TPU_LLM_PREFIX_CACHE: int = 0
+    # Default 8 (r4 ablation: every later-wave request reused the full
+    # 384-token shared preamble; the hit replaces ~3 prefill passes with
+    # one device-to-device block copy. NOTE: over the dev relay tunnel
+    # the extra admission dispatches make raw TTFT look WORSE — the win
+    # is real only on a locally-attached chip; see DEPLOYMENT.md).
+    TPU_LLM_PREFIX_CACHE: int = 8
     # Prompt-length buckets (tokens) for the on-TPU decoder; the LAST
     # entry is the hard prompt ceiling — longer prompts keep only their
     # tail (counted in /stats as generation.truncated_prompts). The
