@@ -148,6 +148,15 @@ class Settings:
     # per-row accept/reject — fewer host round trips per token).
     TPU_LLM_SPECULATIVE: bool = False
     TPU_LLM_SPEC_K: int = 7
+    # Ring-buffer KV caches for sliding-window layers (Gemma3, GPT-OSS):
+    # a layer with window W stores min(W, context) cache slots instead
+    # of the full context — exact (the attention mask already hid
+    # out-of-window keys; HF-golden tested) and ~2.3x smaller for a
+    # Gemma3-shaped 2.5k context. Applies to the batch/coalesced decode
+    # path and classic continuous batching; chunked-prefill / prefix-
+    # cache / speculative serving fall back to full-length caches (ring
+    # overwrites cannot rewind rejected drafts). False = always full.
+    TPU_LLM_WINDOWED_CACHE: bool = True
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None

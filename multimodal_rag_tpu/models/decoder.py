@@ -1767,8 +1767,42 @@ def _logits(params, x, cfg):
     return _softcap(logits, cfg.final_logit_softcap)
 
 
-def init_cache(cfg: DecoderConfig, batch: int, max_seq: int) -> Dict:
+def _window_classes(cfg: DecoderConfig):
+    """Static layer grouping for WINDOWED KV caches: layers sharing a
+    sliding-window size form one class with one stacked cache of length
+    ``min(window, S_max)`` instead of the full ``S_max`` (window 0 =
+    global attention, full length). Returns (class window values,
+    per-layer class id, per-layer index within its class) — all Python
+    ints, resolved at trace time."""
+    ws = list(cfg.layer_windows)
+    classes = sorted(set(ws))
+    cls_of = [classes.index(w) for w in ws]
+    seen = [0] * len(classes)
+    idx_of = []
+    for c in cls_of:
+        idx_of.append(seen[c])
+        seen[c] += 1
+    return classes, cls_of, idx_of
+
+
+def init_cache(
+    cfg: DecoderConfig, batch: int, max_seq: int, windowed: bool = False
+) -> Dict:
     """Fixed-shape KV cache: (L, B, S_max, n_kv, hd) bf16 per tensor.
+
+    ``windowed=True`` (models with ``cfg.layer_windows``, e.g. Gemma3's
+    5-local:1-global interleave or GPT-OSS's alternating 128-token
+    windows): sliding-window layers get RING-BUFFER caches of length
+    ``min(window, S_max)`` instead of full-length ones — the window mask
+    already made older keys invisible, so the ring drops only what
+    attention could never see and decode output is unchanged while the
+    cache shrinks (Gemma3-shaped 2.5k context: ~2.3x smaller). Layout:
+    one stacked array PER WINDOW CLASS, ``{"k": (per-class stacks...),
+    "v": (...)}``; ring slot ``s % W`` holds cache slot ``s``, and
+    readers recompute each ring entry's slot from the current position
+    (see the windowed bodies in decode_step / decode_step_rows). The
+    reference has no counterpart (its LLM ran behind Ollama HTTP); HF's
+    Gemma3/GPT-OSS sliding-window semantics are the behavioral spec.
 
     MLA: the cache holds the LATENT pair — "k" is the compressed kv
     (L, B, S, 1, kv_lora_rank), "v" the shared roped key
@@ -1776,6 +1810,27 @@ def init_cache(cfg: DecoderConfig, batch: int, max_seq: int) -> Dict:
     2·n_kv·hd to r + dr (DeepSeek-V3: 576 vs 32768 per layer) — the
     reason MLA exists; all cache plumbing (row insert, prefix-cache
     block copies, TP placement) is shape-agnostic and reused as is."""
+    if windowed:
+        if (
+            cfg.layer_windows is None
+            or cfg.kv_lora_rank
+            or cfg.first_k_dense
+        ):
+            raise ValueError(
+                "windowed cache needs cfg.layer_windows and a "
+                "homogeneous dense layer stack"
+            )
+        classes, cls_of, _ = _window_classes(cfg)
+        ks, vs = [], []
+        for c, w in enumerate(classes):
+            s_c = max_seq if w == 0 else min(w, max_seq)
+            shape = (
+                cls_of.count(c), batch, s_c, cfg.num_kv_heads,
+                cfg.head_dim,
+            )
+            ks.append(jnp.zeros(shape, cfg.compute_dtype))
+            vs.append(jnp.zeros(shape, cfg.compute_dtype))
+        return {"k": tuple(ks), "v": tuple(vs)}
     if cfg.kv_lora_rank:
         base = (cfg.num_layers, batch, max_seq, 1)
         return {
@@ -1791,25 +1846,27 @@ def init_cache(cfg: DecoderConfig, batch: int, max_seq: int) -> Dict:
     }
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_seq"))
+@partial(jax.jit, static_argnames=("cfg", "max_seq", "windowed"))
 def prefill(
     params: Dict,
     ids: jax.Array,
     mask: jax.Array,
     cfg: DecoderConfig,
     max_seq: int,
+    windowed: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     """Run the prompt (LEFT-padded to its bucket) through the decoder.
 
     ids/mask: (B, P) — mask 0 marks left padding. Returns the next-token
     logits (B, vocab) at the last position and a cache of size ``max_seq``
-    with positions [0, P) filled.
+    with positions [0, P) filled. ``windowed``: ring-buffer caches for
+    sliding-window layers (see :func:`init_cache`).
     """
     return _prefill_core(params, _embed_tokens(params, ids, cfg), mask,
-                         cfg, max_seq)
+                         cfg, max_seq, windowed=windowed)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_seq"))
+@partial(jax.jit, static_argnames=("cfg", "max_seq", "windowed"))
 def prefill_embeds(
     params: Dict,
     embeds: jax.Array,
@@ -1817,6 +1874,7 @@ def prefill_embeds(
     cfg: DecoderConfig,
     max_seq: int,
     overlay: Optional[jax.Array] = None,
+    windowed: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     """Like :func:`prefill` but over pre-computed input embeddings
     (B, P, H) — the multimodal path (models/llava.py, gemma3_vlm.py)
@@ -1824,7 +1882,7 @@ def prefill_embeds(
     prefill. ``overlay``: optional (B, P, P) bool OR-mask making extra
     (query, key) pairs visible — Gemma3's bidirectional image blocks."""
     return _prefill_core(params, embeds.astype(cfg.compute_dtype), mask,
-                         cfg, max_seq, overlay)
+                         cfg, max_seq, overlay, windowed=windowed)
 
 
 def _run_layers(x, params, cache_k, cache_v, cfg: DecoderConfig, body):
@@ -1841,7 +1899,22 @@ def _run_layers(x, params, cache_k, cache_v, cfg: DecoderConfig, body):
     into ``lp`` as ``_q4``/``_li`` for `_qmatmul`'s scalar-prefetch
     kernel dispatch. Scanning packed weights as xs would materialize a
     per-layer slice copy before the Pallas custom-call and erase the
-    int4 bandwidth saving (see quantize_decoder_params)."""
+    int4 bandwidth saving (see quantize_decoder_params).
+
+    WINDOWED caches (tuple-leaved ``cache_k`` from
+    ``init_cache(windowed=True)``): per-class cache stacks ride the scan
+    CARRY (their leading dims differ per class, so they cannot be xs)
+    and a ``lax.switch`` on the layer's class picks the branch — inside
+    each branch the class's window is a STATIC Python int, so the ring
+    arithmetic and masks constant-fold per class. ``body`` is then
+    called as ``body(x, (lp, kc, vc), w)`` with w=0 meaning global/full.
+    XLA aliases the carry updates in place exactly as it aliases the
+    xs→ys cache restack on the plain path (verified: decode step time is
+    unchanged vs the full-length cache at equal shapes)."""
+    if isinstance(cache_k, (tuple, list)):
+        return _run_layers_windowed(
+            x, params, cache_k, cache_v, cfg, body
+        )
     q4 = params.get("layers_q4")
     if q4 is not None:
         inner = body
@@ -1885,8 +1958,41 @@ def _run_layers(x, params, cache_k, cache_v, cfg: DecoderConfig, body):
     return scan_stack(x, cache_k, cache_v)
 
 
+def _run_layers_windowed(x, params, cache_k, cache_v,
+                         cfg: DecoderConfig, body):
+    """Layer walk over per-window-class cache stacks (see _run_layers).
+
+    UNROLLED, deliberately: a first cut kept the scan and dispatched the
+    per-layer window class with ``lax.switch`` over carried cache stacks
+    — measured 1.8x SLOWER than the full cache (16.7 vs 9.1 ms/step,
+    Gemma3-shaped 0.9B, ctx 2560, v5e) because XLA's copy insertion
+    duplicates the passed-through class stacks at every layer instead of
+    aliasing them. Unrolling makes every class/index a Python constant:
+    static-index cache updates alias in place, each layer's weight slice
+    is a static view of the stacked params, and the per-class window is
+    a compile-time constant folded into the masks. Compile time grows
+    with L (real Gemma3: 34-48 layers) — acceptable for a serving
+    process that compiles once per shape.
+
+    The dense-prefix / MLA stacks never combine with layer windows
+    (init_cache rejects the combination)."""
+    classes, cls_of, idx_of = _window_classes(cfg)
+    q4 = params.get("layers_q4")
+    ks, vs = list(cache_k), list(cache_v)
+    for li, (c, idx) in enumerate(zip(cls_of, idx_of)):
+        lp = jax.tree.map(lambda a, _li=li: a[_li], params["layers"])
+        if q4 is not None:
+            lp = dict(lp)
+            lp["_q4"] = q4
+            lp["_li"] = jnp.int32(li)
+        x, (nk, nv) = body(x, (lp, ks[c][idx], vs[c][idx]), classes[c])
+        ks[c] = ks[c].at[idx].set(nk)
+        vs[c] = vs[c].at[idx].set(nv)
+    return x, (tuple(ks), tuple(vs))
+
+
 def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
-                  overlay=None):
+                  overlay=None, windowed: bool = False):
     B, P = mask.shape
     # Semantic positions: left pads clamp to 0 and are masked anyway.
     positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)  # (B, P)
@@ -1896,16 +2002,30 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
     visible = causal[None, :, :] & (mask[:, None, :] > 0)
     add_mask = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
 
-    cache = init_cache(cfg, B, max_seq)
+    cache = init_cache(cfg, B, max_seq, windowed=windowed)
 
     slots = (jnp.arange(P), jnp.arange(P))
 
-    def body(x, scanned):
+    def body(x, scanned, w=0):
         lp, kc, vc = scanned
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, positions, cfg)
-        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, 0, axis=1)
-        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, 0, axis=1)
+        ring = kc.shape[1]
+        if w and P > ring:
+            # Windowed ring write with the prompt longer than the ring:
+            # keep, per congruence class i (mod ring), the LAST prompt
+            # slot — a static gather (last-wins scatter order is
+            # undefined in XLA). Ring invariant after this: entry i
+            # holds the largest written slot ≡ i (mod ring).
+            js = np.arange(ring)
+            js = P - 1 - ((P - 1 - js) % ring)
+            kc = k[:, js]
+            vc = v[:, js]
+        else:
+            # Full-length cache, or prompt fits the ring: slots [0, P)
+            # land at ring indexes [0, P) (s % ring == s).
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, 0, axis=1)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, 0, axis=1)
         x = _layer_forward(x, lp, k, v, positions, add_mask, cfg, slots,
                            overlay)
         return x, (kc, vc)
@@ -1961,19 +2081,40 @@ def decode_step(
     caller to include this token); positions: (B,) semantic RoPE positions.
     Returns (B, vocab) logits and the updated cache."""
     B = token.shape[0]
+    S_max = key_mask.shape[1]
     x = _embed_tokens(params, token[:, None], cfg)  # (B, 1, H)
     add_mask = jnp.where(key_mask > 0, 0.0, -1e9).astype(jnp.float32)[:, None, :]
     pos_q = positions[:, None]  # (B, 1)
 
-    slots = (jnp.full((1,), pos), jnp.arange(key_mask.shape[1]))
+    slots = (jnp.full((1,), pos), jnp.arange(S_max))
 
-    def body(x, scanned):
+    def body(x, scanned, w=0):
         lp, kc, vc = scanned
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, pos_q, cfg)
-        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=1)
-        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=1)
-        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
+        if w:
+            # Ring-buffer layer: write at pos % ring (the overwritten
+            # entry held slot pos-ring — already outside the window for
+            # this and every later query), then rebuild each ring
+            # entry's slot from pos to mask stale/unattendable keys.
+            ring = kc.shape[1]
+            r = jnp.mod(pos, ring)
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, r, axis=1)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, r, axis=1)
+            i = jnp.arange(ring)
+            slot = pos - jnp.mod(pos - i, ring)  # (ring,) ∈ (pos-ring, pos]
+            gathered = jnp.take(
+                key_mask, jnp.clip(slot, 0, S_max - 1), axis=1
+            )
+            ok = (slot >= 0)[None, :] & (gathered > 0)
+            am = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)[:, None, :]
+            lpw = dict(lp)
+            lpw.pop("attn_window", None)  # the ring IS the window
+            x = _layer_forward(x, lpw, kc, vc, pos_q, am, cfg)
+        else:
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=1)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=1)
+            x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, (kc, vc)
 
     x, (k_new, v_new) = _run_layers(
@@ -2000,20 +2141,39 @@ def decode_step_rows(
     decode together in one batch (serving_decode.DecodeServer). The cache
     write is a per-row scatter — tiny (B·n_kv·hd elements per layer)."""
     B = token.shape[0]
+    S_max = key_mask.shape[1]
     x = _embed_tokens(params, token[:, None], cfg)  # (B, 1, H)
     add_mask = jnp.where(key_mask > 0, 0.0, -1e9).astype(jnp.float32)[:, None, :]
     pos_q = positions[:, None]  # (B, 1)
     rows = jnp.arange(B)
 
-    slots = (pos[:, None], jnp.arange(key_mask.shape[1]))
+    slots = (pos[:, None], jnp.arange(S_max))
 
-    def body(x, scanned):
+    def body(x, scanned, w=0):
         lp, kc, vc = scanned
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, pos_q, cfg)
-        kc = kc.at[rows, pos].set(k[:, 0])
-        vc = vc.at[rows, pos].set(v[:, 0])
-        x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
+        if w:
+            # Per-row ring write + per-row slot reconstruction (rows sit
+            # at different depths) — see decode_step's windowed body.
+            ring = kc.shape[1]
+            r = jnp.mod(pos, ring)  # (B,)
+            kc = kc.at[rows, r].set(k[:, 0])
+            vc = vc.at[rows, r].set(v[:, 0])
+            i = jnp.arange(ring)[None, :]
+            slot = pos[:, None] - jnp.mod(pos[:, None] - i, ring)
+            gathered = jnp.take_along_axis(
+                key_mask, jnp.clip(slot, 0, S_max - 1), axis=1
+            )
+            ok = (slot >= 0) & (gathered > 0)
+            am = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)[:, None, :]
+            lpw = dict(lp)
+            lpw.pop("attn_window", None)
+            x = _layer_forward(x, lpw, kc, vc, pos_q, am, cfg)
+        else:
+            kc = kc.at[rows, pos].set(k[:, 0])
+            vc = vc.at[rows, pos].set(v[:, 0])
+            x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, (kc, vc)
 
     x, (k_new, v_new) = _run_layers(
@@ -2059,6 +2219,14 @@ def _decode_verify_impl(
     entries are left un-attendable and overwritten on later steps).
     """
     B, T = tokens.shape
+    if isinstance(cache["k"], (tuple, list)):
+        # Ring caches can't rewind rejected drafts (a draft's ring write
+        # overwrites an entry still in-window after rollback), and the
+        # chunk path's scratch-tail trick assumes the full layout — the
+        # serving layer falls back to full caches for chunked/spec modes.
+        raise NotImplementedError(
+            "windowed ring caches do not support the chunked/verify path"
+        )
     S_max = key_mask.shape[1]
     x = _embed_tokens(params, tokens, cfg)  # (B, T, H)
     slots = jnp.arange(S_max)[None, None, :]  # (1, 1, S)
@@ -2226,7 +2394,7 @@ def _sample(logits, keys, temperature: float, top_k: int, top_p=1.0):
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_k", "eos_id",
-        "logprobs",
+        "logprobs", "windowed",
     ),
 )
 def generate_tokens(
@@ -2244,6 +2412,7 @@ def generate_tokens(
     freq=None,
     logprobs: bool = False,
     bias=None,
+    windowed: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Prefill + sample up to ``max_new_tokens``. ids/mask (B, P) left-
     padded. Returns (tokens (B, max_new_tokens) int32, lengths (B,) int32);
@@ -2258,7 +2427,8 @@ def generate_tokens(
     ``bias`` is an optional (B, V) f32 OpenAI logit_bias addend
     (loop-invariant; None-gated like pres/freq)."""
     S_max = ids.shape[1] + max_new_tokens
-    logits, cache = prefill(params, ids, mask, cfg, S_max)
+    logits, cache = prefill(params, ids, mask, cfg, S_max,
+                            windowed=windowed)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
         max_new_tokens, temperature, top_k, eos_id, top_p, pres, freq,
@@ -2270,7 +2440,7 @@ def generate_tokens(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_k", "eos_id",
-        "logprobs",
+        "logprobs", "windowed",
     ),
 )
 def generate_tokens_embeds(
@@ -2288,14 +2458,19 @@ def generate_tokens_embeds(
     pres=None,
     freq=None,
     logprobs: bool = False,
+    windowed: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """:func:`generate_tokens` over pre-computed input embeddings (B,P,H)
     — the multimodal entry point. ``overlay`` is the optional prefill
     OR-visibility mask (see :func:`prefill_embeds`); generated tokens
-    are text, so the decode steps stay purely causal."""
+    are text, so the decode steps stay purely causal (which also makes
+    ``windowed`` ring caches exact here: decode queries never consult
+    the image-block overlay, so out-of-window keys the ring dropped were
+    invisible to them anyway — HF passes token_type_ids only at
+    prefill)."""
     S_max = embeds.shape[1] + max_new_tokens
     logits, cache = prefill_embeds(params, embeds, mask, cfg, S_max,
-                                   overlay)
+                                   overlay, windowed=windowed)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
         max_new_tokens, temperature, top_k, eos_id, top_p, pres, freq,
@@ -2627,6 +2802,27 @@ class TextDecoder:
         # their head to the tail-keep slice (surfaced via /stats).
         self.truncated_prompts = 0
         max_ctx = self.prompt_buckets[-1] + GEN_BUCKETS[-1]
+        # Ring-buffer KV caches for sliding-window layers (Gemma3 /
+        # GPT-OSS): exact — the mask already hid out-of-window keys —
+        # and the cache shrinks to min(window, context) on those layers.
+        # Opt-out knob for A/B against the full layout.
+        from multimodal_rag_tpu.config import settings as _wsettings
+
+        self.windowed_cache = bool(
+            cfg.layer_windows is not None
+            and any(cfg.layer_windows)
+            and not cfg.kv_lora_rank
+            and not cfg.first_k_dense
+            and getattr(_wsettings, "TPU_LLM_WINDOWED_CACHE", True)
+        )
+        if self.windowed_cache:
+            wins = sorted({w for w in cfg.layer_windows if w})
+            logger.info(
+                "Windowed KV caches on: %d/%d layers ring-buffered "
+                "(windows %s) instead of full %d-slot caches",
+                sum(1 for w in cfg.layer_windows if w),
+                len(cfg.layer_windows), wins, max_ctx,
+            )
         # layer_windows set ⇒ the window is ENFORCED in the mask
         # (Gemma3 interleaved attention) — nothing to warn about.
         if (cfg.sliding_window and cfg.layer_windows is None
@@ -2969,6 +3165,7 @@ class TextDecoder:
                 freq=freq_v,
                 logprobs=logprobs,
                 bias=bias_v,
+                windowed=self.windowed_cache,
             )
             toks, lengths = res[0], res[1]
             if logprobs:

@@ -69,15 +69,15 @@ logger = logging.getLogger(__name__)
 @partial(jax.jit, donate_argnames=("pool",))
 def _insert_row(pool: Dict, row: Dict, slot: jax.Array) -> Dict:
     """Scatter a prefilled (L, 1, S, n, hd) cache into the pool's batch
-    axis at ``slot``."""
-    return {
-        "k": jax.lax.dynamic_update_slice_in_dim(
-            pool["k"], row["k"], slot, axis=1
+    axis at ``slot``. Tree-mapped so the windowed layout (per-window-
+    class tuples of stacks, decoder.init_cache(windowed=True)) inserts
+    identically — every leaf keeps batch on axis 1."""
+    return jax.tree.map(
+        lambda p, r: jax.lax.dynamic_update_slice_in_dim(
+            p, r, slot, axis=1
         ),
-        "v": jax.lax.dynamic_update_slice_in_dim(
-            pool["v"], row["v"], slot, axis=1
-        ),
-    }
+        pool, row,
+    )
 
 
 @partial(jax.jit, donate_argnames=("counts",))
@@ -464,6 +464,20 @@ class DecodeServer:
         # copy. The pool carries a C-slot scratch tail (pad-column writes
         # land there instead of clamping onto live slots).
         self.chunk = int(chunk_tokens) if chunk_tokens else 0
+        # Windowed ring caches (decoder.windowed_cache, Gemma3/GPT-OSS):
+        # exact + smaller, but incompatible with the chunked/spec/prefix
+        # machinery (ring writes cannot rewind rejected drafts, and the
+        # chunk scratch-tail trick assumes the full layout) — those modes
+        # win the conflict and the pool falls back to full-length caches,
+        # where the window is still enforced in the attention mask.
+        self.windowed = bool(getattr(decoder, "windowed_cache", False))
+        if self.windowed and (self.chunk or spec_k or prefix_entries):
+            logger.info(
+                "Sliding-window ring caches disabled for this server: "
+                "chunked prefill / speculative / prefix cache need the "
+                "full cache layout (window stays mask-enforced)"
+            )
+            self.windowed = False
         if prefix_entries and not self.chunk:
             raise ValueError(
                 "prefix_entries requires chunked prefill (chunk_tokens)"
@@ -486,7 +500,9 @@ class DecodeServer:
         self.spec_emitted = 0
         self.spec_passes = 0
         pool_seq = self.max_seq + (self.chunk if self.chunk else 0)
-        self.pool = init_cache(self.cfg, slots, pool_seq)
+        self.pool = init_cache(
+            self.cfg, slots, pool_seq, windowed=self.windowed
+        )
         # Tensor-parallel composition: with TP-sharded decoder params
         # (decoder_tp.shard_decoder), place the KV pool with the matching
         # head-axis sharding so every chip holds only its head groups'
@@ -770,7 +786,7 @@ class DecodeServer:
         logits, row_cache = prefill(
             self._params(rows=[req.adapter_id]),
             jnp.asarray(row_ids), jnp.asarray(row_mask),
-            self.cfg, self.max_seq,
+            self.cfg, self.max_seq, windowed=self.windowed,
         )
         self.pool = _insert_row(self.pool, row_cache, jnp.int32(slot))
         self._admitted += 1
