@@ -157,6 +157,14 @@ class Settings:
     # cache / speculative serving fall back to full-length caches (ring
     # overwrites cannot rewind rejected drafts). False = always full.
     TPU_LLM_WINDOWED_CACHE: bool = True
+    # Fused Pallas flash-decode attention (ops/flash_decode.py): the
+    # decode step reads each layer's KV straight from the stacked cache
+    # via a scalar-prefetch index_map instead of materializing a row
+    # slice before the attention dot. Single-chip TPU decode only
+    # (CPU/MLA/chunked/TP-sharded paths keep the XLA einsum); numerics
+    # are flash-style online softmax — equal to the XLA path within
+    # bf16/f32 rounding. False = always XLA attention.
+    TPU_LLM_FLASH_DECODE: bool = True
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None

@@ -16,7 +16,7 @@ TPU-first design notes:
   and decode walk them with one ``lax.scan`` — the KV cache (leading layer
   axis) is threaded through the same scan, so the whole decode step is one
   traced layer regardless of depth.
-* The cache is a static ``(L, B, S_max, n_kv, hd)`` bf16 buffer updated
+* The cache is a static ``(L, B, n_kv, S_max, hd)`` bf16 buffer updated
   with ``lax.dynamic_update_slice_in_dim`` — no dynamic shapes anywhere;
   ``S_max = prompt_bucket + max_new_tokens`` picks the executable.
 * Prompts are LEFT-padded to the bucket so every row shares one scalar
@@ -1376,15 +1376,17 @@ def _softcap(x: jax.Array, cap: float) -> jax.Array:
 
 
 def _attn_scores(q, k, mask, cfg: DecoderConfig, sinks=None):
-    """q: (B, T, n_kv, g, hd) f32-accumulated scores vs k: (B, S, n_kv, hd);
-    mask: (B, T, S) additive f32. Returns probs (B, T, n_kv, g, S) f32.
+    """q: (B, T, n_kv, g, hd) f32-accumulated scores vs k HEAD-MAJOR
+    (B, n_kv, S, hd) — the cache's storage layout (init_cache), so the
+    dot reads it with no relayout copy; mask: (B, T, S) additive f32.
+    Returns probs (B, T, n_kv, g, S) f32.
 
     ``sinks`` ((n_heads,) f32, GPT-OSS): a per-head learnable logit that
     joins every softmax denominator and whose probability mass is then
     dropped — softmax over [logits, sink] sliced back to the key axis
     (HF gpt_oss eager_attention_forward)."""
     logits = jnp.einsum(
-        "btngh,bsnh->btngs", q, k, preferred_element_type=jnp.float32
+        "btngh,bnsh->btngs", q, k, preferred_element_type=jnp.float32
     ) * cfg.sm_scale
     logits = _softcap(logits, cfg.attn_logit_softcap)
     logits = (logits + mask[:, :, None, None, :]).astype(jnp.float32)
@@ -1586,8 +1588,8 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
 def _mla_attn(h, lp, c_cache, kr_cache, positions, mask, cfg):
     """DeepSeek multi-head latent attention over the latent cache.
 
-    h: normed hidden (B, T, H); c_cache: (B, S, 1, r) compressed-kv
-    latents (rmsnormed); kr_cache: (B, S, 1, dr) shared roped keys;
+    h: normed hidden (B, T, H); c_cache: (B, 1, S, r) compressed-kv
+    latents (rmsnormed); kr_cache: (B, 1, S, dr) shared roped keys;
     mask: (B, T, S) additive. Returns the pre-``wo`` context
     (B, T, n_heads * v_head_dim).
 
@@ -1621,8 +1623,8 @@ def _mla_attn(h, lp, c_cache, kr_cache, positions, mask, cfg):
     qn_abs = jnp.einsum(
         "btnd,rnd->btnr", qn, w_k, preferred_element_type=jnp.float32
     )
-    c = c_cache[:, :, 0, :]    # (B, S, r)
-    kr = kr_cache[:, :, 0, :]  # (B, S, dr)
+    c = c_cache[:, 0, :, :]    # (B, S, r)
+    kr = kr_cache[:, 0, :, :]  # (B, S, dr)
     logits = (
         jnp.einsum("btnr,bsr->btns", qn_abs.astype(cd), c,
                    preferred_element_type=jnp.float32)
@@ -1641,11 +1643,18 @@ def _mla_attn(h, lp, c_cache, kr_cache, positions, mask, cfg):
     return out.reshape(B, T, n * dv)
 
 
+def _flash_enabled() -> bool:
+    from multimodal_rag_tpu.config import settings
+
+    return bool(getattr(settings, "TPU_LLM_FLASH_DECODE", True))
+
+
 def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
-                   slots=None, overlay=None):
+                   slots=None, overlay=None, stacked=None):
     """One pre-norm block over a (possibly length-1) query chunk.
 
-    x: (B, T, H); k_cache/v_cache: (B, S, n_kv, hd) — already containing
+    x: (B, T, H); k_cache/v_cache: HEAD-MAJOR (B, n_kv, S, hd) — already
+    containing
     this chunk's keys/values (caller updates the cache first); positions:
     (B, T) semantic positions for RoPE on queries; mask: (B, T, S);
     slots: optional (q_slots broadcastable to (B, T), k_slots (S,))
@@ -1654,10 +1663,40 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
     visibility to the last W slots. Slot distance equals semantic
     distance for real tokens (left padding precedes them and is masked
     anyway), matching HF's absolute-index sliding mask.
+
+    ``stacked``: optional ``(k_stack, v_stack, layer_index)`` — the FULL
+    stacked cache buffers plus this layer's row, passed by the decode
+    bodies INSTEAD of pre-sliced ``k_cache/v_cache`` (pass None for
+    those). On TPU with T == 1 the attention then runs as a fused Pallas
+    flash-decode kernel (ops/flash_decode.py) whose scalar-prefetch
+    index_map reads the layer's tiles straight from HBM — the row slice
+    XLA would otherwise materialize (~2.4 ms/GiB of cache per step)
+    never exists. Anywhere the kernel doesn't apply (CPU tests, MLA,
+    chunked T>1, odd head dims) the row is sliced here and the XLA path
+    runs unchanged.
     """
     cd = cfg.compute_dtype
     B, T, H = x.shape
     n_kv, g, hd = cfg.num_kv_heads, cfg.q_per_kv, cfg.head_dim
+
+    use_flash = False
+    if stacked is not None:
+        from multimodal_rag_tpu.ops.flash_decode import flash_decode_ok
+
+        kb, vb, li = stacked
+        use_flash = (
+            T == 1
+            and overlay is None
+            and flash_decode_ok(cfg, kb.shape[3], B)
+            and _flash_enabled()
+        )
+        if not use_flash:
+            k_cache = jax.lax.dynamic_index_in_dim(
+                kb, li, 0, keepdims=False
+            )
+            v_cache = jax.lax.dynamic_index_in_dim(
+                vb, li, 0, keepdims=False
+            )
 
     if overlay is not None:
         # Bidirectional OR-overlay (Gemma3 VLM: image tokens attend
@@ -1693,13 +1732,24 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
         q = _rope(q, positions, cfg, lp.get("rope_inv")).reshape(
             B, T, n_kv, g, hd
         )
-        probs = _attn_scores(
-            q, k_cache, mask, cfg, lp.get("attn_sinks")
-        ).astype(cd)
-        ctx = jnp.einsum(
-            "btngs,bsnh->btngh", probs, v_cache,
-            preferred_element_type=jnp.float32,
-        ).astype(cd)
+        if use_flash:
+            from multimodal_rag_tpu.ops.flash_decode import flash_decode
+
+            sinks = lp.get("attn_sinks")
+            ctx = flash_decode(
+                q[:, 0], kb, vb, li, mask[:, 0],
+                sinks.reshape(n_kv, g) if sinks is not None else None,
+                sm_scale=cfg.sm_scale,
+                softcap=float(cfg.attn_logit_softcap or 0.0),
+            ).astype(cd)[:, None]  # (B, 1, n, g, hd)
+        else:
+            probs = _attn_scores(
+                q, k_cache, mask, cfg, lp.get("attn_sinks")
+            ).astype(cd)
+            ctx = jnp.einsum(
+                "btngs,bnsh->btngh", probs, v_cache,
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
         attn = _qmatmul(ctx.reshape(B, T, n_kv * g * hd), lp, "wo", cd)
         if cfg.o_bias:
             attn = attn + lp["bo"].astype(cd)
@@ -1723,11 +1773,13 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
 
 
 def _project_kv(h_norm, lp, positions, cfg):
-    """Normed hidden (B, T, H) → rotated k, v (B, T, n_kv, hd) in bf16.
+    """Normed hidden (B, T, H) → rotated k, v HEAD-MAJOR (B, n_kv, T, hd)
+    in bf16 — the cache's storage layout (init_cache), so writes land
+    without a relayout and the attention dots read it directly.
 
     MLA (``cfg.kv_lora_rank``): returns the LATENT pair instead — the
-    rmsnormed compressed kv (B, T, 1, r) in the "k" slot and the shared
-    roped key (B, T, 1, dr) in the "v" slot. Same (B, T, heads, dim)
+    rmsnormed compressed kv (B, 1, T, r) in the "k" slot and the shared
+    roped key (B, 1, T, dr) in the "v" slot. Same (B, heads, T, dim)
     shape contract, so every cache-update site works unchanged."""
     cd = cfg.compute_dtype
     B, T, _ = h_norm.shape
@@ -1738,7 +1790,10 @@ def _project_kv(h_norm, lp, positions, cfg):
         kr = _rope_pairs(
             ckr[..., None, r:], positions, cfg
         )  # (B, T, 1, dr)
-        return c[:, :, None, :], kr.astype(cd)
+        return (
+            c[:, None, :, :],
+            jnp.swapaxes(kr, 1, 2).astype(cd),
+        )
     k = _qmatmul(h_norm, lp, "wk", cd)
     v = _qmatmul(h_norm, lp, "wv", cd)
     if cfg.qkv_bias:
@@ -1749,7 +1804,10 @@ def _project_kv(h_norm, lp, positions, cfg):
     if cfg.qk_norm:  # Qwen3/Gemma3: per-head norm over head_dim, pre-RoPE
         k = _rmsnorm(k, lp["ln_k"], cfg).astype(cd)
     k = _rope(k, positions, cfg, lp.get("rope_inv"))
-    return k.astype(cd), v.astype(cd)
+    return (
+        jnp.swapaxes(k, 1, 2).astype(cd),
+        jnp.swapaxes(v, 1, 2).astype(cd),
+    )
 
 
 def _embed_tokens(params, ids, cfg):
@@ -1788,7 +1846,16 @@ def _window_classes(cfg: DecoderConfig):
 def init_cache(
     cfg: DecoderConfig, batch: int, max_seq: int, windowed: bool = False
 ) -> Dict:
-    """Fixed-shape KV cache: (L, B, S_max, n_kv, hd) bf16 per tensor.
+    """Fixed-shape KV cache: (L, B, n_kv, S_max, hd) bf16 per tensor.
+
+    HEAD-MAJOR on purpose (r4): both attention dots contract per
+    (batch, head) over (S, hd) blocks, and with the previous
+    (L, B, S, n_kv, hd) layout XLA relayouted every layer's k/v slice to
+    head-major before the dot AND back after the update — four full
+    cache-row copies per layer per decode step, measured as ~4.8 ms/GiB
+    of cache against the 1.2 ms/GiB read floor (Gemma3-shaped 0.9B at
+    ctx 2560: 8.9 ms/step, of which ~5 ms was pure relayout traffic).
+    Storing the cache the way the MXU reads it deletes the copies.
 
     ``windowed=True`` (models with ``cfg.layer_windows``, e.g. Gemma3's
     5-local:1-global interleave or GPT-OSS's alternating 128-token
@@ -1805,8 +1872,8 @@ def init_cache(
     Gemma3/GPT-OSS sliding-window semantics are the behavioral spec.
 
     MLA: the cache holds the LATENT pair — "k" is the compressed kv
-    (L, B, S, 1, kv_lora_rank), "v" the shared roped key
-    (L, B, S, 1, qk_rope_head_dim). Per-token bytes drop from
+    (L, B, 1, S, kv_lora_rank), "v" the shared roped key
+    (L, B, 1, S, qk_rope_head_dim). Per-token bytes drop from
     2·n_kv·hd to r + dr (DeepSeek-V3: 576 vs 32768 per layer) — the
     reason MLA exists; all cache plumbing (row insert, prefix-cache
     block copies, TP placement) is shape-agnostic and reused as is."""
@@ -1825,21 +1892,21 @@ def init_cache(
         for c, w in enumerate(classes):
             s_c = max_seq if w == 0 else min(w, max_seq)
             shape = (
-                cls_of.count(c), batch, s_c, cfg.num_kv_heads,
+                cls_of.count(c), batch, cfg.num_kv_heads, s_c,
                 cfg.head_dim,
             )
             ks.append(jnp.zeros(shape, cfg.compute_dtype))
             vs.append(jnp.zeros(shape, cfg.compute_dtype))
         return {"k": tuple(ks), "v": tuple(vs)}
     if cfg.kv_lora_rank:
-        base = (cfg.num_layers, batch, max_seq, 1)
+        base = (cfg.num_layers, batch, 1, max_seq)
         return {
             "k": jnp.zeros(base + (cfg.kv_lora_rank,), cfg.compute_dtype),
             "v": jnp.zeros(
                 base + (cfg.qk_rope_head_dim,), cfg.compute_dtype
             ),
         }
-    shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
     return {
         "k": jnp.zeros(shape, cfg.compute_dtype),
         "v": jnp.zeros(shape, cfg.compute_dtype),
@@ -1889,73 +1956,60 @@ def _run_layers(x, params, cache_k, cache_v, cfg: DecoderConfig, body):
     """Traverse the layer stack: the DeepSeek dense prefix
     (``params["dense_layers"]``, cfg.first_k_dense layers) runs UNROLLED
     first — its leaves differ structurally from the MoE stack, so it
-    cannot share the scan — then the homogeneous stack scans. ``body``
-    is the per-layer step ``(x, (lp, kc, vc)) -> (x, (kc, vc))`` shared
-    by both. Cache rows [0, K) belong to the prefix.
+    cannot share the scan — then the homogeneous stack scans. Cache
+    rows [0, K) belong to the prefix.
+
+    BODY CONTRACT (r4): ``body(x, lp, kb, vb, li, w=0) -> (x, kb, vb)``
+    — kb/vb are the FULL stacked cache buffers riding the scan CARRY and
+    ``li`` is this layer's row. The body writes its (tiny) token k/v
+    in place into the full buffer and dynamic-slices its row back for
+    attention. The previous design scanned the cache as xs and restacked
+    the updated rows as ys — measured at ~6.9 ms per GiB of cache per
+    step on v5e (xs slice read + update copy + ys write ≈ 4 memory
+    passes; XLA does NOT alias xs to ys), vs ~1.0 ms/GiB for the carry
+    form (one attention read + an in-place few-KB write). At a
+    Gemma3-shaped 0.9B, ctx 2560, B=8 that was the difference between
+    8.9 and ~4 ms/step — the cache traffic, not the weight stream, was
+    the decode ceiling at long context.
 
     int4 serving (``params["layers_q4"]``): the packed stacks stay
     scan-INVARIANT (a closure of this wrapper, never ``xs``) and the
-    scan additionally carries the layer index; the wrapper injects both
-    into ``lp`` as ``_q4``/``_li`` for `_qmatmul`'s scalar-prefetch
-    kernel dispatch. Scanning packed weights as xs would materialize a
-    per-layer slice copy before the Pallas custom-call and erase the
-    int4 bandwidth saving (see quantize_decoder_params).
+    wrapper injects ``_q4``/``_li`` into ``lp`` for `_qmatmul`'s
+    scalar-prefetch kernel dispatch. Scanning packed weights as xs would
+    materialize a per-layer slice copy before the Pallas custom-call and
+    erase the int4 bandwidth saving (see quantize_decoder_params).
 
     WINDOWED caches (tuple-leaved ``cache_k`` from
-    ``init_cache(windowed=True)``): per-class cache stacks ride the scan
-    CARRY (their leading dims differ per class, so they cannot be xs)
-    and a ``lax.switch`` on the layer's class picks the branch — inside
-    each branch the class's window is a STATIC Python int, so the ring
-    arithmetic and masks constant-fold per class. ``body`` is then
-    called as ``body(x, (lp, kc, vc), w)`` with w=0 meaning global/full.
-    XLA aliases the carry updates in place exactly as it aliases the
-    xs→ys cache restack on the plain path (verified: decode step time is
-    unchanged vs the full-length cache at equal shapes)."""
+    ``init_cache(windowed=True)``): per-class stacks, unrolled walk —
+    see :func:`_run_layers_windowed`."""
     if isinstance(cache_k, (tuple, list)):
         return _run_layers_windowed(
             x, params, cache_k, cache_v, cfg, body
         )
     q4 = params.get("layers_q4")
-    if q4 is not None:
-        inner = body
-        n_scan = jax.tree.leaves(params["layers"])[0].shape[0]
+    n_scan = jax.tree.leaves(params["layers"])[0].shape[0]
+    K = cfg.first_k_dense
 
-        def body(x, scanned):  # noqa: F811 — deliberate wrap
-            lp, li, kc, vc = scanned
+    def scan_body(carry, xs_t):
+        x, kb, vb = carry
+        lp, li = xs_t
+        if q4 is not None:
             lp = dict(lp)
             lp["_q4"] = q4
             lp["_li"] = li
-            return inner(x, (lp, kc, vc))
+        x, kb, vb = body(x, lp, kb, vb, K + li)
+        return (x, kb, vb), None
 
-        layers_xs = (
-            params["layers"], jnp.arange(n_scan, dtype=jnp.int32),
-        )
-    else:
-        layers_xs = (params["layers"],)
-
-    def scan_stack(x, ck, cv):
-        return jax.lax.scan(body, x, layers_xs + (ck, cv))
-
-    K = cfg.first_k_dense
-    if K:
-        dl = params["dense_layers"]
-        pk, pv = [], []
-        for i in range(K):
-            lp = jax.tree.map(lambda a, _i=i: a[_i], dl)
-            # The unrolled prefix never carries q4 leaves
-            # (quantize_decoder_params keeps it int8), so it calls the
-            # caller's body directly.
-            x, (nk, nv) = (inner if q4 is not None else body)(
-                x, (lp, cache_k[i], cache_v[i])
-            )
-            pk.append(nk)
-            pv.append(nv)
-        x, (sk, sv) = scan_stack(x, cache_k[K:], cache_v[K:])
-        return x, (
-            jnp.concatenate([jnp.stack(pk), sk]),
-            jnp.concatenate([jnp.stack(pv), sv]),
-        )
-    return scan_stack(x, cache_k, cache_v)
+    for i in range(K):
+        # The unrolled prefix never carries q4 leaves
+        # (quantize_decoder_params keeps it int8).
+        lp = jax.tree.map(lambda a, _i=i: a[_i], params["dense_layers"])
+        x, cache_k, cache_v = body(x, lp, cache_k, cache_v, i)
+    (x, kb, vb), _ = jax.lax.scan(
+        scan_body, (x, cache_k, cache_v),
+        (params["layers"], jnp.arange(n_scan, dtype=jnp.int32)),
+    )
+    return x, (kb, vb)
 
 
 def _run_layers_windowed(x, params, cache_k, cache_v,
@@ -1985,9 +2039,7 @@ def _run_layers_windowed(x, params, cache_k, cache_v,
             lp = dict(lp)
             lp["_q4"] = q4
             lp["_li"] = jnp.int32(li)
-        x, (nk, nv) = body(x, (lp, ks[c][idx], vs[c][idx]), classes[c])
-        ks[c] = ks[c].at[idx].set(nk)
-        vs[c] = vs[c].at[idx].set(nv)
+        x, ks[c], vs[c] = body(x, lp, ks[c], vs[c], idx, classes[c])
     return x, (tuple(ks), tuple(vs))
 
 
@@ -2006,11 +2058,10 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
 
     slots = (jnp.arange(P), jnp.arange(P))
 
-    def body(x, scanned, w=0):
-        lp, kc, vc = scanned
+    def body(x, lp, kb, vb, li, w=0):
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
-        k, v = _project_kv(h_norm, lp, positions, cfg)
-        ring = kc.shape[1]
+        k, v = _project_kv(h_norm, lp, positions, cfg)  # (B, n, P, hd)
+        ring = kb.shape[3]
         if w and P > ring:
             # Windowed ring write with the prompt longer than the ring:
             # keep, per congruence class i (mod ring), the LAST prompt
@@ -2019,16 +2070,21 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
             # holds the largest written slot ≡ i (mod ring).
             js = np.arange(ring)
             js = P - 1 - ((P - 1 - js) % ring)
-            kc = k[:, js]
-            vc = v[:, js]
+            kw, vw = k[:, :, js], v[:, :, js]
         else:
             # Full-length cache, or prompt fits the ring: slots [0, P)
             # land at ring indexes [0, P) (s % ring == s).
-            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, 0, axis=1)
-            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, 0, axis=1)
+            kw, vw = k, v
+        kb = jax.lax.dynamic_update_slice(
+            kb, kw[None], (li, 0, 0, 0, 0)
+        )
+        vb = jax.lax.dynamic_update_slice(
+            vb, vw[None], (li, 0, 0, 0, 0)
+        )
+        # Prefill attends in-chunk (k, v) — it never reads the cache.
         x = _layer_forward(x, lp, k, v, positions, add_mask, cfg, slots,
                            overlay)
-        return x, (kc, vc)
+        return x, kb, vb
 
     x, (k_new, v_new) = _run_layers(
         x, params, cache["k"], cache["v"], cfg, body
@@ -2054,12 +2110,11 @@ def causal_lm_logits(params, ids, mask, cfg: DecoderConfig) -> jax.Array:
     cache = init_cache(cfg, B, T)
     slots = (jnp.arange(T), jnp.arange(T))
 
-    def body(x, scanned):
-        lp, kc, vc = scanned
+    def body(x, lp, kb, vb, li, w=0):
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, positions, cfg)
         x = _layer_forward(x, lp, k, v, positions, add_mask, cfg, slots)
-        return x, (kc, vc)
+        return x, kb, vb
 
     x, _ = _run_layers(x, params, cache["k"], cache["v"], cfg, body)
     x = _rmsnorm(x, params["final_norm"], cfg)
@@ -2088,19 +2143,21 @@ def decode_step(
 
     slots = (jnp.full((1,), pos), jnp.arange(S_max))
 
-    def body(x, scanned, w=0):
-        lp, kc, vc = scanned
+    def body(x, lp, kb, vb, li, w=0):
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
-        k, v = _project_kv(h_norm, lp, pos_q, cfg)
+        k, v = _project_kv(h_norm, lp, pos_q, cfg)  # (B, n, 1, hd)
+        ring = kb.shape[3]
         if w:
             # Ring-buffer layer: write at pos % ring (the overwritten
             # entry held slot pos-ring — already outside the window for
             # this and every later query), then rebuild each ring
             # entry's slot from pos to mask stale/unattendable keys.
-            ring = kc.shape[1]
-            r = jnp.mod(pos, ring)
-            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, r, axis=1)
-            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, r, axis=1)
+            wr = jnp.mod(pos, ring)
+        else:
+            wr = pos
+        kb = jax.lax.dynamic_update_slice(kb, k[None], (li, 0, 0, wr, 0))
+        vb = jax.lax.dynamic_update_slice(vb, v[None], (li, 0, 0, wr, 0))
+        if w:
             i = jnp.arange(ring)
             slot = pos - jnp.mod(pos - i, ring)  # (ring,) ∈ (pos-ring, pos]
             gathered = jnp.take(
@@ -2110,12 +2167,12 @@ def decode_step(
             am = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)[:, None, :]
             lpw = dict(lp)
             lpw.pop("attn_window", None)  # the ring IS the window
-            x = _layer_forward(x, lpw, kc, vc, pos_q, am, cfg)
+            x = _layer_forward(x, lpw, None, None, pos_q, am, cfg,
+                               stacked=(kb, vb, li))
         else:
-            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=1)
-            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=1)
-            x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
-        return x, (kc, vc)
+            x = _layer_forward(x, lp, None, None, pos_q, add_mask, cfg,
+                               slots, stacked=(kb, vb, li))
+        return x, kb, vb
 
     x, (k_new, v_new) = _run_layers(
         x, params, cache["k"], cache["v"], cfg, body
@@ -2149,17 +2206,16 @@ def decode_step_rows(
 
     slots = (pos[:, None], jnp.arange(S_max))
 
-    def body(x, scanned, w=0):
-        lp, kc, vc = scanned
+    def body(x, lp, kb, vb, li, w=0):
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
-        k, v = _project_kv(h_norm, lp, pos_q, cfg)
+        k, v = _project_kv(h_norm, lp, pos_q, cfg)  # (B, n, 1, hd)
+        ring = kb.shape[3]
+        # Per-row write position (rows sit at different depths); ring
+        # layers wrap — see decode_step's windowed body.
+        wr = jnp.mod(pos, ring) if w else pos  # (B,)
+        kb = kb.at[li, rows, :, wr].set(k[:, :, 0])
+        vb = vb.at[li, rows, :, wr].set(v[:, :, 0])
         if w:
-            # Per-row ring write + per-row slot reconstruction (rows sit
-            # at different depths) — see decode_step's windowed body.
-            ring = kc.shape[1]
-            r = jnp.mod(pos, ring)  # (B,)
-            kc = kc.at[rows, r].set(k[:, 0])
-            vc = vc.at[rows, r].set(v[:, 0])
             i = jnp.arange(ring)[None, :]
             slot = pos[:, None] - jnp.mod(pos[:, None] - i, ring)
             gathered = jnp.take_along_axis(
@@ -2169,12 +2225,12 @@ def decode_step_rows(
             am = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)[:, None, :]
             lpw = dict(lp)
             lpw.pop("attn_window", None)
-            x = _layer_forward(x, lpw, kc, vc, pos_q, am, cfg)
+            x = _layer_forward(x, lpw, None, None, pos_q, am, cfg,
+                               stacked=(kb, vb, li))
         else:
-            kc = kc.at[rows, pos].set(k[:, 0])
-            vc = vc.at[rows, pos].set(v[:, 0])
-            x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
-        return x, (kc, vc)
+            x = _layer_forward(x, lp, None, None, pos_q, add_mask, cfg,
+                               slots, stacked=(kb, vb, li))
+        return x, kb, vb
 
     x, (k_new, v_new) = _run_layers(
         x, params, cache["k"], cache["v"], cfg, body
@@ -2241,14 +2297,18 @@ def _decode_verify_impl(
 
     slots = (pos_slots, jnp.arange(S_max))
 
-    def body(x, scanned):
-        lp, kc, vc = scanned
+    def body(x, lp, kb, vb, li, w=0):
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
-        k, v = _project_kv(h_norm, lp, pos_q, cfg)
-        kc = kc.at[rows, pos_slots].set(k)
-        vc = vc.at[rows, pos_slots].set(v)
+        k, v = _project_kv(h_norm, lp, pos_q, cfg)  # (B, n, T, hd)
+        # Scatter the T chunk slots per row: advanced indexes (rows,
+        # pos_slots) broadcast to (B, T) and land in front, so the
+        # update operand is (B, T, n, hd) — swap the chunk back.
+        kb = kb.at[li, rows, :, pos_slots].set(jnp.swapaxes(k, 1, 2))
+        vb = vb.at[li, rows, :, pos_slots].set(jnp.swapaxes(v, 1, 2))
+        kc = jax.lax.dynamic_index_in_dim(kb, li, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(vb, li, 0, keepdims=False)
         x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
-        return x, (kc, vc)
+        return x, kb, vb
 
     x, (k_new, v_new) = _run_layers(
         x, params, cache["k"], cache["v"], cfg, body

@@ -240,7 +240,7 @@ def pp_generate(
         keys = jax.random.split(key, B) if key.ndim == 0 else key
 
         # Per-stage KV cache over the FULL batch, local layers only.
-        kc = jnp.zeros((Ls, B, S_max, cfg.num_kv_heads, cfg.head_dim), cd)
+        kc = jnp.zeros((Ls, B, cfg.num_kv_heads, S_max, cfg.head_dim), cd)
         vc = jnp.zeros_like(kc)
         h_last = jnp.zeros((B, cfg.hidden_dim), cd)
 
@@ -280,7 +280,7 @@ def pp_generate(
             # Commit this microbatch's prompt keys/values (guarded: an
             # invalid tick rewrites the existing slice unchanged).
             idx = (0, start, 0, 0, 0)
-            sizes = (Ls, mb, Pr, cfg.num_kv_heads, cfg.head_dim)
+            sizes = (Ls, mb, cfg.num_kv_heads, Pr, cfg.head_dim)
             kc_cur = jax.lax.dynamic_slice(kc, idx, sizes)
             vc_cur = jax.lax.dynamic_slice(vc, idx, sizes)
             kc = jax.lax.dynamic_update_slice(
@@ -354,7 +354,7 @@ def pp_generate(
             pos_q = (plen_m + t - 1)[:, None]  # (mb, 1)
 
             idx = (0, start, 0, 0, 0)
-            sizes = (Ls, mb, S_max, cfg.num_kv_heads, cfg.head_dim)
+            sizes = (Ls, mb, cfg.num_kv_heads, S_max, cfg.head_dim)
             kc_m = jax.lax.dynamic_slice(kc, idx, sizes)
             vc_m = jax.lax.dynamic_slice(vc, idx, sizes)
 
@@ -364,8 +364,8 @@ def pp_generate(
                 lp, kcl, vcl = scanned
                 h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
                 k, v = _project_kv(h_norm, lp, pos_q, cfg)
-                kcl = jax.lax.dynamic_update_slice(kcl, k, (0, pos, 0, 0))
-                vcl = jax.lax.dynamic_update_slice(vcl, v, (0, pos, 0, 0))
+                kcl = jax.lax.dynamic_update_slice(kcl, k, (0, 0, pos, 0))
+                vcl = jax.lax.dynamic_update_slice(vcl, v, (0, 0, pos, 0))
                 x = _layer_forward(
                     x, lp, kcl, vcl, pos_q, add_mask, cfg, slots
                 )

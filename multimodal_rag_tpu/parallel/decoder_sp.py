@@ -79,7 +79,8 @@ def _ring_attention(q, k_blk, v_blk, q_global, mask, cfg, S, T_loc,
     """Blockwise-causal ring attention for the local query block.
 
     q: (B, T_loc, n_kv, g, hd) — already RoPE'd/normed local queries;
-    k_blk/v_blk: (B, T_loc, n_kv, hd) — the LOCAL kv block (rotates);
+    k_blk/v_blk: HEAD-MAJOR (B, n_kv, T_loc, hd) — the LOCAL kv block
+    (rotates, decoder._project_kv layout);
     q_global: (T_loc,) global sequence indices of the local queries;
     mask: (B, P) full pad mask (replicated). Returns ctx
     (B, T_loc, n_kv, g, hd) f32 — the softmax-weighted values, identical
@@ -119,7 +120,7 @@ def _ring_attention(q, k_blk, v_blk, q_global, mask, cfg, S, T_loc,
 
         # Same order as decoder._attn_scores: scale → softcap → mask.
         logits = jnp.einsum(
-            "btngh,bsnh->btngs", q, k_blk,
+            "btngh,bnsh->btngs", q, k_blk,
             preferred_element_type=jnp.float32,
         ) * cfg.sm_scale
         logits = _softcap(logits, cfg.attn_logit_softcap)
@@ -130,7 +131,7 @@ def _ring_attention(q, k_blk, v_blk, q_global, mask, cfg, S, T_loc,
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
-            "btngs,bsnh->btngh", p, v_blk.astype(jnp.float32),
+            "btngs,bnsh->btngh", p, v_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         k_blk, v_blk = jax.tree.map(
@@ -157,7 +158,7 @@ def sp_prefill(
 ) -> Tuple[jax.Array, Dict]:
     """Sequence-parallel prefill. ids/mask (B, P) left-padded, P must
     divide by the mesh size. Returns (next-token logits (B, vocab), kv
-    cache {k, v} of shape (L, B, P, n_kv, hd) — sequence length P, not
+    cache {k, v} of shape (L, B, n_kv, P, hd) — sequence length P, not
     max_seq; :func:`sp_generate` pads it into the decode buffer)."""
     if cfg.kv_lora_rank or cfg.first_k_dense:
         raise ValueError(
@@ -241,8 +242,9 @@ def sp_prefill(
         in_specs=(P(), P(), P()),
         out_specs=(
             P(),
-            P(None, None, SEQ_AXIS),  # (L, B, P, n_kv, hd): seq-assembled
-            P(None, None, SEQ_AXIS),
+            # (L, B, n_kv, P, hd): seq blocks assemble on axis 3
+            P(None, None, None, SEQ_AXIS),
+            P(None, None, None, SEQ_AXIS),
         ),
         check_vma=False,
     )
@@ -279,17 +281,17 @@ def sp_generate(
     logits, cache_p = sp_prefill(params, ids, mask, cfg, mesh)
     cache = {
         "k": jnp.zeros(
-            (cfg.num_layers, B, S_max, cfg.num_kv_heads, cfg.head_dim),
+            (cfg.num_layers, B, cfg.num_kv_heads, S_max, cfg.head_dim),
             cfg.compute_dtype,
         ),
         "v": jnp.zeros(
-            (cfg.num_layers, B, S_max, cfg.num_kv_heads, cfg.head_dim),
+            (cfg.num_layers, B, cfg.num_kv_heads, S_max, cfg.head_dim),
             cfg.compute_dtype,
         ),
     }
     cache = {
         n: jax.lax.dynamic_update_slice_in_dim(
-            cache[n], cache_p[n].astype(cfg.compute_dtype), 0, axis=2
+            cache[n], cache_p[n].astype(cfg.compute_dtype), 0, axis=3
         )
         for n in ("k", "v")
     }

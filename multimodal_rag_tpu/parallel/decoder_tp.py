@@ -191,9 +191,9 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
 
 
 def cache_spec(cfg: DecoderConfig, tp: int) -> P:
-    """KV cache (L, B, S, n_kv, hd): shard the head axis when it divides."""
+    """KV cache (L, B, n_kv, S, hd): shard the head axis when it divides."""
     if cfg.num_kv_heads % tp == 0:
-        return P(None, DATA_AXIS, None, MODEL_AXIS, None)
+        return P(None, DATA_AXIS, MODEL_AXIS, None, None)
     return P(None, DATA_AXIS, None, None, None)
 
 

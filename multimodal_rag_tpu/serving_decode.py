@@ -376,12 +376,12 @@ def _store_prefix(ppool: Dict, pool: Dict, slot: jax.Array,
     """Snapshot row ``slot``'s first Lp_max cache slots into prefix-cache
     entry ``entry`` (called right after a prompt's prefill completes, so
     those slots hold prompt k/v only)."""
-    Lp = ppool["k"].shape[2]
+    Lp = ppool["k"].shape[3]
     out = {}
     for n in ("k", "v"):
-        L, _, _, nk, hd = pool[n].shape
+        L, _, nk, _, hd = pool[n].shape
         blk = jax.lax.dynamic_slice(
-            pool[n], (0, slot, 0, 0, 0), (L, 1, Lp, nk, hd)
+            pool[n], (0, slot, 0, 0, 0), (L, 1, nk, Lp, hd)
         )
         out[n] = jax.lax.dynamic_update_slice(
             ppool[n], blk, (0, entry, 0, 0, 0)

@@ -64,11 +64,13 @@ def _check_prefill(cfg, params, B=4, P=16, seed=0):
         rtol=2e-5, atol=2e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(sp_cache["k"]), np.asarray(ref_cache["k"][:, :, :P]),
+        np.asarray(sp_cache["k"]),
+        np.asarray(ref_cache["k"][:, :, :, :P]),
         rtol=2e-5, atol=2e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(sp_cache["v"]), np.asarray(ref_cache["v"][:, :, :P]),
+        np.asarray(sp_cache["v"]),
+        np.asarray(ref_cache["v"][:, :, :, :P]),
         rtol=2e-5, atol=2e-5,
     )
 

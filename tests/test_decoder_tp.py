@@ -64,7 +64,7 @@ def test_prefill_matches_single_device(mesh, cfg):
     # The cache must actually be head-sharded when heads divide.
     if cfg.num_kv_heads % 8 == 0:
         shard_shape = cache["k"].sharding.shard_shape(cache["k"].shape)
-        assert shard_shape[3] == cfg.num_kv_heads // 8
+        assert shard_shape[2] == cfg.num_kv_heads // 8
 
 
 def test_greedy_generation_matches(mesh):
@@ -110,4 +110,4 @@ def test_specs_cover_params():
                 walk(v, s[k])
 
     walk(params, specs)
-    assert cache_spec(cfg, 8)[3] == "model"
+    assert cache_spec(cfg, 8)[2] == "model"

@@ -71,8 +71,8 @@ MLA_CFG = DecoderConfig(
 class TestLatentCache:
     def test_cache_is_latent_sized(self):
         cache = init_cache(MLA_CFG, 2, 32)
-        assert cache["k"].shape == (3, 2, 32, 1, 16)  # kv_lora_rank
-        assert cache["v"].shape == (3, 2, 32, 1, 8)   # qk_rope_head_dim
+        assert cache["k"].shape == (3, 2, 1, 32, 16)  # kv_lora_rank
+        assert cache["v"].shape == (3, 2, 1, 32, 8)   # qk_rope_head_dim
         # vs the materialized form: n_heads * (qk_head + v_head) per
         # token — the compression the serving stack banks on.
         latent = 16 + 8

@@ -168,3 +168,49 @@ class TestEndToEndOnTPU:
             return resp.status
 
         assert loop.run_until_complete(do_delete()) == 200
+
+
+class TestFlashDecodeOnChip:
+    def test_flash_matches_xla_attention_compiled(self):
+        """Compiled-on-chip numerics gate for ops/flash_decode.py: the
+        kernel's single-step decode logits must track the XLA
+        slice+einsum path within flash-softmax reassociation noise
+        (interpret-mode oracle tests run on CPU; this is the real-MXU
+        contract)."""
+        from multimodal_rag_tpu.config import settings
+        from multimodal_rag_tpu.models.decoder import (
+            decode_step,
+            prefill,
+        )
+
+        cfg = DecoderConfig(
+            vocab_size=512, hidden_dim=256, num_layers=3, num_heads=4,
+            num_kv_heads=2, head_dim=64, ff_dim=512, max_position=512,
+        )
+        params = init_dec_params(jax.random.key(0), cfg)
+        rng = np.random.default_rng(0)
+        B, P, S = 4, 128, 256
+        ids = jnp.asarray(
+            rng.integers(3, cfg.vocab_size, (B, P)), jnp.int32
+        )
+        mask = jnp.ones((B, P), jnp.int32)
+        km = jnp.zeros((B, S), jnp.int32).at[:, : P + 1].set(1)
+        tok = jnp.asarray([5, 9, 11, 20], jnp.int32)
+        out = {}
+        prev = settings.TPU_LLM_FLASH_DECODE
+        try:
+            for flag in (True, False):
+                jax.clear_caches()
+                settings.TPU_LLM_FLASH_DECODE = flag
+                _, cache = prefill(params, ids, mask, cfg, S)
+                lg, _ = decode_step(
+                    params, cache, tok, jnp.int32(P), km,
+                    jnp.full((B,), P, jnp.int32), cfg,
+                )
+                out[flag] = np.asarray(lg)
+        finally:
+            settings.TPU_LLM_FLASH_DECODE = prev
+            jax.clear_caches()
+        scale = max(1e-3, float(np.abs(out[False]).max()))
+        rel = float(np.abs(out[True] - out[False]).max()) / scale
+        assert rel < 0.05, rel

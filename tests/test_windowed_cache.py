@@ -103,10 +103,11 @@ class TestCacheLayout:
         # 4 layers x 4 slots + 2 layers x 64 slots vs 6 x 64.
         assert n_win * 2 < n_full, (n_win, n_full)
         # Ring length = min(window, S); global layers keep full length.
+        # Head-major layout: (layers_in_class, B, n_kv, S_class, hd).
         ks = win["k"]
         assert isinstance(ks, tuple) and len(ks) == 2
-        assert ks[0].shape[:3] == (2, 2, 64)  # window-0 (global) class
-        assert ks[1].shape[:3] == (4, 2, 4)  # window-4 class
+        assert ks[0].shape[:2] + ks[0].shape[3:4] == (2, 2, 64)  # global
+        assert ks[1].shape[:2] + ks[1].shape[3:4] == (4, 2, 4)  # window 4
 
     def test_windowed_rejects_mla_and_dense_prefix(self):
         mla = DecoderConfig(kv_lora_rank=8, layer_windows=(4, 0))
