@@ -160,11 +160,18 @@ class Settings:
     # Fused Pallas flash-decode attention (ops/flash_decode.py): the
     # decode step reads each layer's KV straight from the stacked cache
     # via a scalar-prefetch index_map instead of materializing a row
-    # slice before the attention dot. Single-chip TPU decode only
-    # (CPU/MLA/chunked/TP-sharded paths keep the XLA einsum); numerics
-    # are flash-style online softmax — equal to the XLA path within
+    # slice before the attention dot. TPU decode at T=1, including
+    # TP-sharded serving (the kernel is GSPMD-partitionable on the
+    # batch/kv-head axes, r5) and MLA models (absorbed-latent variant);
+    # CPU and chunked T>1 paths keep the XLA einsum. Numerics are
+    # flash-style online softmax — equal to the XLA path within
     # bf16/f32 rounding. False = always XLA attention.
     TPU_LLM_FLASH_DECODE: bool = True
+    # TEST-ONLY: take the flash-decode kernel path on non-TPU backends
+    # (Pallas interpret mode) so CPU-mesh tests can assert kernel-path
+    # greedy equality under TP. Never enable in production — interpret
+    # mode is orders of magnitude slower than the XLA fallback.
+    TPU_LLM_FLASH_INTERPRET: bool = False
     OLLAMA_MODEL: str = "gemma2:4b"
     OLLAMA_BASE_URL: str = "http://localhost:11434"
     OPENAI_API_KEY: Optional[str] = None

@@ -1585,7 +1585,8 @@ def _moe_mlp(h, lp, cfg: DecoderConfig, cd) -> jax.Array:
     return out.astype(cd)
 
 
-def _mla_attn(h, lp, c_cache, kr_cache, positions, mask, cfg):
+def _mla_attn(h, lp, c_cache, kr_cache, positions, mask, cfg,
+              stacked=None):
     """DeepSeek multi-head latent attention over the latent cache.
 
     h: normed hidden (B, T, H); c_cache: (B, 1, S, r) compressed-kv
@@ -1623,20 +1624,33 @@ def _mla_attn(h, lp, c_cache, kr_cache, positions, mask, cfg):
     qn_abs = jnp.einsum(
         "btnd,rnd->btnr", qn, w_k, preferred_element_type=jnp.float32
     )
-    c = c_cache[:, 0, :, :]    # (B, S, r)
-    kr = kr_cache[:, 0, :, :]  # (B, S, dr)
-    logits = (
-        jnp.einsum("btnr,bsr->btns", qn_abs.astype(cd), c,
-                   preferred_element_type=jnp.float32)
-        + jnp.einsum("btnd,bsd->btns", qr, kr,
-                     preferred_element_type=jnp.float32)
-    ) * cfg.sm_scale
-    logits = logits + mask[:, :, None, :]
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    ctx = jnp.einsum(
-        "btns,bsr->btnr", probs.astype(cd), c,
-        preferred_element_type=jnp.float32,
-    ).astype(cd)
+    if stacked is not None:
+        # T=1 decode over the STACKED latent cache: the fused MLA
+        # flash kernel streams this layer's c/kr tiles straight from
+        # HBM (ops/flash_decode.flash_decode_mla) — no row slice is
+        # materialized. Exact same score/context math as below.
+        from multimodal_rag_tpu.ops.flash_decode import flash_decode_mla
+
+        kb, vb, li = stacked
+        ctx = flash_decode_mla(
+            qn_abs[:, 0].astype(cd), qr[:, 0], kb, vb, li, mask[:, 0],
+            sm_scale=float(cfg.sm_scale),
+        ).astype(cd)[:, None]  # (B, 1, n, r)
+    else:
+        c = c_cache[:, 0, :, :]    # (B, S, r)
+        kr = kr_cache[:, 0, :, :]  # (B, S, dr)
+        logits = (
+            jnp.einsum("btnr,bsr->btns", qn_abs.astype(cd), c,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("btnd,bsd->btns", qr, kr,
+                         preferred_element_type=jnp.float32)
+        ) * cfg.sm_scale
+        logits = logits + mask[:, :, None, :]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        ctx = jnp.einsum(
+            "btns,bsr->btnr", probs.astype(cd), c,
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
     out = jnp.einsum(
         "btnr,rnd->btnd", ctx, w_v, preferred_element_type=jnp.float32
     ).astype(cd)
@@ -1647,6 +1661,15 @@ def _flash_enabled() -> bool:
     from multimodal_rag_tpu.config import settings
 
     return bool(getattr(settings, "TPU_LLM_FLASH_DECODE", True))
+
+
+def _flash_interpret() -> bool:
+    """TEST-ONLY override: allow the kernel path on non-TPU backends in
+    Pallas interpret mode, so CPU-mesh tests can assert kernel-path
+    greedy equality under TP sharding."""
+    from multimodal_rag_tpu.config import settings
+
+    return bool(getattr(settings, "TPU_LLM_FLASH_INTERPRET", False))
 
 
 def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
@@ -1681,13 +1704,18 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
 
     use_flash = False
     if stacked is not None:
-        from multimodal_rag_tpu.ops.flash_decode import flash_decode_ok
+        from multimodal_rag_tpu.ops.flash_decode import (
+            flash_decode_mla_ok,
+            flash_decode_ok,
+        )
 
         kb, vb, li = stacked
+        ok = flash_decode_mla_ok if cfg.kv_lora_rank else flash_decode_ok
         use_flash = (
             T == 1
             and overlay is None
-            and flash_decode_ok(cfg, kb.shape[3], B)
+            and ok(cfg, kb.shape[3], B,
+                   allow_interpret=_flash_interpret())
             and _flash_enabled()
         )
         if not use_flash:
@@ -1719,8 +1747,10 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
 
     h = _rmsnorm(x, lp["ln_attn"], cfg).astype(cd)
     if cfg.kv_lora_rank:  # DeepSeek MLA: absorbed latent attention
-        ctx_flat = _mla_attn(h, lp, k_cache, v_cache, positions, mask,
-                             cfg)
+        ctx_flat = _mla_attn(
+            h, lp, k_cache, v_cache, positions, mask, cfg,
+            stacked=(kb, vb, li) if use_flash else None,
+        )
         attn = _qmatmul(ctx_flat, lp, "wo", cd)
     else:
         q = _qmatmul(h, lp, "wq", cd)

@@ -169,6 +169,42 @@ def decoder_param_specs(cfg: DecoderConfig, tp: int) -> Dict:
             ),
         },
     }
+    # DeepSeek MLA leaves: TP shards the QUERY heads — the rank-r latent
+    # cache has one shared "head" and replicates (its per-token bytes
+    # are 57x smaller than materialized heads; replicating it costs far
+    # less HBM than the all-gather a sharded softmax would need). The
+    # down-projections (wq_a, w_kva) and their norms replicate; the
+    # up-projections (wq_b / wq, w_kvb) column-shard on their head-major
+    # output, so qn_abs/ctx/probs all carry the head shard and ``wo``'s
+    # existing row split contracts it with one psum.
+    specs["layers"].update({
+        "wq_a": P(),
+        "ln_q_a": rep1,
+        "wq_b": col,
+        "w_kva": P(),
+        "ln_kv_a": rep1,
+        "w_kvb": col,
+    })
+    if cfg.first_k_dense:
+        # The dense-prefix stack (decoder._run_layers unrolls it) has
+        # the same attention leaves plus a dense MLP on dense_ff_dim.
+        dense_ok = cfg.dense_ff_dim % tp == 0
+        if not dense_ok:
+            logger.warning(
+                "dense_ff_dim=%d does not divide tp=%d: the dense "
+                "prefix MLP replicates", cfg.dense_ff_dim, tp,
+            )
+        specs["dense_layers"] = {
+            k: v for k, v in specs["layers"].items()
+            if not k.startswith(("b_", "w_router", "router",
+                                 "w_shared", "shared_gate", "slora_"))
+        }
+        specs["dense_layers"].update({
+            "w_gate": col if dense_ok else P(),
+            "w_up": col if dense_ok else P(),
+            "w_down": row if dense_ok else P(),
+        })
+
     # S-LoRA stacked adapters (lora.stack_lora_adapters): (L, N+1, in, r)
     # A / (L, N+1, r, out) B side-path pairs follow their base matmul's
     # split — col-split bases shard B's out dim, row-split bases shard

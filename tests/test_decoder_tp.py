@@ -111,3 +111,115 @@ def test_specs_cover_params():
 
     walk(params, specs)
     assert cache_spec(cfg, 8)[2] == "model"
+
+
+def test_greedy_generation_matches_flash_kernel_path(mesh, monkeypatch):
+    """VERDICT r4 #1: TP-sharded serving must keep the flash-decode
+    kernel. Force the kernel path on the CPU mesh (interpret mode) and
+    assert greedy equality between the sharded kernel run and the
+    unsharded XLA run — the kernel partitions per-shard on the kv-head
+    axis via custom_partitioning."""
+    from multimodal_rag_tpu.config import settings
+
+    cfg = DecoderConfig(
+        vocab_size=64,
+        hidden_dim=64,
+        num_layers=2,
+        num_heads=8,
+        num_kv_heads=8,
+        head_dim=64,
+        ff_dim=64,
+        max_position=256,
+        compute_dtype=jnp.float32,
+    )
+    params = init_params(jax.random.key(2), cfg)
+    ids = jnp.asarray(
+        np.random.default_rng(2).integers(3, 64, (2, 96)), jnp.int32
+    )
+    mask = jnp.ones((2, 96), jnp.int32)
+    # Unsharded, XLA attention path (flash off).
+    monkeypatch.setattr(settings, "TPU_LLM_FLASH_DECODE", False)
+    ref, _ = generate_tokens(
+        params, ids, mask, jax.random.key(0), cfg,
+        max_new_tokens=32, temperature=0.0, eos_id=-7,
+    )
+    # TP-sharded, kernel path (interpret mode on CPU): P + new = 128
+    # divides the 128 tile, head_dim 64 — flash_decode_ok passes.
+    monkeypatch.setattr(settings, "TPU_LLM_FLASH_DECODE", True)
+    monkeypatch.setattr(settings, "TPU_LLM_FLASH_INTERPRET", True)
+    # Guard against a silent fallback: count kernel-path traces.
+    from multimodal_rag_tpu.ops import flash_decode as fd_mod
+
+    calls = []
+    real = fd_mod.flash_decode
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(
+        "multimodal_rag_tpu.models.decoder.flash_decode",
+        counting, raising=False,
+    )
+    monkeypatch.setattr(fd_mod, "flash_decode", counting)
+    sharded, _ = shard_decoder(params, mesh, cfg)
+    out, _ = generate_tokens(
+        sharded, ids, mask, jax.random.key(0), cfg,
+        max_new_tokens=32, temperature=0.0, eos_id=-7,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert calls, "flash-decode kernel path was never traced"
+
+
+def test_deepseek_mla_tp_greedy_with_flash_kernel(mesh, monkeypatch):
+    """MLA (DeepSeek) under TP: query heads shard, the latent cache
+    replicates, and the absorbed-latent flash kernel partitions on the
+    head axis — greedy tokens must equal the unsharded XLA run."""
+    from multimodal_rag_tpu.config import settings
+
+    cfg = DecoderConfig(
+        vocab_size=64,
+        hidden_dim=48,
+        num_layers=2,
+        num_heads=8,
+        num_kv_heads=1,
+        head_dim=24,
+        ff_dim=32,
+        max_position=256,
+        compute_dtype=jnp.float32,
+        kv_lora_rank=16,
+        q_lora_rank=20,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=12,
+        rope_interleave=True,
+    )
+    params = init_params(jax.random.key(3), cfg)
+    ids = jnp.asarray(
+        np.random.default_rng(3).integers(3, 64, (2, 96)), jnp.int32
+    )
+    mask = jnp.ones((2, 96), jnp.int32)
+    monkeypatch.setattr(settings, "TPU_LLM_FLASH_DECODE", False)
+    ref, _ = generate_tokens(
+        params, ids, mask, jax.random.key(0), cfg,
+        max_new_tokens=32, temperature=0.0, eos_id=-7,
+    )
+    monkeypatch.setattr(settings, "TPU_LLM_FLASH_DECODE", True)
+    monkeypatch.setattr(settings, "TPU_LLM_FLASH_INTERPRET", True)
+    from multimodal_rag_tpu.ops import flash_decode as fd_mod
+
+    calls = []
+    real = fd_mod.flash_decode_mla
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fd_mod, "flash_decode_mla", counting)
+    sharded, _ = shard_decoder(params, mesh, cfg)
+    out, _ = generate_tokens(
+        sharded, ids, mask, jax.random.key(0), cfg,
+        max_new_tokens=32, temperature=0.0, eos_id=-7,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert calls, "MLA flash kernel path was never traced"
