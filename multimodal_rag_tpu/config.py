@@ -167,6 +167,16 @@ class Settings:
     # flash-style online softmax — equal to the XLA path within
     # bf16/f32 rounding. False = always XLA attention.
     TPU_LLM_FLASH_DECODE: bool = True
+    # int8 KV cache (r5): store decode k/v as int8 with per-(token,
+    # head) f32 scales — HALF the cache HBM stream per decode step
+    # (the long-context bound) and half the cache memory, at a small
+    # measured logit perturbation (tests/test_kv_quant.py gates; the
+    # flash kernel dequantizes in VMEM, ops/flash_decode.py). Composes
+    # with windowed rings, continuous batching, chunked prefill, prefix
+    # cache, and TP. MLA models keep their bf16 latent cache (already
+    # 9-57x smaller). Off by default: exactness-first posture — flip on
+    # for long-context serving where the cache dominates step time.
+    TPU_LLM_KV_QUANT: bool = False
     # TEST-ONLY: take the flash-decode kernel path on non-TPU backends
     # (Pallas interpret mode) so CPU-mesh tests can assert kernel-path
     # greedy equality under TP. Never enable in production — interpret

@@ -1714,17 +1714,13 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
         use_flash = (
             T == 1
             and overlay is None
-            and ok(cfg, kb.shape[3], B,
+            and ok(cfg, _kv_len(kb), B,
                    allow_interpret=_flash_interpret())
             and _flash_enabled()
         )
         if not use_flash:
-            k_cache = jax.lax.dynamic_index_in_dim(
-                kb, li, 0, keepdims=False
-            )
-            v_cache = jax.lax.dynamic_index_in_dim(
-                vb, li, 0, keepdims=False
-            )
+            k_cache = _kv_row(kb, li, cd)
+            v_cache = _kv_row(vb, li, cd)
 
     if overlay is not None:
         # Bidirectional OR-overlay (Gemma3 VLM: image tokens attend
@@ -1766,11 +1762,17 @@ def _layer_forward(x, lp, k_cache, v_cache, positions, mask, cfg,
             from multimodal_rag_tpu.ops.flash_decode import flash_decode
 
             sinks = lp.get("attn_sinks")
+            quant = isinstance(kb, dict)
             ctx = flash_decode(
-                q[:, 0], kb, vb, li, mask[:, 0],
+                q[:, 0],
+                kb["q"] if quant else kb,
+                vb["q"] if quant else vb,
+                li, mask[:, 0],
                 sinks.reshape(n_kv, g) if sinks is not None else None,
                 sm_scale=cfg.sm_scale,
                 softcap=float(cfg.attn_logit_softcap or 0.0),
+                k_scale=kb["s"] if quant else None,
+                v_scale=vb["s"] if quant else None,
             ).astype(cd)[:, None]  # (B, 1, n, g, hd)
         else:
             probs = _attn_scores(
@@ -1873,8 +1875,112 @@ def _window_classes(cfg: DecoderConfig):
     return classes, cls_of, idx_of
 
 
+# --- int8 KV cache (r5) ----------------------------------------------------
+#
+# Long-context decode is CACHE-STREAM bound (BASELINE.md r4: ~1.4 ms/GiB
+# residual read floor after the flash kernel); int8 k/v halves the HBM
+# bytes per step AND doubles ring capacity per GiB. Representation: a
+# quantized cache leaf is a dict ``{"q": int8 (L, B, n, S, hd),
+# "s": f32 (L, B, n, S)}`` — per-(token, head) symmetric scales, the
+# granularity that keeps RoPE'd key magnitudes honest. All cache
+# plumbing branches on the LEAF STRUCTURE, so the decode bodies,
+# serving-pool surgery, and scan carries need no static flag; only
+# init_cache/prefill take ``quant``. Dequantization happens in-kernel
+# for the flash path (ops/flash_decode.py — only HBM bytes change) and
+# right after the row slice on the XLA fallback.
+
+
+def _q8_kv(x):
+    """(…, hd) bf16/f32 → (int8 values, f32 scales over the last axis).
+    Symmetric per-vector: scale = amax/127; exact zeros stay zero."""
+    ax = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-6
+    )
+    scale = ax / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def _kv_len(kb) -> int:
+    """Cache length (S axis) of a plain or quantized cache stack."""
+    return (kb["q"] if isinstance(kb, dict) else kb).shape[3]
+
+
+def _kv_update(kb, upd, idx):
+    """``dynamic_update_slice`` write of ``upd`` (B, n, T, hd) at the
+    5-d index ``idx`` = (layer, 0, 0, write_slot, 0); quantized caches
+    write the int8 values and the (B, n, T) scales."""
+    if isinstance(kb, dict):
+        qv, sc = _q8_kv(upd)
+        return {
+            "q": jax.lax.dynamic_update_slice(kb["q"], qv[None], idx),
+            "s": jax.lax.dynamic_update_slice(
+                kb["s"], sc[None], idx[:4]
+            ),
+        }
+    return jax.lax.dynamic_update_slice(kb, upd[None], idx)
+
+
+def _kv_set_rows(kb, upd, li, rows, wr):
+    """Per-row scatter (decode_step_rows): ``upd`` (B, n, hd) lands at
+    cache slot ``wr[b]`` for each row b."""
+    if isinstance(kb, dict):
+        qv, sc = _q8_kv(upd)
+        return {
+            "q": kb["q"].at[li, rows, :, wr].set(qv),
+            "s": kb["s"].at[li, rows, :, wr].set(sc),
+        }
+    return kb.at[li, rows, :, wr].set(upd)
+
+
+def _kv_set_chunk(kb, upd, li, rows, pos_slots):
+    """Chunk scatter (decode_verify): ``upd`` (B, T, n, hd) lands at
+    slots ``pos_slots`` (B, T); rows is (B, 1) broadcasting with it."""
+    if isinstance(kb, dict):
+        qv, sc = _q8_kv(upd)
+        return {
+            "q": kb["q"].at[li, rows, :, pos_slots].set(qv),
+            "s": kb["s"].at[li, rows, :, pos_slots].set(sc),
+        }
+    return kb.at[li, rows, :, pos_slots].set(upd)
+
+
+def _kv_row(kb, li, cd):
+    """Slice layer ``li``'s row out of the stacked cache for the XLA
+    attention path, dequantizing int8 leaves to the compute dtype."""
+    if isinstance(kb, dict):
+        q = jax.lax.dynamic_index_in_dim(kb["q"], li, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(kb["s"], li, 0, keepdims=False)
+        return (q.astype(jnp.float32) * s[..., None]).astype(cd)
+    return jax.lax.dynamic_index_in_dim(kb, li, 0, keepdims=False)
+
+
+def place_cache(cache, sharding):
+    """``device_put`` a cache pytree under the decoder's 5-d cache
+    sharding; the 4-d scale leaves of quantized caches take the first
+    four axes of the same PartitionSpec (batch/head placement matches,
+    there is just no head-dim axis to annotate)."""
+    if sharding is None:
+        return cache
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh, spec = sharding.mesh, sharding.spec
+
+    def put(leaf):
+        if leaf.ndim >= len(spec):
+            return jax.device_put(leaf, sharding)
+        return jax.device_put(
+            leaf, NamedSharding(mesh, PartitionSpec(*spec[: leaf.ndim]))
+        )
+
+    return jax.tree.map(put, cache)
+
+
 def init_cache(
-    cfg: DecoderConfig, batch: int, max_seq: int, windowed: bool = False
+    cfg: DecoderConfig, batch: int, max_seq: int, windowed: bool = False,
+    quant: bool = False,
 ) -> Dict:
     """Fixed-shape KV cache: (L, B, n_kv, S_max, hd) bf16 per tensor.
 
@@ -1907,6 +2013,21 @@ def init_cache(
     2·n_kv·hd to r + dr (DeepSeek-V3: 576 vs 32768 per layer) — the
     reason MLA exists; all cache plumbing (row insert, prefix-cache
     block copies, TP placement) is shape-agnostic and reused as is."""
+    def mk(shape):
+        if quant:
+            return {
+                "q": jnp.zeros(shape, jnp.int8),
+                # Zero scales make unwritten slots dequantize to exact
+                # 0.0 — same as the bf16 cache's zero init.
+                "s": jnp.zeros(shape[:4], jnp.float32),
+            }
+        return jnp.zeros(shape, cfg.compute_dtype)
+
+    if quant and cfg.kv_lora_rank:
+        raise ValueError(
+            "int8 KV quantization targets the GQA cache; the MLA latent "
+            "cache is already 9-57x smaller (use bf16 there)"
+        )
     if windowed:
         if (
             cfg.layer_windows is None
@@ -1925,8 +2046,8 @@ def init_cache(
                 cls_of.count(c), batch, cfg.num_kv_heads, s_c,
                 cfg.head_dim,
             )
-            ks.append(jnp.zeros(shape, cfg.compute_dtype))
-            vs.append(jnp.zeros(shape, cfg.compute_dtype))
+            ks.append(mk(shape))
+            vs.append(mk(shape))
         return {"k": tuple(ks), "v": tuple(vs)}
     if cfg.kv_lora_rank:
         base = (cfg.num_layers, batch, 1, max_seq)
@@ -1937,13 +2058,12 @@ def init_cache(
             ),
         }
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, cfg.compute_dtype),
-        "v": jnp.zeros(shape, cfg.compute_dtype),
-    }
+    return {"k": mk(shape), "v": mk(shape)}
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_seq", "windowed"))
+@partial(
+    jax.jit, static_argnames=("cfg", "max_seq", "windowed", "quant")
+)
 def prefill(
     params: Dict,
     ids: jax.Array,
@@ -1951,19 +2071,24 @@ def prefill(
     cfg: DecoderConfig,
     max_seq: int,
     windowed: bool = False,
+    quant: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     """Run the prompt (LEFT-padded to its bucket) through the decoder.
 
     ids/mask: (B, P) — mask 0 marks left padding. Returns the next-token
     logits (B, vocab) at the last position and a cache of size ``max_seq``
     with positions [0, P) filled. ``windowed``: ring-buffer caches for
-    sliding-window layers (see :func:`init_cache`).
+    sliding-window layers (see :func:`init_cache`). ``quant``: int8 KV
+    cache — the prefill's own attention stays bf16 (it attends in-chunk,
+    never reading the cache); only the STORED k/v quantize.
     """
     return _prefill_core(params, _embed_tokens(params, ids, cfg), mask,
-                         cfg, max_seq, windowed=windowed)
+                         cfg, max_seq, windowed=windowed, quant=quant)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_seq", "windowed"))
+@partial(
+    jax.jit, static_argnames=("cfg", "max_seq", "windowed", "quant")
+)
 def prefill_embeds(
     params: Dict,
     embeds: jax.Array,
@@ -1972,6 +2097,7 @@ def prefill_embeds(
     max_seq: int,
     overlay: Optional[jax.Array] = None,
     windowed: bool = False,
+    quant: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     """Like :func:`prefill` but over pre-computed input embeddings
     (B, P, H) — the multimodal path (models/llava.py, gemma3_vlm.py)
@@ -1979,7 +2105,8 @@ def prefill_embeds(
     prefill. ``overlay``: optional (B, P, P) bool OR-mask making extra
     (query, key) pairs visible — Gemma3's bidirectional image blocks."""
     return _prefill_core(params, embeds.astype(cfg.compute_dtype), mask,
-                         cfg, max_seq, overlay, windowed=windowed)
+                         cfg, max_seq, overlay, windowed=windowed,
+                         quant=quant)
 
 
 def _run_layers(x, params, cache_k, cache_v, cfg: DecoderConfig, body):
@@ -2074,7 +2201,8 @@ def _run_layers_windowed(x, params, cache_k, cache_v,
 
 
 def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
-                  overlay=None, windowed: bool = False):
+                  overlay=None, windowed: bool = False,
+                  quant: bool = False):
     B, P = mask.shape
     # Semantic positions: left pads clamp to 0 and are masked anyway.
     positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)  # (B, P)
@@ -2084,14 +2212,14 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
     visible = causal[None, :, :] & (mask[:, None, :] > 0)
     add_mask = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
 
-    cache = init_cache(cfg, B, max_seq, windowed=windowed)
+    cache = init_cache(cfg, B, max_seq, windowed=windowed, quant=quant)
 
     slots = (jnp.arange(P), jnp.arange(P))
 
     def body(x, lp, kb, vb, li, w=0):
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, positions, cfg)  # (B, n, P, hd)
-        ring = kb.shape[3]
+        ring = _kv_len(kb)
         if w and P > ring:
             # Windowed ring write with the prompt longer than the ring:
             # keep, per congruence class i (mod ring), the LAST prompt
@@ -2105,12 +2233,8 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
             # Full-length cache, or prompt fits the ring: slots [0, P)
             # land at ring indexes [0, P) (s % ring == s).
             kw, vw = k, v
-        kb = jax.lax.dynamic_update_slice(
-            kb, kw[None], (li, 0, 0, 0, 0)
-        )
-        vb = jax.lax.dynamic_update_slice(
-            vb, vw[None], (li, 0, 0, 0, 0)
-        )
+        kb = _kv_update(kb, kw, (li, 0, 0, 0, 0))
+        vb = _kv_update(vb, vw, (li, 0, 0, 0, 0))
         # Prefill attends in-chunk (k, v) — it never reads the cache.
         x = _layer_forward(x, lp, k, v, positions, add_mask, cfg, slots,
                            overlay)
@@ -2176,7 +2300,7 @@ def decode_step(
     def body(x, lp, kb, vb, li, w=0):
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, pos_q, cfg)  # (B, n, 1, hd)
-        ring = kb.shape[3]
+        ring = _kv_len(kb)
         if w:
             # Ring-buffer layer: write at pos % ring (the overwritten
             # entry held slot pos-ring — already outside the window for
@@ -2185,8 +2309,8 @@ def decode_step(
             wr = jnp.mod(pos, ring)
         else:
             wr = pos
-        kb = jax.lax.dynamic_update_slice(kb, k[None], (li, 0, 0, wr, 0))
-        vb = jax.lax.dynamic_update_slice(vb, v[None], (li, 0, 0, wr, 0))
+        kb = _kv_update(kb, k, (li, 0, 0, wr, 0))
+        vb = _kv_update(vb, v, (li, 0, 0, wr, 0))
         if w:
             i = jnp.arange(ring)
             slot = pos - jnp.mod(pos - i, ring)  # (ring,) ∈ (pos-ring, pos]
@@ -2239,12 +2363,12 @@ def decode_step_rows(
     def body(x, lp, kb, vb, li, w=0):
         h_norm = _rmsnorm(x, lp["ln_attn"], cfg).astype(cfg.compute_dtype)
         k, v = _project_kv(h_norm, lp, pos_q, cfg)  # (B, n, 1, hd)
-        ring = kb.shape[3]
+        ring = _kv_len(kb)
         # Per-row write position (rows sit at different depths); ring
         # layers wrap — see decode_step's windowed body.
         wr = jnp.mod(pos, ring) if w else pos  # (B,)
-        kb = kb.at[li, rows, :, wr].set(k[:, :, 0])
-        vb = vb.at[li, rows, :, wr].set(v[:, :, 0])
+        kb = _kv_set_rows(kb, k[:, :, 0], li, rows, wr)
+        vb = _kv_set_rows(vb, v[:, :, 0], li, rows, wr)
         if w:
             i = jnp.arange(ring)[None, :]
             slot = pos[:, None] - jnp.mod(pos[:, None] - i, ring)
@@ -2333,10 +2457,10 @@ def _decode_verify_impl(
         # Scatter the T chunk slots per row: advanced indexes (rows,
         # pos_slots) broadcast to (B, T) and land in front, so the
         # update operand is (B, T, n, hd) — swap the chunk back.
-        kb = kb.at[li, rows, :, pos_slots].set(jnp.swapaxes(k, 1, 2))
-        vb = vb.at[li, rows, :, pos_slots].set(jnp.swapaxes(v, 1, 2))
-        kc = jax.lax.dynamic_index_in_dim(kb, li, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(vb, li, 0, keepdims=False)
+        kb = _kv_set_chunk(kb, jnp.swapaxes(k, 1, 2), li, rows, pos_slots)
+        vb = _kv_set_chunk(vb, jnp.swapaxes(v, 1, 2), li, rows, pos_slots)
+        kc = _kv_row(kb, li, cfg.compute_dtype)
+        vc = _kv_row(vb, li, cfg.compute_dtype)
         x = _layer_forward(x, lp, kc, vc, pos_q, add_mask, cfg, slots)
         return x, kb, vb
 
@@ -2484,7 +2608,7 @@ def _sample(logits, keys, temperature: float, top_k: int, top_p=1.0):
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_k", "eos_id",
-        "logprobs", "windowed",
+        "logprobs", "windowed", "quant",
     ),
 )
 def generate_tokens(
@@ -2503,6 +2627,7 @@ def generate_tokens(
     logprobs: bool = False,
     bias=None,
     windowed: bool = False,
+    quant: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Prefill + sample up to ``max_new_tokens``. ids/mask (B, P) left-
     padded. Returns (tokens (B, max_new_tokens) int32, lengths (B,) int32);
@@ -2518,7 +2643,7 @@ def generate_tokens(
     (loop-invariant; None-gated like pres/freq)."""
     S_max = ids.shape[1] + max_new_tokens
     logits, cache = prefill(params, ids, mask, cfg, S_max,
-                            windowed=windowed)
+                            windowed=windowed, quant=quant)
     return _generate_loop(
         params, logits, cache, mask, key, cfg,
         max_new_tokens, temperature, top_k, eos_id, top_p, pres, freq,
@@ -2913,6 +3038,19 @@ class TextDecoder:
                 sum(1 for w in cfg.layer_windows if w),
                 len(cfg.layer_windows), wins, max_ctx,
             )
+        # int8 KV cache (r5): halves the decode cache stream (the long-
+        # context bound) at a measured small logit perturbation; the
+        # flash kernel dequantizes in VMEM, the XLA fallback after its
+        # row slice. MLA's latent cache stays bf16 (already tiny).
+        self.kv_quant = bool(
+            getattr(_wsettings, "TPU_LLM_KV_QUANT", False)
+            and not cfg.kv_lora_rank
+        )
+        if self.kv_quant:
+            logger.info(
+                "int8 KV cache on: cache HBM stream halved "
+                "(per-token/head scales, in-kernel dequant)"
+            )
         # layer_windows set ⇒ the window is ENFORCED in the mask
         # (Gemma3 interleaved attention) — nothing to warn about.
         if (cfg.sliding_window and cfg.layer_windows is None
@@ -3256,6 +3394,7 @@ class TextDecoder:
                 logprobs=logprobs,
                 bias=bias_v,
                 windowed=self.windowed_cache,
+                quant=self.kv_quant,
             )
             toks, lengths = res[0], res[1]
             if logprobs:
@@ -3339,7 +3478,7 @@ class TextDecoder:
         )
         logits, cache = prefill(
             gen_params, jnp.asarray(ids), jnp.asarray(mask), self.cfg,
-            S_max,
+            S_max, quant=self.kv_quant,
         )
         key_mask = np.zeros((B, S_max), np.int32)
         key_mask[:, :P] = mask

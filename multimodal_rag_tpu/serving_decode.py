@@ -59,6 +59,7 @@ from multimodal_rag_tpu.models.decoder import (
     decode_step_rows,
     has_adapter_stack,
     init_cache,
+    place_cache,
     prefill,
     with_adapter_rows,
 )
@@ -360,14 +361,15 @@ def _load_prefix(pool: Dict, ppool: Dict, entry: jax.Array,
     """Copy prefix-cache entry ``entry`` (all ``Lp_max`` slots) into the
     batch pool's row ``slot`` at cache slots [0, Lp_max) — device-to-
     device, no host round trip. The caller marks only the matched length
-    attendable; trailing slots are stale and stay masked."""
-    out = {}
-    for n in ("k", "v"):
-        blk = jax.lax.dynamic_slice_in_dim(ppool[n], entry, 1, axis=1)
-        out[n] = jax.lax.dynamic_update_slice(
-            pool[n], blk, (0, slot, 0, 0, 0)
-        )
-    return out
+    attendable; trailing slots are stale and stay masked. Tree-mapped:
+    every cache leaf — bf16 stacks AND the int8-KV value/scale pair —
+    keeps batch on axis 1, so one rule copies them all."""
+    def load(p, pp):
+        blk = jax.lax.dynamic_slice_in_dim(pp, entry, 1, axis=1)
+        start = (0, slot) + (0,) * (p.ndim - 2)
+        return jax.lax.dynamic_update_slice(p, blk, start)
+
+    return jax.tree.map(load, pool, ppool)
 
 
 @partial(jax.jit, donate_argnames=("ppool",))
@@ -375,18 +377,18 @@ def _store_prefix(ppool: Dict, pool: Dict, slot: jax.Array,
                   entry: jax.Array) -> Dict:
     """Snapshot row ``slot``'s first Lp_max cache slots into prefix-cache
     entry ``entry`` (called right after a prompt's prefill completes, so
-    those slots hold prompt k/v only)."""
-    Lp = ppool["k"].shape[3]
-    out = {}
-    for n in ("k", "v"):
-        L, _, nk, _, hd = pool[n].shape
-        blk = jax.lax.dynamic_slice(
-            pool[n], (0, slot, 0, 0, 0), (L, 1, nk, Lp, hd)
-        )
-        out[n] = jax.lax.dynamic_update_slice(
-            ppool[n], blk, (0, entry, 0, 0, 0)
-        )
-    return out
+    those slots hold prompt k/v only). Tree-mapped like _load_prefix;
+    the cache-slot axis is 3 on every leaf."""
+    def store(pp, p):
+        sizes = list(p.shape)
+        sizes[1] = 1
+        sizes[3] = pp.shape[3]
+        start = (0, slot) + (0,) * (p.ndim - 2)
+        blk = jax.lax.dynamic_slice(p, start, sizes)
+        estart = (0, entry) + (0,) * (p.ndim - 2)
+        return jax.lax.dynamic_update_slice(pp, blk, estart)
+
+    return jax.tree.map(store, ppool, pool)
 
 
 @dataclass
@@ -500,8 +502,14 @@ class DecodeServer:
         self.spec_emitted = 0
         self.spec_passes = 0
         pool_seq = self.max_seq + (self.chunk if self.chunk else 0)
+        # int8 KV pool: follows the decoder's posture (TextDecoder reads
+        # TPU_LLM_KV_QUANT). All pool surgery — row insert, prefix block
+        # copies, chunk scatters — is structure-driven, so the quantized
+        # value/scale pair flows through every serving mode.
+        self.kv_quant = bool(getattr(decoder, "kv_quant", False))
         self.pool = init_cache(
-            self.cfg, slots, pool_seq, windowed=self.windowed
+            self.cfg, slots, pool_seq, windowed=self.windowed,
+            quant=self.kv_quant,
         )
         # Tensor-parallel composition: with TP-sharded decoder params
         # (decoder_tp.shard_decoder), place the KV pool with the matching
@@ -513,16 +521,17 @@ class DecodeServer:
             cache_sharding = getattr(decoder, "cache_sharding", None)
         self.cache_sharding = cache_sharding
         if cache_sharding is not None:
-            self.pool = jax.device_put(self.pool, cache_sharding)
+            self.pool = place_cache(self.pool, cache_sharding)
         self.prefix_entries = int(prefix_entries)
         if self.prefix_entries > 0:
             lp_max = (decoder.prompt_buckets[-1] // self.chunk) * self.chunk
             self.prefix_len_max = max(lp_max, self.chunk)
             self.prefix_pool = init_cache(
-                self.cfg, self.prefix_entries, self.prefix_len_max
+                self.cfg, self.prefix_entries, self.prefix_len_max,
+                quant=self.kv_quant,
             )
             if cache_sharding is not None:
-                self.prefix_pool = jax.device_put(
+                self.prefix_pool = place_cache(
                     self.prefix_pool, cache_sharding
                 )
             # Per entry: (token tuple, stored_len, adapter_id) or None;
@@ -787,6 +796,7 @@ class DecodeServer:
             self._params(rows=[req.adapter_id]),
             jnp.asarray(row_ids), jnp.asarray(row_mask),
             self.cfg, self.max_seq, windowed=self.windowed,
+            quant=self.kv_quant,
         )
         self.pool = _insert_row(self.pool, row_cache, jnp.int32(slot))
         self._admitted += 1
