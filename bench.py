@@ -36,26 +36,32 @@ BATCH = 256
 REPS_LO, REPS_HI = 4, 16
 
 
-def _timed_loop(fn):
+def _timed_loop(fn, reps_lo=REPS_LO, reps_hi=REPS_HI, attempts=2):
     """fn(perturbation, reps) → device array. Returns seconds/rep.
 
-    Best-of-two per rep count: the relay adds per-dispatch jitter that can
-    exceed the marginal device time, so a single (hi - lo) pair can come
-    out negative. If the subtraction still degenerates, fall back to
-    hi/REPS_HI (an upper bound that includes the constant overhead)."""
-    np.asarray(fn(0, REPS_LO))  # compile + warm lo
-    np.asarray(fn(1, REPS_HI))  # compile + warm hi
+    Best-of-``attempts`` per rep count: the relay adds per-dispatch
+    jitter that can exceed the marginal device time, so a single
+    (hi - lo) pair can come out negative. If the subtraction still
+    degenerates, fall back to hi/reps_hi (an upper bound that includes
+    the constant overhead). Decode rungs pass larger rep counts +
+    attempts: r4's recorded 2.471 → 2.773 ms/step "regression" at the
+    short-ctx rung reproduced as ±13% run-to-run spread (2.00–2.53 ms
+    over five identical runs, same executable) at the default 4/16
+    reps — amortizing more steps per dispatch is the fix, not a code
+    change (BASELINE.md "Measurement noise")."""
+    np.asarray(fn(0, reps_lo))  # compile + warm lo
+    np.asarray(fn(1, reps_hi))  # compile + warm hi
     lo, hi = float("inf"), float("inf")
-    for attempt in range(2):
+    for attempt in range(attempts):
         t0 = time.perf_counter()
-        np.asarray(fn(2 + 2 * attempt, REPS_LO))
+        np.asarray(fn(2 + 2 * attempt, reps_lo))
         lo = min(lo, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(fn(3 + 2 * attempt, REPS_HI))
+        np.asarray(fn(3 + 2 * attempt, reps_hi))
         hi = min(hi, time.perf_counter() - t0)
-    dt = (hi - lo) / (REPS_HI - REPS_LO)
+    dt = (hi - lo) / (reps_hi - reps_lo)
     if dt <= 0:
-        dt = hi / REPS_HI
+        dt = hi / reps_hi
     return dt
 
 
@@ -384,8 +390,101 @@ def bench_decode(B=8, P=128, quantize=False):
         return jax.lax.fori_loop(0, reps, body, (tok, cache, key_mask))[0]
 
     tok = jnp.full((B,), 5, jnp.int32)
-    dt = _timed_loop(lambda p, r: chain(params, cache, tok + p, key_mask, r))
+    # 16/64 steps per dispatch + best-of-3: the 4/16 default left ±13%
+    # run-to-run spread at ~2.4 ms/step (see _timed_loop docstring).
+    dt = _timed_loop(
+        lambda p, r: chain(params, cache, tok + p, key_mask, r),
+        reps_lo=16, reps_hi=64, attempts=3,
+    )
     return dt * 1e3  # ms per decode step
+
+
+#: Gemma3-shaped ~0.85B decoder for the LONG-CONTEXT rung: 24 layers,
+#: 4 kv-heads x 128, hidden 1536, 5-local(1024):1-global window
+#: interleave — the geometry whose full-length bf16 cache reaches
+#: 0.94 GiB at ctx 2560 / B=8 (the regime where cache stream, not the
+#: weight stream, bounds the step).
+def _gemma3ish_cfg():
+    from multimodal_rag_tpu.models.decoder import DecoderConfig
+
+    return DecoderConfig(
+        vocab_size=32000,
+        hidden_dim=1536,
+        num_layers=24,
+        num_heads=8,
+        num_kv_heads=4,
+        head_dim=128,
+        ff_dim=6144,
+        max_position=8192,
+        layer_windows=(1024, 1024, 1024, 1024, 1024, 0) * 4,
+    )
+
+
+def bench_decode_longctx(ctx=2560, B=8, windowed=False, quant=False,
+                         flash=True, global_attn=False):
+    """ms per decode step at cache depth ``ctx`` (VERDICT r4 #2: the r4
+    long-context wins, driver-captured). The cache is built directly at
+    full depth (`init_cache` + an attendable-prefix mask) instead of
+    paying a ctx-long prefill compile — unwritten slots read zeros,
+    which costs identical HBM traffic, and timing is what this rung
+    measures (numerics rungs live in tests/). 64 decode steps per
+    dispatch; variants: windowed rings, int8 KV, flash kernel on/off."""
+    from multimodal_rag_tpu.config import settings
+    from multimodal_rag_tpu.models.decoder import (
+        decode_step,
+        init_cache,
+        init_params,
+    )
+
+    cfg = _gemma3ish_cfg()
+    if global_attn:
+        # Every layer attends the full context (Llama-style): the pure
+        # cache-stream-bound case — the kernel's ragged early-exit can't
+        # window-skip anything, so the int8 byte saving shows in full.
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, layer_windows=None)
+    params = init_params(jax.random.key(0), cfg)
+    STEPS = 64
+    P = ctx - STEPS
+    cache = init_cache(cfg, B, ctx, windowed=windowed, quant=quant)
+    key_mask = jnp.asarray(
+        np.arange(ctx)[None, :].repeat(B, 0) < P, jnp.int32
+    )
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(params, cache, tok, key_mask, reps):
+        def body(t, carry):
+            tok, cache, km = carry
+            pos = P + jnp.mod(t, STEPS)  # stay within the cache
+            km = jax.lax.dynamic_update_slice_in_dim(
+                km, jnp.ones((B, 1), jnp.int32), pos, axis=1
+            )
+            positions = jnp.full((B,), pos, jnp.int32)
+            logits, cache = decode_step(
+                params, cache, tok, pos, km, positions, cfg
+            )
+            return (jnp.argmax(logits, -1).astype(jnp.int32), cache, km)
+
+        return jax.lax.fori_loop(0, reps, body, (tok, cache, key_mask))[0]
+
+    tok = jnp.full((B,), 5, jnp.int32)
+    prev = settings.TPU_LLM_FLASH_DECODE
+    # Flash on/off changes the traced program but not decode_step's jit
+    # key (settings are ambient, cfg/avals identical across variants) —
+    # clear its trace cache so each variant really traces its own path.
+    # The outer ``chain`` is a fresh function object per call, so its
+    # executable never crosses variants either.
+    settings.TPU_LLM_FLASH_DECODE = bool(flash)
+    decode_step.clear_cache()
+    try:
+        dt = _timed_loop(
+            lambda p, r: chain(params, cache, tok + p, key_mask, r),
+            reps_lo=8, reps_hi=32, attempts=3,
+        )
+    finally:
+        settings.TPU_LLM_FLASH_DECODE = prev
+    return dt * 1e3
 
 
 def bench_vision():
@@ -772,6 +871,38 @@ def main():
         decode_int4_ms = round(bench_decode(quantize="int4"), 3)
     except Exception:  # noqa: BLE001
         decode_int4_ms = None
+    # Long-context decode rung (VERDICT r4 #2): Gemma3-shaped ~0.85B at
+    # cache depths where the CACHE stream bounds the step. Matrix:
+    # flash-kernel ablation + windowed rings + int8 KV at ctx 2560; the
+    # headline + int8 repeated at ctx 5120.
+    longctx = {}
+    try:
+        for key, kw in (
+            ("decode_ms_per_step_ctx2560", {}),
+            ("decode_ms_per_step_ctx2560_noflash", {"flash": False}),
+            ("decode_ms_per_step_ctx2560_windowed", {"windowed": True}),
+            ("decode_ms_per_step_ctx2560_int8kv", {"quant": True}),
+            (
+                "decode_ms_per_step_ctx2560_windowed_int8kv",
+                {"windowed": True, "quant": True},
+            ),
+            ("decode_ms_per_step_ctx5120", {"ctx": 5120}),
+            (
+                "decode_ms_per_step_ctx5120_int8kv",
+                {"ctx": 5120, "quant": True},
+            ),
+            (
+                "decode_ms_per_step_ctx5120_global",
+                {"ctx": 5120, "global_attn": True},
+            ),
+            (
+                "decode_ms_per_step_ctx5120_global_int8kv",
+                {"ctx": 5120, "global_attn": True, "quant": True},
+            ),
+        ):
+            longctx[key] = round(bench_decode_longctx(**kw), 3)
+    except Exception:  # noqa: BLE001 — small-memory backends skip
+        pass
     try:
         # ONE decoder shared by the serving rows (weight init + HBM
         # residency identical across configs).
@@ -839,6 +970,7 @@ def main():
             "decode_ms_per_step_0p8B_b8": decode_ms,
             "decode_ms_per_step_0p8B_b8_int8": decode_int8_ms,
             "decode_ms_per_step_0p8B_b8_int4": decode_int4_ms,
+            **longctx,
             **vision,
             **serving,
             "bench_wall_s": round(time.time() - t_start, 1),

@@ -94,21 +94,22 @@ def _kernel(l_ref, q_ref, msk_ref, k_ref, v_ref, *rest, sm_scale,
     def _body():
         # Mosaic's matmul supports ONE batch dim — fold (B, n_kv).
         q = q_ref[...].reshape(B * n, g, hd)   # bf16
-        k = k_ref[0].reshape(B * n, TS, hd)
+        # int8 tiles convert to bf16 for the MXU dots; their per-token
+        # scales fold into the SCORES and the PROBS (hd x fewer
+        # multiplies than dequantizing the tiles — measured: tile-side
+        # dequant cost MORE than the halved HBM bytes saved):
+        #   q · (k_i8 * ks) == (q · k_i8) * ks      per key token
+        #   p · (v_i8 * vs) == (p * vs) · v_i8      per value token
+        k = k_ref[0].reshape(B * n, TS, hd).astype(q.dtype)
         v = v_ref[0].reshape(B * n, TS, hd)
-        if quant:
-            # int8 → bf16 dequant in VMEM: per-(token, head) f32 scale.
-            # Only the HBM stream was int8; the dots stay bf16 on the
-            # MXU (the qmatmul_int4 recipe — bytes change, flops don't).
-            ksc = ks_ref[0].reshape(B * n, TS, 1)
-            vsc = vs_ref[0].reshape(B * n, TS, 1)
-            k = (k.astype(jnp.float32) * ksc).astype(jnp.bfloat16)
-            v = (v.astype(jnp.float32) * vsc).astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * sm_scale     # (B*n, g, TS)
+        )                 # (B*n, g, TS)
+        if quant:
+            s = s * ks_ref[0].reshape(B * n, 1, TS)
+        s = s * sm_scale
         if softcap:
             s = softcap * jnp.tanh(s / softcap)
         mrow = jnp.broadcast_to(
@@ -120,8 +121,12 @@ def _kernel(l_ref, q_ref, msk_ref, k_ref, v_ref, *rest, sm_scale,
         p = jnp.exp(s - m_new[..., None])         # (B*n, g, TS)
         alpha = jnp.exp(m_prev - m_new)
         d_new = d_ref[...] * alpha + jnp.sum(p, axis=-1)
+        if quant:
+            pv = (p * vs_ref[0].reshape(B * n, 1, TS)).astype(q.dtype)
+        else:
+            pv = p.astype(v.dtype)
         ctx = jax.lax.dot_general(
-            p.astype(v.dtype), v,
+            pv, v.astype(q.dtype) if quant else v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                          # (B*n, g, hd)
