@@ -2098,15 +2098,21 @@ def prefill_embeds(
     overlay: Optional[jax.Array] = None,
     windowed: bool = False,
     quant: bool = False,
+    logit_pos: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict]:
     """Like :func:`prefill` but over pre-computed input embeddings
     (B, P, H) — the multimodal path (models/llava.py, gemma3_vlm.py)
     splices projected image embeddings between token embeddings before
     prefill. ``overlay``: optional (B, P, P) bool OR-mask making extra
-    (query, key) pairs visible — Gemma3's bidirectional image blocks."""
+    (query, key) pairs visible — Gemma3's bidirectional image blocks.
+    ``logit_pos``: optional per-row (B,) index of the position whose
+    next-token logits to return — LEFT-aligned layouts (the chunked
+    decode-server pool, serving_decode._admit_embeds) sample at their
+    last REAL token, not the trailing pad; default is the last position
+    (the right-aligned convention everywhere else)."""
     return _prefill_core(params, embeds.astype(cfg.compute_dtype), mask,
                          cfg, max_seq, overlay, windowed=windowed,
-                         quant=quant)
+                         quant=quant, logit_pos=logit_pos)
 
 
 def _run_layers(x, params, cache_k, cache_v, cfg: DecoderConfig, body):
@@ -2202,7 +2208,7 @@ def _run_layers_windowed(x, params, cache_k, cache_v,
 
 def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
                   overlay=None, windowed: bool = False,
-                  quant: bool = False):
+                  quant: bool = False, logit_pos=None):
     B, P = mask.shape
     # Semantic positions: left pads clamp to 0 and are masked anyway.
     positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)  # (B, P)
@@ -2243,7 +2249,11 @@ def _prefill_core(params, x, mask, cfg: DecoderConfig, max_seq: int,
     x, (k_new, v_new) = _run_layers(
         x, params, cache["k"], cache["v"], cfg, body
     )
-    x = _rmsnorm(x[:, -1:, :], params["final_norm"], cfg)
+    if logit_pos is None:
+        x = x[:, -1, :]
+    else:
+        x = x[jnp.arange(B), logit_pos.astype(jnp.int32)]
+    x = _rmsnorm(x[:, None, :], params["final_norm"], cfg)
     logits = _logits(params, x[:, 0, :], cfg)
     return logits, {"k": k_new, "v": v_new}
 
@@ -3040,7 +3050,9 @@ class TextDecoder:
             )
         # int8 KV cache (r5): halves the decode cache stream (the long-
         # context bound) at a measured small logit perturbation; the
-        # flash kernel dequantizes in VMEM, the XLA fallback after its
+        # flash kernel folds the per-token scales into the scores/probs
+        # (hd x cheaper than dequantizing the tiles — measured, see
+        # ops/flash_decode.py), the XLA fallback dequantizes after its
         # row slice. MLA's latent cache stays bf16 (already tiny).
         self.kv_quant = bool(
             getattr(_wsettings, "TPU_LLM_KV_QUANT", False)

@@ -363,6 +363,54 @@ class Gemma3VLMGenerator:
         )
         return ids
 
+    def prompt_rows(self, prompt: str, images=()):
+        """Soft-token serving form (serving_decode._admit_embeds):
+        ``(expanded_ids, embeds (T, H) f32, overlay (T, T) bool|None)``
+        — the llava sibling's contract (llava.LlavaGenerator.prompt_rows)
+        plus Gemma3's bidirectional image-block overlay, built UNPADDED
+        (the decode server pads it into the row's layout). Over-long
+        prompts left-truncate and drop the overlay, matching
+        :meth:`generate`'s conservative causal fallback."""
+        from multimodal_rag_tpu.models.llava import splice_multimodal
+
+        img_embeds = None
+        if images:
+            pixels = jnp.asarray(
+                np.stack([
+                    preprocess_image_siglip(im, self.cfg.vision.image_size)
+                    for im in images
+                ])
+            )
+            img_embeds = encode_images_for_llm(self.params, pixels, self.cfg)
+        ids = self._encode_prompt_with_images(prompt, len(images))
+        embeds = splice_multimodal(self.params, ids, img_embeds, self.cfg)
+        exp = []
+        seen = 0
+        for tid in ids:
+            if tid == self.cfg.image_token_id and seen < len(images):
+                exp.extend([tid] * self.cfg.n_image_tokens)
+                seen += 1
+            else:
+                exp.append(tid)
+        assert len(exp) == embeds.shape[0], (len(exp), embeds.shape)
+        cap = self.prompt_buckets[-1]
+        overlay = None
+        if len(exp) > cap:
+            logger.warning(
+                "Prompt (%d rows incl. image tokens) exceeds bucket %d; "
+                "left-truncating — image context may degrade",
+                len(exp), cap,
+            )
+            embeds = embeds[-cap:]
+            exp = exp[-cap:]
+        elif images:
+            T = len(exp)
+            overlay = np.asarray(image_block_overlay(
+                ids, self.cfg.image_token_id, self.cfg.n_image_tokens,
+                len(images), T,
+            ))[0]
+        return exp, np.asarray(embeds, np.float32), overlay
+
     def generate(
         self,
         prompt: str,

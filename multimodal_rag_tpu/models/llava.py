@@ -317,6 +317,66 @@ class LlavaGenerator:
         )
         return ids
 
+    def prompt_rows(
+        self, prompt: str, images: Sequence[Any] = ()
+    ) -> Tuple[List[int], np.ndarray, Optional[np.ndarray]]:
+        """Soft-token serving form of a multimodal prompt (the
+        continuous-batching path, serving_decode._admit_embeds):
+        ``(expanded_ids, embeds, overlay)`` — ``embeds`` is the (T, H)
+        f32 spliced input, ``expanded_ids`` the same-length id sequence
+        with each image's placeholder repeated ``n_image_tokens`` times
+        (host bookkeeping only; the model never re-embeds it), and
+        ``overlay`` None (llava attention is plain causal; the Gemma3
+        sibling returns its bidirectional image-block mask). Applies the
+        same image-preserving middle-cut as :meth:`generate` when the
+        prompt exceeds the top bucket."""
+        img_embeds = None
+        if images:
+            pixels = jnp.asarray(
+                np.stack([
+                    preprocess_image(im, self.cfg.vision.image_size)
+                    for im in images
+                ])
+            )
+            img_embeds = encode_images_for_llm(self.params, pixels, self.cfg)
+        ids = self._encode_prompt_with_images(prompt, len(images))
+        embeds = splice_multimodal(self.params, ids, img_embeds, self.cfg)
+        exp: List[int] = []
+        seen = 0
+        for tid in ids:
+            if tid == self.cfg.image_token_id and seen < len(images):
+                exp.extend([tid] * self.cfg.n_image_tokens)
+                seen += 1
+            else:
+                exp.append(tid)
+        assert len(exp) == embeds.shape[0], (len(exp), embeds.shape)
+        cap = self.prompt_buckets[-1]
+        if len(exp) > cap:
+            img_end = (
+                self._image_region_end(ids, len(images)) if images else 0
+            )
+            if 0 < img_end < cap:
+                keep_tail = cap - img_end
+                logger.warning(
+                    "Prompt (%d rows) exceeds bucket %d; keeping the %d "
+                    "image rows and truncating middle text",
+                    len(exp), cap, img_end,
+                )
+                embeds = np.concatenate(
+                    [embeds[:img_end], embeds[-keep_tail:]], axis=0
+                )
+                exp = exp[:img_end] + exp[-keep_tail:]
+            else:
+                if img_end:
+                    logger.warning(
+                        "Image region (%d rows) alone exceeds the prompt "
+                        "bucket %d; image rows are truncated and "
+                        "multimodal context is degraded", img_end, cap,
+                    )
+                embeds = embeds[-cap:]
+                exp = exp[-cap:]
+        return exp, np.asarray(embeds, np.float32), None
+
     def generate(
         self,
         prompt: str,

