@@ -191,6 +191,14 @@ class TPULLMAdapter(BaseLLMAdapter):
             "tokens_per_step": round(
                 d.spec_emitted / max(1, d.spec_iters), 2
             ),
+            # Per-row acceptance: emitted / passes-while-live, summed
+            # over rows. The batch-shared tokens_per_step above is the
+            # realized device speedup (a batch dispatch costs
+            # max-over-rows passes); this one is draft quality.
+            "tokens_per_row_pass": round(
+                d.spec_emitted / max(1, getattr(d, "spec_row_passes", 0)),
+                2,
+            ),
         }
 
     @property

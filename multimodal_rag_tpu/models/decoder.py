@@ -2901,6 +2901,7 @@ class TextDecoder:
         self.spec_k = max(1, int(spec_k))
         self.spec_iters = 0  # verify passes run (spec mode only)
         self.spec_emitted = 0  # tokens those passes produced
+        self.spec_row_passes = 0  # row-live passes (acceptance denom)
         if prompt_buckets is None:
             # RAG prompts with several 1000-char chunks overflow 1024
             # tokens; the ceiling is an operator knob so full context can
@@ -3372,7 +3373,7 @@ class TextDecoder:
                 generate_tokens_spec,
             )
 
-            toks, lengths, iters = generate_tokens_spec(
+            toks, lengths, row_iters = generate_tokens_spec(
                 gen_params,
                 jnp.asarray(ids),
                 jnp.asarray(mask),
@@ -3385,7 +3386,15 @@ class TextDecoder:
                 top_p=float(top_p),
                 spec_k=self.spec_k,
             )
-            self.spec_iters += int(iters)
+            row_iters = np.asarray(row_iters)
+            # Batch device cost: passes the dispatch actually ran (the
+            # while_loop runs until the slowest live row finishes).
+            self.spec_iters += int(row_iters.max())
+            # Per-row acceptance accounting: passes each REAL row was
+            # live for (pad rows excluded) — the honest denominator for
+            # tokens/pass; a batch-shared count would charge finished
+            # rows for their slowest neighbour's passes.
+            self.spec_row_passes += int(row_iters[: len(prompts)].sum())
             self.spec_emitted += int(
                 np.sum(np.asarray(lengths)[: len(prompts)])
             )

@@ -75,13 +75,40 @@ def _propose_ngram(
     prev: jax.Array,
     cur: jax.Array,
     K: int,
+    cur_slot: jax.Array | None = None,
+    max_n: int = 4,
 ) -> jax.Array:
-    """Bigram prompt-lookup: find the LAST position t (within the valid
-    region) where ``seq[t-1] == prev and seq[t] == cur`` and propose
-    ``seq[t+1 : t+1+K]``. seq: (B, S) slot-aligned token record
-    (prompt + accepted generation); match_valid: (B, S) 1 for slots
-    holding real tokens. With no match the proposal is arbitrary tokens —
-    harmless, verification rejects them (speed-only cost)."""
+    """Suffix n-gram prompt-lookup: find the position t (within the valid
+    region) whose preceding tokens best match the current suffix
+    (``..., seq[cur_slot-2], prev, cur``) and propose ``seq[t+1 : t+1+K]``.
+    seq: (B, S) slot-aligned token record (prompt + accepted generation);
+    match_valid: (B, S) 1 for slots holding real tokens. With no match
+    the proposal is arbitrary tokens — harmless, verification rejects
+    them (speed-only cost).
+
+    Match ranking (descending): longest suffix match (2..``max_n``
+    tokens — byte-level bigrams collide constantly, a 3-4 token query
+    disambiguates repeated spans), then matches whose full K-token
+    continuation is already written (the RAG-quoting sweet spot is a
+    match inside the pasted context, which is complete, while the latest
+    match is often the quote's own leading edge near the sequence tail
+    whose "continuation" is still unwritten), then latest position.
+    Deeper query tokens (beyond prev) are gathered from ``seq`` at
+    ``cur_slot - i``; pass ``cur_slot`` to enable them (without it the
+    query is the plain bigram). A query slot that is itself invalid
+    (history shorter than the query) simply stops the extension — the
+    bigram levels still rank.
+
+    CALLER CONTRACT: ``match_valid`` must EXCLUDE ``cur``'s own slot.
+    The query bigram (prev, cur) trivially occurs AT the current
+    position; if that slot is marked valid the trailing self-match wins
+    the argmax and the "continuation" gathered after it is the unwritten
+    zero region — every draft becomes pad tokens and acceptance
+    collapses to ~0 regardless of how predictable the text is (found
+    r5: both callers passed ``key_mask | (slot == cur_slot)``; the
+    serving acceptance numbers that looked fine were a random-init
+    coincidence). The attendable-history mask (``key_mask``), which by
+    construction excludes cur's recompute slot, is exactly right."""
     B, S = seq.shape
     hit = (
         (seq == cur[:, None])
@@ -90,8 +117,35 @@ def _propose_ngram(
         & (jnp.roll(match_valid, 1, axis=1) > 0)
     )
     hit = hit.at[:, 0].set(False)  # roll wraps; slot 0 has no predecessor
+    match_len = jnp.where(hit, 2, 0)
+    if cur_slot is not None:
+        cum = hit
+        for i in range(2, max_n):
+            # Query token i steps behind cur, from the live record. An
+            # invalid query slot (not enough written history) zeroes
+            # ``cond`` row-wide, freezing the extension — shorter levels
+            # already accumulated keep ranking.
+            qslot = jnp.clip(cur_slot[:, None] - i, 0, S - 1)
+            q_i = jnp.take_along_axis(seq, qslot, axis=1)  # (B, 1)
+            qv_i = (
+                (jnp.take_along_axis(match_valid, qslot, axis=1) > 0)
+                & (cur_slot[:, None] - i >= 0)
+            )
+            cond = (
+                (jnp.roll(seq, i, axis=1) == q_i)
+                & (jnp.roll(match_valid, i, axis=1) > 0)
+                & qv_i
+            )
+            cond = cond.at[:, :i].set(False)  # roll wraps past slot 0
+            cum = cum & cond
+            match_len = match_len + cum.astype(jnp.int32)
     pos = jnp.arange(S)[None, :]
-    t_star = jnp.max(jnp.where(hit, pos, -1), axis=1)  # (B,) -1 = no match
+    # match_valid[t+K] ⇒ t+1..t+K all written (the mask is contiguous).
+    complete = jnp.pad(match_valid, ((0, 0), (0, K)))[:, K:] > 0
+    score = jnp.where(
+        hit, pos + S * (2 * match_len + complete), -1
+    )
+    t_star = jnp.max(score, axis=1) % S  # (B,) -1 = no match → S-1, junk
     gather = t_star[:, None] + 1 + jnp.arange(K)[None, :]  # (B, K)
     return jnp.take_along_axis(
         seq, jnp.clip(gather, 0, S - 1), axis=1
@@ -287,8 +341,13 @@ def generate_tokens_spec(
 
     Same contract — prefill the LEFT-padded prompt, then generate up to
     ``max_new_tokens`` with per-row EOS early exit — plus a third return:
-    the number of verify iterations actually run (B-shared scalar), for
-    the ``generated_tokens / spec_iterations`` acceptance speedup stat.
+    per-row verify-pass counts (B,) — passes during which the row was
+    still live. Acceptance is a PER-ROW stat: the while_loop itself runs
+    until the slowest row finishes, so a batch-shared scalar conflates
+    one hard row with poor acceptance everywhere (a finished row would
+    keep "paying" for its neighbours' passes). Batch device cost is
+    ``max(row_iters)``; per-row realized speedup is
+    ``lengths / row_iters``.
     """
     B, P = mask.shape
     K = spec_k
@@ -319,23 +378,21 @@ def generate_tokens_spec(
     arange_T = jnp.arange(T)[None, :]
 
     def cond(state):
-        iters, done, *_ = state
+        iters, _, done, *_ = state
         return (~jnp.all(done)) & (iters < max_new_tokens)
 
     def body(state):
-        iters, done, cur, prev, out_len, out, seq, key_mask, cache, keys = (
-            state
-        )
+        (iters, row_iters, done, cur, prev, out_len, out, seq, key_mask,
+         cache, keys) = state
+        row_iters = row_iters + (~done).astype(jnp.int32)
         keys, k_acc = _split_rows(keys)
         keys, k_rep = _split_rows(keys)
 
-        # Valid slots for matching: attendable history plus cur's slot.
+        # Valid slots for matching: attendable history ONLY — cur's slot
+        # must stay out or the self-match shadows every real occurrence
+        # (see _propose_ngram's caller contract).
         cur_slot = P + out_len - 1  # (B,)
-        slot_iota = jnp.arange(S_max)[None, :]
-        match_valid = key_mask | (slot_iota == cur_slot[:, None]).astype(
-            jnp.int32
-        )
-        draft = _propose_ngram(seq, match_valid, prev, cur, K)
+        draft = _propose_ngram(seq, key_mask, prev, cur, K, cur_slot=cur_slot)
         tokens = jnp.concatenate([cur[:, None], draft], axis=1)  # (B, T)
 
         logits, cache2 = decode_verify(
@@ -388,18 +445,18 @@ def generate_tokens_spec(
         hit_eos = jnp.any(is_eos & keep, axis=1)
         done = done | hit_eos | (out_len >= max_new_tokens)
         return (
-            iters + 1, done, cur, prev, out_len, out, seq, key_mask,
-            cache2, keys,
+            iters + 1, row_iters, done, cur, prev, out_len, out, seq,
+            key_mask, cache2, keys,
         )
 
     state = (
-        jnp.int32(0), done0, first, prev0, out_len0, out0, seq0,
-        key_mask0, cache, keys,
+        jnp.int32(0), jnp.zeros((B,), jnp.int32), done0, first, prev0,
+        out_len0, out0, seq0, key_mask0, cache, keys,
     )
-    iters, _, _, _, _, out, _, _, _, _ = jax.lax.while_loop(
+    _, row_iters, _, _, _, _, out, _, _, _, _ = jax.lax.while_loop(
         cond, body, state
     )
     lengths = jnp.sum(
         jnp.cumprod((out != eos_id).astype(jnp.int32), axis=1), axis=1
     )
-    return out, lengths, iters
+    return out, lengths, row_iters

@@ -306,10 +306,10 @@ def _spec_step_rows(
     keys, k_acc = _split_rows(keys)
     keys, k_rep = _split_rows(keys)
 
-    match_valid = key_mask | (
-        jnp.arange(key_mask.shape[1])[None, :] == pos[:, None]
-    ).astype(key_mask.dtype)
-    draft = _propose_ngram(seq, match_valid, prev, cur, spec_k)
+    # key_mask only: cur's slot (``pos``) must stay out of the match
+    # region or the trailing self-match wins with an unwritten
+    # continuation (see _propose_ngram's caller contract).
+    draft = _propose_ngram(seq, key_mask, prev, cur, spec_k, cur_slot=pos)
     tokens = jnp.concatenate([cur[:, None], draft], axis=1)  # (B, K+1)
     logits, cache = _decode_verify_impl(
         params, cache, tokens, pos, key_mask, sem_pos, cfg
@@ -511,7 +511,12 @@ class DecodeServer:
                     f"{self.spec_k + 1}"
                 )
         self.spec_emitted = 0
-        self.spec_passes = 0
+        self.spec_passes = 0  # speculative DISPATCHES (batch-shared)
+        # Row-live pass count: sum over dispatches of live rows — the
+        # honest acceptance denominator (spec_emitted sums over rows, so
+        # dividing by dispatches alone inflates acceptance by the batch
+        # width; found r5 when a probe printed accept_rate = 1.69).
+        self.spec_row_passes = 0
         pool_seq = self.max_seq + (self.chunk if self.chunk else 0)
         self.pool_seq = pool_seq
         # int8 KV pool: follows the decoder's posture (TextDecoder reads
@@ -1380,6 +1385,7 @@ class DecodeServer:
         emit, n_emit = np.asarray(emit), np.asarray(n_emit)
         self.steps_run += 1
         self.spec_passes += 1
+        self.spec_row_passes += len(active)
         finished: List[_Request] = []
         for i in active:
             req = self.requests[i]
@@ -1623,6 +1629,7 @@ class DecodeServer:
         if self.spec_k:
             stats["spec_k"] = self.spec_k
             stats["spec_passes"] = self.spec_passes
+            stats["spec_row_passes"] = self.spec_row_passes
             stats["spec_tokens_emitted"] = self.spec_emitted
         if self.prefix_entries > 0:
             stats["prefix_cache_entries"] = sum(

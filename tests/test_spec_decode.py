@@ -149,12 +149,13 @@ def _greedy_plain(params, ids, mask, max_new, eos_id=-1):
 
 
 def _greedy_spec(params, ids, mask, max_new, eos_id=-1, spec_k=4):
-    toks, lengths, iters = generate_tokens_spec(
+    toks, lengths, row_iters = generate_tokens_spec(
         params, jnp.asarray(ids), jnp.asarray(mask), jax.random.key(0),
         TINY, max_new_tokens=max_new, temperature=0.0, eos_id=eos_id,
         spec_k=spec_k,
     )
-    return np.asarray(toks), np.asarray(lengths), int(iters)
+    # Batch device cost = passes the slowest row was live for.
+    return np.asarray(toks), np.asarray(lengths), int(np.max(row_iters))
 
 
 class TestGreedyEquivalence:
@@ -321,5 +322,60 @@ class TestProposal:
             seq, valid, jnp.asarray([5], jnp.int32),
             jnp.asarray([6], jnp.int32), 2,
         )
-        # No legitimate match → t*=-1, draft gathered from slots 0..1.
-        np.testing.assert_array_equal(np.asarray(draft), [[6, 1]])
+        # No legitimate match → the junk draft must NOT be t=0's
+        # continuation [1, 2]; that would mean the wrap matched. (The
+        # exact junk value is unspecified — verification rejects it.)
+        assert np.asarray(draft).tolist() != [[1, 2]]
+
+    def _quote_state(self, decoy=False):
+        """RAG-quoting shape: a passage, separator junk, then the quote's
+        leading edge; cur at the quote head's last slot."""
+        S = 64
+        seq = np.zeros((1, S), np.int32)
+        seq[0, :31] = np.arange(10, 41)  # passage tokens 10..40
+        seq[0, 31:40] = 90  # separator junk
+        seq[0, 40:45] = np.arange(15, 20)  # quote head = passage[5:10]
+        if decoy:
+            # Same bigram (18, 19) late in the junk with a WRONG
+            # continuation — a byte-level-realistic collision.
+            seq[0, 33:36] = (18, 19, 77)
+        valid = np.zeros((1, S), np.int32)
+        valid[0, :44] = 1  # history only; cur's slot (44) excluded
+        return (
+            jnp.asarray(seq), jnp.asarray(valid),
+            jnp.asarray([18], jnp.int32), jnp.asarray([19], jnp.int32),
+            jnp.asarray([44], jnp.int32),
+        )
+
+    def test_self_match_exclusion_contract(self):
+        """Regression (r5): the pre-r5 position-only ranking let the
+        trailing SELF-match (the query bigram trivially occurs at cur's
+        own slot when callers mark it valid) win the argmax, so every
+        draft was the unwritten zero region and acceptance collapsed to
+        ~0 on perfectly predictable text. Callers now pass history-only
+        masks, AND the completeness ranking independently demotes the
+        self-match (its continuation is unwritten) — both layers are
+        asserted here."""
+        seq, valid, prev, cur, cur_slot = self._quote_state()
+        good = np.asarray(_propose_ngram(seq, valid, prev, cur, 8,
+                                         cur_slot=cur_slot))
+        np.testing.assert_array_equal(good[0], np.arange(20, 28))
+        # Even the broken pre-r5 call (cur's slot marked valid) must
+        # recover now: the self-match is incomplete, the passage match
+        # complete, and completeness outranks position.
+        bad_valid = valid.at[0, 44].set(1)
+        bad = np.asarray(_propose_ngram(seq, bad_valid, prev, cur, 8,
+                                        cur_slot=cur_slot))
+        np.testing.assert_array_equal(bad[0], np.arange(20, 28))
+
+    def test_deep_suffix_disambiguates_decoy(self):
+        """A later bigram collision with a wrong continuation must lose
+        to the true passage match once 3rd/4th query tokens rank."""
+        seq, valid, prev, cur, cur_slot = self._quote_state(decoy=True)
+        # Plain bigram: latest position wins → the decoy.
+        d_bi = np.asarray(_propose_ngram(seq, valid, prev, cur, 8))
+        assert d_bi[0, 0] == 77
+        # Deep query (…, 17, 18, 19) only matches the real passage.
+        d_deep = np.asarray(_propose_ngram(seq, valid, prev, cur, 8,
+                                           cur_slot=cur_slot))
+        np.testing.assert_array_equal(d_deep[0], np.arange(20, 28))
