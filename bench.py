@@ -791,6 +791,127 @@ def bench_vision():
     return out
 
 
+def _bench_pdf(pages=4, lines_per_page=40):
+    """Minimal multi-page ISO-32000 PDF with real text streams — drives
+    the first-party interpreter (ingest/pdfparse.py) the way a scanned
+    report would, without shipping a binary fixture."""
+    from multimodal_rag_tpu.tools.train_tiny import build_corpus
+
+    text = build_corpus().decode("utf-8", "ignore")
+    text = "".join(c if c.isascii() and c.isprintable() else " "
+                   for c in text)
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>", b""]
+    kids = []
+    n = 3
+    off = 0
+    for _ in range(pages):
+        stream = b""
+        for li in range(lines_per_page):
+            line = text[off:off + 72].encode()
+            off += 72
+            line = line.replace(b"\\", b" ").replace(b"(", b"[")
+            line = line.replace(b")", b"]")
+            stream += b"BT /F1 10 Tf 40 %d Td (%s) Tj ET " % (
+                760 - 18 * li, line
+            )
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (n + 1, 3 + 2 * pages)
+        )
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(stream), stream)
+        )
+        kids.append(b"%d 0 R" % n)
+        n += 2
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs[1] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        b" ".join(kids), pages
+    )
+    pdf = b"%PDF-1.4\n"
+    for i, o in enumerate(objs, 1):
+        pdf += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    return pdf + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+
+
+def bench_ingest(n_txt=10, n_pdf=2, doc_kb=32, concurrency=4):
+    """E2E HOST ingest throughput (VERDICT r4 #6 / SURVEY §7 hard part
+    6): docs/s and chunks/s through the production upload path —
+    parse (incl. the first-party PDF interpreter) → chunk → summarize
+    (FakeLLMAdapter stands in for the LLM hop, so the number isolates
+    THIS framework's host pipeline) → WordPiece tokenize → MiniLM-L6
+    embed on-chip → vector store add → gzip'd raw-doc KV. The
+    device-only 31.9k chunks/s headline (bench_embed) feeds synthetic
+    token ids; this rung answers whether the host side can feed it.
+    Inputs: ``n_txt`` ~``doc_kb`` KB text docs from the repo corpus +
+    ``n_pdf`` synthesized 4-page PDFs; ``concurrency`` parallel uploads
+    (the server's own fan-in shape, tools/bulk_ingest.py default 16)."""
+    import asyncio
+
+    from multimodal_rag_tpu.embedder import EmbeddingManager
+    from multimodal_rag_tpu.ingest.parser import DocumentParser
+    from multimodal_rag_tpu.ingest.summarizer import ContentSummarizer
+    from multimodal_rag_tpu.models.adapters import FakeLLMAdapter
+    from multimodal_rag_tpu.storage.retriever import MultiVectorRetriever
+    from multimodal_rag_tpu.tools.train_tiny import build_corpus
+
+    text = build_corpus().decode("utf-8", "ignore")
+    while len(text) < (n_txt + 1) * doc_kb * 1024:
+        text = text + "\n\n" + text
+    docs = []
+    for i in range(n_txt):
+        body = text[i * doc_kb * 1024:(i + 1) * doc_kb * 1024]
+        docs.append((f"doc{i:02d}.txt", body.encode()))
+    pdf_bytes = _bench_pdf()
+    for i in range(n_pdf):
+        docs.append((f"rep{i:02d}.pdf", pdf_bytes))
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    parser = DocumentParser(figures_dir=f"{tmp}/figures", enable_ocr=False)
+    summarizer = ContentSummarizer(FakeLLMAdapter(), max_concurrent=8)
+    embedder = EmbeddingManager()  # production default encoder+store
+    retriever = MultiVectorRetriever()
+
+    async def one(i, name, content):
+        doc_id = f"bench_{i:03d}"
+        parsed = await parser.parse_document(content, name, doc_id=doc_id)
+        summaries = await summarizer.summarize_parsed_document(parsed)
+        counts = await embedder.embed_and_store(summaries, doc_id)
+        await retriever.store_raw_documents(doc_id, summaries, name)
+        return sum(counts.values())
+
+    async def drive():
+        await embedder.initialize()
+        await retriever.initialize()
+        # Warmup doc: compiles the embed buckets outside the window.
+        await one(999, "warm.txt", docs[0][1])
+        sem = asyncio.Semaphore(concurrency)
+
+        async def bounded(i, name, content):
+            async with sem:
+                return await one(i, name, content)
+
+        t0 = time.perf_counter()
+        chunks = await asyncio.gather(*[
+            bounded(i, name, content)
+            for i, (name, content) in enumerate(docs)
+        ])
+        wall = time.perf_counter() - t0
+        return sum(chunks), wall
+
+    total_chunks, wall = asyncio.run(drive())
+    return {
+        "ingest_docs_per_s": round(len(docs) / wall, 2),
+        "ingest_chunks_per_s_e2e": round(total_chunks / wall, 1),
+        "ingest_docs": len(docs),
+        "ingest_chunks": total_chunks,
+        "ingest_wall_s": round(wall, 2),
+    }
+
+
 def make_bench_tokenizer(vocab_size: int):
     """Tokenizer for serving benches: every vocab id decodes to a visible
     ASCII char, so streaming deltas track token emission 1:1. (The plain
@@ -993,6 +1114,157 @@ def bench_serving(
     }
 
 
+def bench_serving_mixed(
+    slots=8,
+    n_short=8,
+    n_long=8,
+    n_lora=8,
+    n_vision=4,
+    chunk_tokens=128,
+):
+    """Mixed-workload serving (VERDICT r4 #8): four request classes
+    through ONE continuous-batching ``DecodeServer`` simultaneously —
+
+    * ``short``: 128-token chat prompts, 32 new tokens;
+    * ``long``: 1536-token RAG prompts, 128 new tokens (long generation);
+    * ``lora``: 384-token prompts routed to an S-LoRA adapter slot
+      (served from the shared base weights via stacked side-paths);
+    * ``vision``: 576 soft tokens + 64 text tokens admitted through
+      ``prefill_embeds`` (the r4 first-class vision path), 48 new tokens.
+
+    Reports per-class TTFT p50 (streamed first delta) and aggregate
+    tok/s — the single-class uniform-prompt bench_serving cannot see
+    cross-class interference (a long prefill stalling short rows is
+    exactly what chunked admission exists to prevent)."""
+    import asyncio
+
+    from multimodal_rag_tpu.models.decoder import (
+        DecoderConfig,
+        TextDecoder,
+        init_params,
+    )
+    from multimodal_rag_tpu.serving_decode import DecodeServer
+
+    cfg = DecoderConfig()
+    params = init_params(jax.random.key(0), cfg)
+
+    # Two S-LoRA side-path stacks on q/v (routing + gather cost is what
+    # matters here, not adapter quality) — first-party init + PEFT
+    # export + stack, the same loop tools/finetune_lora.py produces.
+    try:
+        import tempfile
+
+        from multimodal_rag_tpu.models.lora import stack_lora_adapters
+        from multimodal_rag_tpu.models.lora_train import (
+            init_lora_params,
+            save_peft_adapter,
+        )
+
+        paths = []
+        for a in range(2):
+            lora = init_lora_params(
+                jax.random.key(100 + a), params, r=8,
+                targets=("wq", "wv"),
+            )
+            paths.append(save_peft_adapter(
+                lora, tempfile.mkdtemp(prefix=f"bench_lora{a}_"), r=8
+            ))
+        params = stack_lora_adapters(params, cfg, paths)
+        lora_ok = True
+    except Exception:  # noqa: BLE001 — safetensors absent: route to base
+        lora_ok = False
+
+    decoder = TextDecoder(
+        params=params, cfg=cfg,
+        tokenizer=make_bench_tokenizer(cfg.vocab_size),
+        prompt_buckets=(128, 256, 512, 1024, 2048),
+    )
+    server = DecodeServer(
+        decoder, slots=slots, max_new_cap=128,
+        chunk_tokens=chunk_tokens, prefix_entries=0, spec_k=0,
+    )
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"abcdefghij klmnopqrstuvwxyz. ", np.uint8)
+
+    def prompt(n):
+        return bytes(rng.choice(alpha, n)).decode()
+
+    no_eos = {int(server.eos_id): -100.0}
+    VT, VTXT = 576, 64  # vision soft tokens + trailing text tokens
+
+    def vision_req():
+        emb = rng.standard_normal(
+            (VT + VTXT, cfg.hidden_dim)
+        ).astype(np.float32) * 0.02
+        ids = rng.integers(3, 200, VT + VTXT).tolist()
+        return emb, ids
+
+    classes = (
+        [("short", dict(p=128, new=32))] * n_short
+        + [("long", dict(p=1536, new=128))] * n_long
+        + [("lora", dict(p=384, new=48,
+                         adapter=1 if lora_ok else 0))] * n_lora
+        + [("vision", dict(new=48))] * n_vision
+    )
+    rng.shuffle(classes)
+
+    records = []
+
+    async def one(cls, kw):
+        t_sub = time.perf_counter()
+        t_first = None
+        sub = dict(
+            max_new_tokens=kw["new"], temperature=0.0,
+            logit_bias=no_eos, adapter_id=kw.get("adapter", 0),
+        )
+        if cls == "vision":
+            emb, ids = vision_req()
+            gen = server.submit_stream(
+                "", prompt_embeds=emb, prompt_ids=ids, **sub
+            )
+        else:
+            gen = server.submit_stream(prompt(kw["p"]), **sub)
+        async for delta, fin in gen:
+            now = time.perf_counter()
+            if t_first is None and delta:
+                t_first = now
+            if fin is not None:
+                records.append((cls, t_sub, t_first or now, now))
+
+    async def drive():
+        # Warm each class's executables outside the window.
+        await asyncio.gather(
+            one("short", dict(p=128, new=4)),
+            one("long", dict(p=1536, new=4)),
+            one("vision", dict(new=4)),
+        )
+        records.clear()
+        t0 = time.perf_counter()
+        await asyncio.gather(*[
+            asyncio.create_task(one(c, kw)) for c, kw in classes
+        ])
+        wall = time.perf_counter() - t0
+        await server.stop()
+        return wall
+
+    wall = asyncio.run(drive())
+    total_tokens = sum(kw["new"] for _, kw in classes)
+    p50 = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    out = {
+        "serving_mixed_tok_s": round(total_tokens / wall, 1),
+        "serving_mixed_requests": len(records),
+        "serving_mixed_wall_s": round(wall, 2),
+        "serving_mixed_lora_routed": lora_ok,
+    }
+    for cls in ("short", "long", "lora", "vision"):
+        ttfts = [
+            (f - s) * 1e3 for c, s, f, _ in records if c == cls
+        ]
+        if ttfts:
+            out[f"serving_mixed_ttft_ms_p50_{cls}"] = round(p50(ttfts), 1)
+    return out
+
+
 def main():
     backend = jax.default_backend()
     t_start = time.time()
@@ -1097,9 +1369,17 @@ def main():
     except Exception:  # noqa: BLE001
         pass
     try:
+        serving.update(bench_serving_mixed())
+    except Exception:  # noqa: BLE001 — small-memory backends skip
+        pass
+    try:
         spec_trained = bench_spec_trained()
     except Exception:  # noqa: BLE001 — e.g. corpus files absent
         spec_trained = {}
+    try:
+        ingest = bench_ingest()
+    except Exception:  # noqa: BLE001 — e.g. corpus files absent
+        ingest = {}
     try:
         vision = bench_vision()
     except Exception:  # noqa: BLE001 — small-memory backends skip
@@ -1135,6 +1415,7 @@ def main():
             "decode_ms_per_step_0p8B_b8_int4": decode_int4_ms,
             **longctx,
             **spec_trained,
+            **ingest,
             **vision,
             **serving,
             "bench_wall_s": round(time.time() - t_start, 1),
