@@ -869,11 +869,14 @@ def bench_ingest(n_txt=10, n_pdf=2, doc_kb=32, concurrency=4):
 
     import tempfile
 
+    from multimodal_rag_tpu.storage.kv import open_kv
+
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
     parser = DocumentParser(figures_dir=f"{tmp}/figures", enable_ocr=False)
     summarizer = ContentSummarizer(FakeLLMAdapter(), max_concurrent=8)
     embedder = EmbeddingManager()  # production default encoder+store
-    retriever = MultiVectorRetriever()
+    # Keep the KV snapshot in the bench tempdir, not the default cwd dir.
+    retriever = MultiVectorRetriever(kv=open_kv("native", f"{tmp}/kv"))
 
     async def one(i, name, content):
         doc_id = f"bench_{i:03d}"
