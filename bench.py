@@ -835,7 +835,7 @@ def _bench_pdf(pages=4, lines_per_page=40):
     return pdf + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
 
 
-def bench_ingest(n_txt=10, n_pdf=2, doc_kb=32, concurrency=4):
+def bench_ingest(n_txt=16, n_pdf=4, doc_kb=32, concurrency=8):
     """E2E HOST ingest throughput (VERDICT r4 #6 / SURVEY §7 hard part
     6): docs/s and chunks/s through the production upload path —
     parse (incl. the first-party PDF interpreter) → chunk → summarize
@@ -846,7 +846,14 @@ def bench_ingest(n_txt=10, n_pdf=2, doc_kb=32, concurrency=4):
     token ids; this rung answers whether the host side can feed it.
     Inputs: ``n_txt`` ~``doc_kb`` KB text docs from the repo corpus +
     ``n_pdf`` synthesized 4-page PDFs; ``concurrency`` parallel uploads
-    (the server's own fan-in shape, tools/bulk_ingest.py default 16)."""
+    (the server's own fan-in shape, tools/bulk_ingest.py default 16).
+
+    Two passes over the same doc set: pass 1 (untimed) flushes every
+    (batch, seq)-bucket XLA compile the workload's chunk-length mix can
+    reach — measured 6-22 s per stray shape over the dev relay, which
+    dominated a single cold pass; pass 2 is the reported steady-state
+    window. The embed cache is OFF so pass 2 recomputes every
+    embedding (with it on, pass 2 would measure a dict lookup)."""
     import asyncio
 
     from multimodal_rag_tpu.embedder import EmbeddingManager
@@ -874,44 +881,55 @@ def bench_ingest(n_txt=10, n_pdf=2, doc_kb=32, concurrency=4):
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
     parser = DocumentParser(figures_dir=f"{tmp}/figures", enable_ocr=False)
     summarizer = ContentSummarizer(FakeLLMAdapter(), max_concurrent=8)
-    embedder = EmbeddingManager()  # production default encoder+store
+    # Production encoder+store; cache OFF so the timed pass really
+    # recomputes (the parser keeps ITS doc cache — docs get fresh ids).
+    embedder = EmbeddingManager(enable_cache=False)
     # Keep the KV snapshot in the bench tempdir, not the default cwd dir.
     retriever = MultiVectorRetriever(kv=open_kv("native", f"{tmp}/kv"))
 
-    async def one(i, name, content):
-        doc_id = f"bench_{i:03d}"
+    async def one(i, name, content, tag):
+        doc_id = f"bench_{tag}_{i:03d}"
         parsed = await parser.parse_document(content, name, doc_id=doc_id)
         summaries = await summarizer.summarize_parsed_document(parsed)
         counts = await embedder.embed_and_store(summaries, doc_id)
         await retriever.store_raw_documents(doc_id, summaries, name)
         return sum(counts.values())
 
-    async def drive():
-        await embedder.initialize()
-        await retriever.initialize()
-        # Warmup doc: compiles the embed buckets outside the window.
-        await one(999, "warm.txt", docs[0][1])
+    async def run_pass(tag, repeats=1):
         sem = asyncio.Semaphore(concurrency)
 
         async def bounded(i, name, content):
             async with sem:
-                return await one(i, name, content)
+                return await one(i, name, content, tag)
 
+        work = [
+            (r * len(docs) + i, name, content)
+            for r in range(repeats)
+            for i, (name, content) in enumerate(docs)
+        ]
         t0 = time.perf_counter()
         chunks = await asyncio.gather(*[
-            bounded(i, name, content)
-            for i, (name, content) in enumerate(docs)
+            bounded(i, name, content) for i, name, content in work
         ])
-        wall = time.perf_counter() - t0
-        return sum(chunks), wall
+        return sum(chunks), time.perf_counter() - t0, len(work)
 
-    total_chunks, wall = asyncio.run(drive())
+    async def drive():
+        await embedder.initialize()
+        await retriever.initialize()
+        _c, warm_wall, _n = await run_pass("warm")
+        # 3 repeats stretch the steady-state window past the sub-second
+        # range where one scheduler hiccup moves the number.
+        total, wall, n = await run_pass("run", repeats=3)
+        return total, wall, warm_wall, n
+
+    total_chunks, wall, warm_wall, n_docs = asyncio.run(drive())
     return {
-        "ingest_docs_per_s": round(len(docs) / wall, 2),
+        "ingest_docs_per_s": round(n_docs / wall, 2),
         "ingest_chunks_per_s_e2e": round(total_chunks / wall, 1),
-        "ingest_docs": len(docs),
+        "ingest_docs": n_docs,
         "ingest_chunks": total_chunks,
         "ingest_wall_s": round(wall, 2),
+        "ingest_cold_pass_wall_s": round(warm_wall, 2),
     }
 
 

@@ -2856,6 +2856,15 @@ def find_local_lm_checkpoint() -> Optional[str]:
     return None
 
 
+def _is_tiny_lm_dir(path: str) -> bool:
+    """True when ``path`` is a tools/train_tiny.py checkpoint directory:
+    params.npz next to a DecoderConfig-shaped config.json (HF snapshots
+    carry model_type + safetensors instead, never params.npz)."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "params.npz")
+    )
+
+
 class TextDecoder:
     """Tokenize → left-pad to a prompt bucket → jitted generate → text.
 
@@ -2916,7 +2925,31 @@ class TextDecoder:
         self.pretrained = False
         if params is None:
             checkpoint_path = checkpoint_path or find_local_lm_checkpoint()
-            if checkpoint_path:
+            if checkpoint_path and _is_tiny_lm_dir(checkpoint_path):
+                # First-party tiny-LM format (tools/train_tiny.py
+                # save_tiny_lm: params.npz + a DecoderConfig config.json,
+                # no HF model_type). Byte-level vocabulary — the default
+                # ByteTokenizer below IS the matching tokenizer, so
+                # serving a trained tiny checkpoint produces real (if
+                # small-model) answers end-to-end.
+                try:
+                    from multimodal_rag_tpu.tools.train_tiny import (
+                        load_tiny_lm,
+                    )
+
+                    params, cfg, _meta = load_tiny_lm(checkpoint_path)
+                    self.pretrained = True
+                    tokenizer = tokenizer or ByteTokenizer()
+                    logger.info(
+                        "Loaded tiny-LM checkpoint from %s", checkpoint_path
+                    )
+                except Exception as e:  # noqa: BLE001 — degrade, don't die
+                    logger.error(
+                        "Failed to load tiny-LM checkpoint %s (%s); "
+                        "falling back to random init", checkpoint_path, e,
+                    )
+                    params = None
+            elif checkpoint_path:
                 try:
                     params, cfg = load_hf_causal_lm(checkpoint_path, cfg)
                     self.pretrained = True
