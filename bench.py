@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -1286,23 +1287,41 @@ def bench_serving_mixed(
     return out
 
 
+def _progress(label, t0):
+    """One stderr line per completed rung: lets an operator (or the
+    bench driver) see where a long run is instead of a silent 20-40 min
+    window — stdout stays reserved for the single JSON result line."""
+    print(f"[bench +{time.time() - t0:7.1f}s] {label}", file=sys.stderr,
+          flush=True)
+
+
 def main():
+    # Persistent compile cache: repeat bench runs on the same host skip
+    # the ~6-22 s/shape relay compiles (timings are unaffected — every
+    # rung warms its executable before the timed loop).
+    from multimodal_rag_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     backend = jax.default_backend()
     t_start = time.time()
     embed_cps = bench_embed()
+    _progress("embed", t_start)
     retr_ms = bench_retrieval()
+    _progress("retrieval_1M", t_start)
     try:
         retr10m_ms, retr10m_best = (
             round(x, 3) for x in bench_retrieval_10m()
         )
     except Exception:  # noqa: BLE001 — small-memory backends skip the 10M run
         retr10m_ms = retr10m_best = None
+    _progress("retrieval_10M", t_start)
     try:
         retr10m_int8_ms, retr10m_int8_best = (
             round(x, 3) for x in bench_retrieval_10m_int8()
         )
     except Exception:  # noqa: BLE001
         retr10m_int8_ms = retr10m_int8_best = None
+    _progress("retrieval_10M_int8", t_start)
     try:
         ivf_ms, ivf_recall, ivf_nprobe, ivf_build_s, ivf_n = (
             bench_retrieval_10m_ivf()
@@ -1312,10 +1331,12 @@ def main():
         ivf_build_s = round(ivf_build_s, 1)
     except Exception:  # noqa: BLE001 — small-HBM / CPU backends skip
         ivf_ms = ivf_recall = ivf_nprobe = ivf_build_s = ivf_n = None
+    _progress("retrieval_10M_ivf", t_start)
     try:
         lowrank_recall = bench_ivf_recall_lowrank()
     except Exception:  # noqa: BLE001 — small-HBM / CPU backends skip
         lowrank_recall = {}
+    _progress("ivf_recall_lowrank", t_start)
     try:
         decode_ms = round(bench_decode(), 3)
     except Exception:  # noqa: BLE001 — small-memory backends skip
@@ -1328,6 +1349,7 @@ def main():
         decode_int4_ms = round(bench_decode(quantize="int4"), 3)
     except Exception:  # noqa: BLE001
         decode_int4_ms = None
+    _progress("decode_short_ctx", t_start)
     # Long-context decode rung (VERDICT r4 #2): Gemma3-shaped ~0.85B at
     # cache depths where the CACHE stream bounds the step. Matrix:
     # flash-kernel ablation + windowed rings + int8 KV at ctx 2560; the
@@ -1358,6 +1380,7 @@ def main():
             ),
         ):
             longctx[key] = round(bench_decode_longctx(**kw), 3)
+            _progress(key, t_start)
     except Exception:  # noqa: BLE001 — small-memory backends skip
         pass
     try:
@@ -1378,6 +1401,7 @@ def main():
         # The RECOMMENDED production flag set (DEPLOYMENT.md "Serving
         # configuration"): chunked prefill + prefix cache, spec off.
         serving = bench_serving(spec_k=0, decoder=_sdec)
+        _progress("serving", t_start)
     except Exception:  # noqa: BLE001 — small-memory backends skip
         serving = {}
         _sdec = None
@@ -1387,22 +1411,27 @@ def main():
         # probe's 1.0 was a labeled artifact (greedy loops draft
         # perfectly).
         serving.update(bench_spec_trained_serving())
+        _progress("spec_trained_serving", t_start)
     except Exception:  # noqa: BLE001
         pass
     try:
         serving.update(bench_serving_mixed())
+        _progress("serving_mixed", t_start)
     except Exception:  # noqa: BLE001 — small-memory backends skip
         pass
     try:
         spec_trained = bench_spec_trained()
+        _progress("spec_trained", t_start)
     except Exception:  # noqa: BLE001 — e.g. corpus files absent
         spec_trained = {}
     try:
         ingest = bench_ingest()
+        _progress("ingest", t_start)
     except Exception:  # noqa: BLE001 — e.g. corpus files absent
         ingest = {}
     try:
         vision = bench_vision()
+        _progress("vision", t_start)
     except Exception:  # noqa: BLE001 — small-memory backends skip
         vision = {}
     result = {

@@ -2255,6 +2255,12 @@ def _openapi_spec() -> Dict[str, Any]:
 
 def run():
     logging.basicConfig(level=getattr(logging, settings.LOG_LEVEL, 20))
+    # Direct `python -m multimodal_rag_tpu.server.api` launches get the
+    # persistent compile cache too (run_server.py enables it earlier,
+    # before its preflight jits; the call is idempotent).
+    from multimodal_rag_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     app = create_app()
     web.run_app(app, host=settings.API_HOST, port=settings.API_PORT)
 

@@ -143,6 +143,13 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # Backfills are short-lived processes: without the persistent cache
+    # each run re-pays every (batch, seq)-bucket compile before the
+    # first doc lands (runtime/compile_cache.py).
+    from multimodal_rag_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     files = find_files(args.roots)
     if not files:
         print("no ingestable files found", file=sys.stderr)

@@ -80,6 +80,10 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    from multimodal_rag_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     texts = load_texts(args.data)
     if not texts:
         print(json.dumps({"error": "no training texts found"}))

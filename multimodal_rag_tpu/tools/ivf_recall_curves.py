@@ -175,6 +175,10 @@ def main(argv=None) -> int:
     ap.add_argument("--kinds", default="text,lowrank,sphere")
     args = ap.parse_args(argv)
 
+    from multimodal_rag_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

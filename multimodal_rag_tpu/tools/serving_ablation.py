@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-new", type=int, default=48)
     args = ap.parse_args(argv)
 
+    from multimodal_rag_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
 
     from bench import bench_serving, make_bench_tokenizer

@@ -365,6 +365,10 @@ def main() -> None:
     ap.add_argument("--force", action="store_true",
                     help="retrain even if a checkpoint exists")
     args = ap.parse_args()
+
+    from multimodal_rag_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     out = args.out or os.environ.get(
         "MMRAG_TINY_LM_DIR",
         os.path.join(_repo_root(), "runtime", "tiny_lm"),

@@ -107,6 +107,12 @@ async def run_startup_checks() -> bool:
 
 def main() -> None:
     validate_settings(settings)
+    # Before any jit: restarts deserialize yesterday's executables
+    # instead of re-paying the per-bucket compile fleet (the dominant
+    # cold-start cost — see runtime/compile_cache.py).
+    from multimodal_rag_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     print_startup_info()
     if not asyncio.run(run_startup_checks()):
         logger.error("Preflight failed")

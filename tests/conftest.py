@@ -35,6 +35,20 @@ if not TPU_TIER:
     jax.config.update("jax_platforms", "cpu")
     assert jax.default_backend() == "cpu", jax.default_backend()
 
+# Persistent compile cache for the suite: the 800+ tests compile
+# thousands of small executables; re-runs on the same host deserialize
+# instead (runtime/compile_cache.py). Content-addressed per backend, so
+# CPU-tier and TPU-tier entries coexist; MMRAG_COMPILE_CACHE_DIR=off
+# opts out.
+from multimodal_rag_tpu.runtime.compile_cache import (  # noqa: E402
+    enable_compile_cache,
+)
+
+enable_compile_cache(
+    os.environ.get("MMRAG_COMPILE_CACHE_DIR")
+    or os.path.join(os.environ["MMRAG_BASE_DIR"], "xla_cache")
+)
+
 
 def pytest_configure(config):
     config.addinivalue_line(
