@@ -46,6 +46,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
 from functools import partial
 from typing import Dict, Iterator, Optional, Tuple
@@ -256,9 +257,11 @@ def train_tiny_lm(
             first_loss = float(loss)
         if log_every and (i % log_every == 0 or i == steps - 1):
             final_loss = float(loss)  # sync point only when logging
+            # stderr: bench.py embeds this trainer and its stdout is
+            # reserved for the single JSON result line.
             print(
                 f"step {i:4d}  loss {final_loss:.4f}  "
-                f"({time.time() - t0:.1f}s)", flush=True,
+                f"({time.time() - t0:.1f}s)", file=sys.stderr, flush=True,
             )
     if final_loss is None:
         final_loss = float(loss)
