@@ -918,9 +918,12 @@ def bench_ingest(n_txt=16, n_pdf=4, doc_kb=32, concurrency=8):
         await embedder.initialize()
         await retriever.initialize()
         _c, warm_wall, _n = await run_pass("warm")
-        # 3 repeats stretch the steady-state window past the sub-second
-        # range where one scheduler hiccup moves the number.
-        total, wall, n = await run_pass("run", repeats=3)
+        # Repeats stretch the steady-state window: at 3 repeats the
+        # timed pass is 2-9 s of host asyncio against a shared relay
+        # and consecutive runs measured 285 vs 1269 chunks/s (r5 probe)
+        # — per-dispatch RTT spikes, not pipeline throughput. 10
+        # repeats (~60-90 s window) amortize them.
+        total, wall, n = await run_pass("run", repeats=10)
         return total, wall, warm_wall, n
 
     total_chunks, wall, warm_wall, n_docs = asyncio.run(drive())
